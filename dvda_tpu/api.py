@@ -1,0 +1,342 @@
+"""Public API: the dvd-audio.h object model re-exposed over batched decode.
+
+Reference analog: include/dvd-audio.h (dvda_open → titleset → title → track
+→ track reader → dvda_read) and src/dvd-audio.c.  The object hierarchy, 1-based
+indices and RIFF-WAVE-ordered interleaved output are preserved; the decode
+underneath is inverted from the reference's sample-at-a-time pull loop into a
+host *planner* (parse/demux/tensorise) plus a device *executor* (vectorised
+kernels) per SURVEY §7.  ``TrackReader.read`` serves from the cached batched
+decode.
+
+Python-idiomatic niceties (context managers, iteration) are added on top; the
+C-style functions (``dvda_open`` etc.) are provided in dvda_tpu.__init__ for
+API parity.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from functools import cached_property
+
+import numpy as np
+
+from .bitstream import BitReader, BitstreamError
+from .container.aob import AOBReader
+from .container.audio_ts import find_audio_ts_file
+from .container import ifo as ifo_mod
+from .container.packet import demux_audio_packets, read_audio_packet_header
+from .codecs import pcm as pcm_codec
+from .codecs.params import (
+    MLP_CODEC_ID,
+    PCM_CODEC_ID,
+    PTS_PER_SECOND,
+    StreamParameters,
+)
+
+__all__ = ["DVDA", "Titleset", "Title", "Track", "TrackReader", "open_disc"]
+
+
+class DvdaError(RuntimeError):
+    pass
+
+
+def _make_decrypt(audio_ts_path: str, device: str | None):
+    """Build the optional CPPM sector decryptor (aob.c:127-142 analog)."""
+    mkb_path = find_audio_ts_file(audio_ts_path, "DVDAUDIO.MKB")
+    if mkb_path is None or device is None:
+        return None
+    try:
+        from .cppm.decrypt import CppmDecryptor
+
+        return CppmDecryptor.from_device(device, mkb_path).decrypt_sectors
+    except Exception:
+        return None
+
+
+class DVDA:
+    """A DVD-Audio disc (reference: dvda_open, dvd-audio.c:324-353)."""
+
+    def __init__(self, audio_ts_path: str | os.PathLike, device: str | None = None):
+        audio_ts_path = os.fspath(audio_ts_path)
+        ifo_path = find_audio_ts_file(audio_ts_path, "audio_ts.ifo")
+        if ifo_path is None:
+            raise DvdaError(f"AUDIO_TS.IFO not found under {audio_ts_path}")
+        with open(ifo_path, "rb") as f:
+            self._titleset_count = ifo_mod.parse_audio_ts_ifo(f.read())
+        if self._titleset_count == 0:
+            raise DvdaError("invalid AUDIO_TS.IFO")
+        self.audio_ts_path = audio_ts_path
+        self.device = device
+
+    @property
+    def titleset_count(self) -> int:
+        return self._titleset_count
+
+    def open_titleset(self, titleset: int) -> "Titleset":
+        return Titleset(self, titleset)
+
+    def close(self) -> None:
+        pass
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+class Titleset:
+    """A titleset (reference: dvda_open_titleset, dvd-audio.c:369-413)."""
+
+    def __init__(self, dvda: DVDA, titleset: int):
+        name = f"ATS_{min(titleset, 99):02d}_0.IFO"
+        path = find_audio_ts_file(dvda.audio_ts_path, name)
+        if path is None:
+            raise DvdaError(f"{name} not found")
+        with open(path, "rb") as f:
+            self._ifo = ifo_mod.parse_ats_ifo(f.read())
+        self.dvda = dvda
+        self.number = titleset
+
+    @property
+    def title_count(self) -> int:
+        return self._ifo.title_count
+
+    def open_title(self, title: int) -> "Title":
+        toc = ifo_mod.resolve_title_toc(self._ifo, title)
+        return Title(self, toc)
+
+    def close(self) -> None:
+        pass
+
+
+class Title:
+    """A title (reference: dvda_open_title, dvd-audio.c:437-502)."""
+
+    def __init__(self, titleset: Titleset, toc: ifo_mod.TitleToc):
+        self.titleset = titleset
+        self._toc = toc
+        self.number = toc.title_number
+
+    @property
+    def track_count(self) -> int:
+        return len(self._toc.tracks)
+
+    @property
+    def pts_length(self) -> int:
+        return self._toc.pts_length
+
+    def open_track(self, track: int) -> "Track":
+        if track < 1 or track > len(self._toc.tracks):
+            raise DvdaError(f"track {track} out of range")
+        return Track(self, track, self._toc.tracks[track - 1])
+
+    def close(self) -> None:
+        pass
+
+
+@dataclass
+class Track:
+    """A track (reference: dvda_open_track, dvd-audio.c:530-557)."""
+
+    title: Title
+    number: int
+    span: ifo_mod.TrackSpan
+
+    @property
+    def pts_index(self) -> int:
+        return self.span.pts_index
+
+    @property
+    def pts_length(self) -> int:
+        return self.span.pts_length
+
+    @property
+    def first_sector(self) -> int:
+        return self.span.first_sector
+
+    @property
+    def last_sector(self) -> int:
+        return self.span.last_sector
+
+    def open_reader(self, use_device: bool | None = None) -> "TrackReader":
+        ts = self.title.titleset
+        dvda = ts.dvda
+        aob = AOBReader(
+            dvda.audio_ts_path,
+            ts.number,
+            decrypt=_make_decrypt(dvda.audio_ts_path, dvda.device),
+        )
+        return TrackReader(aob, self, use_device=use_device)
+
+    def close(self) -> None:
+        pass
+
+
+class TrackReader:
+    """Decoded-track access (reference: dvda_open_track_reader/dvda_read,
+    dvd-audio.c:597-795).
+
+    The whole track is decoded in one batched pass on first access
+    (planner → executor); :meth:`read` then serves interleaved
+    RIFF-WAVE-ordered int32 frames from the cache with the same semantics
+    as ``dvda_read`` (short final read, 0 at end of stream).
+    """
+
+    def __init__(self, aob: AOBReader, track: Track, use_device: bool | None = None):
+        self.aob = aob
+        self.track = track
+        self.use_device = use_device
+        self._cursor = 0
+        self._probe()
+
+    # -- probing (dvda_open_track_reader, dvd-audio.c:597-657) -------------
+
+    def _probe(self) -> None:
+        span = self.track.span
+        first_batch = self.aob.read_sectors(span.first_sector, 1)
+        if first_batch.shape[0] == 0:
+            raise DvdaError("track starts past end of AOB space")
+        pkt = next(demux_audio_packets(first_batch, span.first_sector), None)
+        if pkt is None:
+            # scan forward for the first audio packet (degenerate discs)
+            more = self.aob.read_sectors(span.first_sector, span.last_sector - span.first_sector + 1)
+            for pkt in demux_audio_packets(more, span.first_sector):
+                break
+            if pkt is None:
+                raise DvdaError("no audio packet found in track")
+        r = BitReader(pkt.payload)
+        codec_id, pad_2_size = read_audio_packet_header(r)
+        if codec_id == PCM_CODEC_ID:
+            self.codec = "PCM"
+            params, _, _ = pcm_codec.parse_pcm_params(r)
+            self.parameters = params
+        elif codec_id == MLP_CODEC_ID:
+            self.codec = "MLP"
+            from .codecs.mlp import probe as mlp_probe
+
+            self.parameters = mlp_probe.probe_parameters(self.aob, self.track.span)
+        else:
+            raise DvdaError(f"unknown codec id {codec_id:#x}")
+
+    # -- stream attributes (dvd-audio.c:665-749) ----------------------------
+
+    @property
+    def bits_per_sample(self) -> int:
+        return self.parameters.bits_per_sample
+
+    @property
+    def sample_rate(self) -> int:
+        return self.parameters.sample_rate
+
+    @property
+    def channel_count(self) -> int:
+        return self.parameters.channel_count
+
+    @property
+    def channel_mask(self) -> int:
+        return self.parameters.channel_mask
+
+    # -- batched decode ----------------------------------------------------
+
+    @cached_property
+    def _decoded(self) -> np.ndarray:
+        """Full-track decode: int32 [frames, channels] in RIFF WAVE order."""
+        if self.codec == "PCM":
+            return self._decode_pcm()
+        from .codecs.mlp.track import decode_mlp_track
+
+        return decode_mlp_track(self.aob, self.track.span, self.parameters,
+                                use_device=self.use_device)
+
+    def _decode_pcm(self) -> np.ndarray:
+        """Batch PCM decode.
+
+        Mirrors decode_pcm_audio's termination (dvd-audio.c:1016-1082):
+        packets are consumed while the PTS-derived frame countdown is
+        positive and parameters/codec match; all frames of consumed packets
+        are emitted.  The PCM path ignores the track's last sector — the
+        countdown is the terminator — so packets are pulled sector-batch by
+        sector-batch until satisfied.
+        """
+        span = self.track.span
+        # total frames from PTS length (open_pcm_track_reader, :976-979)
+        total = round(span.pts_length * self.parameters.sample_rate / PTS_PER_SECOND)
+        bps = self.parameters.bits_per_sample
+        ch = self.parameters.channel_count
+        chunk_arrays: list[np.ndarray] = []
+        remaining = total
+        sector = span.first_sector
+        BATCH = 4096  # sectors per host I/O batch
+        done = False
+        while not done:
+            sectors = self.aob.read_sectors(sector, BATCH)
+            if sectors.shape[0] == 0:
+                break
+            for pkt in demux_audio_packets(sectors, sector):
+                if pkt is None:
+                    done = True
+                    break
+                r = BitReader(pkt.payload)
+                try:
+                    codec_id, pad_2_size = read_audio_packet_header(r)
+                    if codec_id != PCM_CODEC_ID:
+                        done = True
+                        break
+                    params, _, _ = pcm_codec.parse_pcm_params(r)
+                    if params != self.parameters:
+                        done = True
+                        break
+                    r.skip_bytes(pad_2_size - 9)
+                except BitstreamError:
+                    done = True
+                    break
+                payload = r.read_bytes(r.size())
+                chunks = pcm_codec.payload_to_chunks(payload, bps, ch)
+                chunk_arrays.append(chunks)
+                remaining -= min(chunks.shape[0] * 2, remaining)
+                if remaining == 0:
+                    done = True
+                    break
+            else:
+                if sectors.shape[0] < BATCH:
+                    break
+            sector += sectors.shape[0]
+        if not chunk_arrays:
+            return np.zeros((0, ch), dtype=np.int32)
+        all_chunks = np.concatenate(chunk_arrays, axis=0)
+        if self._device_enabled():
+            from .ops.pcm_unpack import decode_chunks_device
+
+            return np.asarray(decode_chunks_device(all_chunks, bps, ch))
+        return pcm_codec.decode_chunks_numpy(all_chunks, bps, ch)
+
+    def _device_enabled(self) -> bool:
+        if self.use_device is not None:
+            return self.use_device
+        return os.environ.get("DVDA_TPU_DISABLE_DEVICE", "0") != "1"
+
+    # -- pull API (dvda_read, dvd-audio.c:751-795) --------------------------
+
+    def read(self, pcm_frames: int) -> np.ndarray:
+        """Return up to ``pcm_frames`` interleaved frames ([n, channels])."""
+        if pcm_frames <= 0:
+            return np.zeros((0, self.channel_count), dtype=np.int32)
+        data = self._decoded
+        out = data[self._cursor : self._cursor + pcm_frames]
+        self._cursor += out.shape[0]
+        return out
+
+    def read_all(self) -> np.ndarray:
+        data = self._decoded
+        out = data[self._cursor :]
+        self._cursor = data.shape[0]
+        return out
+
+    def close(self) -> None:
+        self.aob.close()
+
+
+def open_disc(audio_ts_path: str | os.PathLike, device: str | None = None) -> DVDA:
+    return DVDA(audio_ts_path, device)
