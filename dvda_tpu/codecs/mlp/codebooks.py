@@ -1,0 +1,134 @@
+"""MLP residual Huffman codebooks and the codebook → LUT compiler.
+
+Reference analogs: the three canonical codebook definitions
+src/mlp_codebook{1,2,3}.json and the build-time compiler that turns them
+into reader-state jump tables (src/huffman.c:262-418, Makefile:108-115).
+
+The reference compiles codebooks into 0x200-entry tables keyed by its bit
+reader's 9-bit state machine.  The rebuild's decoders are not state
+machines, so the compiler here emits two TPU/vector-friendly forms instead:
+
+* a **flat peek LUT**: all codes are ≤ 9 bits, so a 512-entry table keyed
+  by the next 9 bits of the stream gives ``(value, code_length)`` in one
+  lookup — used by the vectorised/native residual decoders;
+* a **binary tree** for the bit-by-bit Python reference reader
+  (BitReader.read_huffman_code).
+
+An **encode map** (value → (code, length)) is also produced for the MLP
+stream synthesiser (tests need an encoder-for-tests; SURVEY §4).
+
+Codebook shapes (values are the residual MSBs, mlp.c:1211-1227):
+  codebook 1: values 0..17, codes 3..9 bits  (escape/invalid: two 9-bit codes)
+  codebook 2: values 0..15, codes 2..9 bits
+  codebook 3: values 0..14, codes 1..9 bits
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import numpy as np
+
+__all__ = [
+    "CODEBOOKS",
+    "MAX_CODE_LEN",
+    "peek_lut",
+    "decode_tree",
+    "encode_map",
+    "codebook_value_range",
+]
+
+MAX_CODE_LEN = 9
+
+# (code bits as a string, value); value None = invalid/escape code.
+# Data from src/mlp_codebook{1,2,3}.json — canonical MLP tables.
+CODEBOOKS: dict[int, list[tuple[str, int | None]]] = {
+    1: [
+        ("111", 10), ("110", 9), ("101", 8), ("100", 7), ("011", 11),
+        ("0101", 12), ("01001", 13), ("010001", 14), ("0100001", 15),
+        ("01000001", 16), ("010000001", 17), ("010000000", None),
+        ("001", 6), ("0001", 5), ("00001", 4), ("000001", 3),
+        ("0000001", 2), ("00000001", 1), ("000000001", 0),
+        ("000000000", None),
+    ],
+    2: [
+        ("11", 8), ("10", 7), ("011", 9), ("0101", 10), ("01001", 11),
+        ("010001", 12), ("0100001", 13), ("01000001", 14), ("010000001", 15),
+        ("010000000", None),
+        ("001", 6), ("0001", 5), ("00001", 4), ("000001", 3),
+        ("0000001", 2), ("00000001", 1), ("000000001", 0),
+        ("000000000", None),
+    ],
+    3: [
+        ("1", 7), ("011", 8), ("0101", 9), ("01001", 10), ("010001", 11),
+        ("0100001", 12), ("01000001", 13), ("010000001", 14),
+        ("010000000", None),
+        ("001", 6), ("0001", 5), ("00001", 4), ("000001", 3),
+        ("0000001", 2), ("00000001", 1), ("000000001", 0),
+        ("000000000", None),
+    ],
+}
+
+
+@lru_cache(maxsize=None)
+def peek_lut(codebook: int) -> tuple[np.ndarray, np.ndarray]:
+    """Compile a codebook to flat 9-bit peek tables.
+
+    Returns ``(values, lengths)``, both int32[512]: index with the next 9
+    bits (MSB-first); ``lengths[i]`` is the code length to consume and
+    ``values[i]`` the decoded MSB, or length 0 / value -1 for invalid
+    codes (the reference signals these as -1, mlp.c:1228-1229).
+    """
+    values = np.full(1 << MAX_CODE_LEN, -1, dtype=np.int32)
+    lengths = np.zeros(1 << MAX_CODE_LEN, dtype=np.int32)
+    for code, value in CODEBOOKS[codebook]:
+        if value is None:
+            continue
+        n = len(code)
+        prefix = int(code, 2) << (MAX_CODE_LEN - n)
+        span = 1 << (MAX_CODE_LEN - n)
+        values[prefix : prefix + span] = value
+        lengths[prefix : prefix + span] = n
+    return values, lengths
+
+
+@lru_cache(maxsize=None)
+def decode_tree(codebook: int):
+    """Compile a codebook to a nested-tuple binary tree for the Python
+    bit reader.  Nodes are [zero, one] pairs; leaves are values or None."""
+
+    def insert(node: list, code: str, value):
+        bit = int(code[0])
+        if len(code) == 1:
+            node[bit] = value
+        else:
+            if not isinstance(node[bit], list):
+                node[bit] = [None, None]
+            insert(node[bit], code[1:], value)
+
+    root: list = [None, None]
+    for code, value in CODEBOOKS[codebook]:
+        insert(root, code, value)
+
+    def freeze(node):
+        if isinstance(node, list):
+            return (freeze(node[0]), freeze(node[1]))
+        return node
+
+    return freeze(root)
+
+
+@lru_cache(maxsize=None)
+def encode_map(codebook: int) -> dict[int, tuple[int, int]]:
+    """value → (code_bits, code_length), for the test-stream synthesiser."""
+    out = {}
+    for code, value in CODEBOOKS[codebook]:
+        if value is not None:
+            out[value] = (int(code, 2), len(code))
+    return out
+
+
+def codebook_value_range(codebook: int) -> tuple[int, int]:
+    """Inclusive (min, max) encodable MSB for a codebook."""
+    vals = [v for _, v in CODEBOOKS[codebook] if v is not None]
+    return min(vals), max(vals)

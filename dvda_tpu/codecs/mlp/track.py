@@ -1,0 +1,113 @@
+"""MLP track decode orchestration: packet walk + termination semantics.
+
+Reference analogs: open_mlp_track_reader (dvd-audio.c:1094-1149),
+decode_mlp_audio (:1151-1227), mlp_data_to_major_sync (:1367-1421).
+
+Termination rules, replicated exactly:
+
+* the stream starts at the first major sync at/after the track's first
+  sector (bytes before it are discarded);
+* packets from sectors within the track feed the decoder; the stream ends
+  when a packet decodes **zero** complete frames (dvda_read's
+  ``!pcm_frames_read`` check, dvd-audio.c:770-775), when a packet's codec
+  id is not MLP, or when packets run out;
+* the first packet from a sector **past** the track's last sector triggers
+  the tail rule: bytes (from that packet and as many following MLP packets
+  as needed) up to — not including — the *next* major sync are fed, then
+  the stream ends; if no sync is ever found, everything but the final
+  un-scannable ≤7 bytes is fed (find_major_sync stops when fewer than 8
+  bytes remain, dvd-audio.c:1253-1285).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from ...container.aob import AOBReader
+from ..params import StreamParameters
+from .probe import find_major_sync, iter_mlp_payloads
+from .spec import MlpDecoder
+
+__all__ = ["decode_mlp_track"]
+
+
+def decode_mlp_track(
+    aob: AOBReader,
+    span,
+    parameters: StreamParameters,
+    use_device: bool | None = None,
+) -> np.ndarray:
+    """Decode a whole MLP track to int32 [frames, channels] (WAVE order)."""
+    decoder = _make_decoder(parameters, use_device)
+    payloads = iter_mlp_payloads(aob, span.first_sector)
+
+    # -- probe: discard bytes before the first major sync ------------------
+    buf = bytearray()
+    off = -1
+    for item in payloads:
+        if item is None:
+            return decoder.take_frames()
+        _sector, payload = item
+        if payload is None:
+            continue  # non-MLP packets skipped while probing
+        buf += payload
+        off = find_major_sync(bytes(buf))
+        if off >= 0 and len(buf) - off >= 18:
+            break
+    if off < 0:
+        return decoder.take_frames()
+
+    # initial feed: everything from the sync onward; result ignored
+    # (open_mlp_track_reader, dvd-audio.c:1136-1140)
+    decoder.decode_bytes(bytes(buf[off:]))
+
+    # -- main loop ---------------------------------------------------------
+    for item in payloads:
+        if item is None:
+            break
+        sector, payload = item
+        if sector > span.last_sector:
+            _feed_tail(decoder, payload, payloads)
+            break
+        if payload is None:
+            break  # codec mismatch within the track ends the stream
+        if decoder.decode_bytes(payload) == 0:
+            break  # a packet yielding no complete frames ends the stream
+    return decoder.take_frames()
+
+
+def _feed_tail(decoder, first_payload, payloads) -> None:
+    """Feed bytes up to the next major sync (mlp_data_to_major_sync)."""
+    if first_payload is None:
+        return  # codec mismatch on the boundary packet: nothing fed
+    tail = bytearray(first_payload)
+    while True:
+        off = find_major_sync(bytes(tail))
+        if off >= 0:
+            decoder.decode_bytes(bytes(tail[:off]))
+            return
+        item = next(payloads, None)
+        if item is None:  # exhausted, or the malformed-stream sentinel
+            break
+        _sector, payload = item
+        if payload is None:
+            continue  # non-MLP packets skipped in the tail scan
+        tail += payload
+    fed = max(0, len(tail) - 7)
+    decoder.decode_bytes(bytes(tail[:fed]))
+
+
+def _make_decoder(parameters: StreamParameters, use_device: bool | None):
+    """Choose the decode engine: batched device engine or sequential spec."""
+    if use_device is None:
+        use_device = os.environ.get("DVDA_TPU_DISABLE_DEVICE", "0") != "1"
+    if use_device:
+        try:
+            from .engine import BatchedMlpDecoder
+
+            return BatchedMlpDecoder(parameters)
+        except ImportError:
+            pass
+    return MlpDecoder(parameters)
