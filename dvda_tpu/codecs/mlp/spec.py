@@ -134,6 +134,9 @@ class SubstreamState:
     )
     # per-frame residual workspace
     residuals: list[list[int]] = field(default_factory=list)
+    # channels whose IIR state was reset/reloaded in the current block
+    # (parameter read or default-reset) — consumed by the batched planner
+    iir_reloaded: set = field(default_factory=set)
 
     # substream info (mlp.c:48-53), re-read each frame
     info_nonrestart: int = 0
@@ -247,9 +250,14 @@ class MlpDecoder:
                 raise MlpFrameError("substream 1 decoded no blocks")
             final = ss1
 
+        self._finish_frame(final)
+        return frames0
+
+    def _finish_frame(self, final: SubstreamState) -> None:
+        """Consume a parsed frame (all substreams decoded).  The spec
+        rematrixes and emits; the planner records frame-level tensors."""
         self._rematrix(final)
         self._output(final)
-        return frames0
 
     def _try_major_sync(self, r: BitReader):
         """read_major_sync (mlp.c:614-654): parse; rewind if absent."""
@@ -295,6 +303,7 @@ class MlpDecoder:
 
     def _decode_block(self, ss: SubstreamState, r: BitReader) -> int:
         """decode_block (mlp.c:741-807)."""
+        ss.iir_reloaded = set()
         if r.read(1):  # decoding parameters present
             restart = r.read(1)
             if restart:
@@ -302,12 +311,15 @@ class MlpDecoder:
             self._read_decoding_parameters(ss, r, restart)
 
         self._read_residuals(ss, r)
+        self._process_block(ss)
+        return ss.block_size
 
-        bs = ss.block_size
+    def _process_block(self, ss: SubstreamState) -> None:
+        """Consume a parsed block.  The sequential spec filters immediately;
+        the batched planner overrides this to record tensors instead."""
         for c in range(ss.min_channel, ss.max_channel + 1):
             filtered = self._filter_channel(ss, c)
             self._framelist[c].extend(filtered)
-        return bs
 
     def _read_restart_header(self, ss: SubstreamState, r: BitReader) -> None:
         """decode_restart_header (mlp.c:809-854)."""
@@ -383,10 +395,12 @@ class MlpDecoder:
                     ch.fir.coeff = []
                 if ss.flags[2] and r.read(1):
                     self._read_filter_parameters(r, ch.iir, is_iir=True)
+                    ss.iir_reloaded.add(c)
                 elif header_present:
                     ch.iir.shift = 0
                     ch.iir.coeff = []
                     ch.iir.state = []
+                    ss.iir_reloaded.add(c)
                 if ss.flags[1] and r.read(1):
                     ch.huffman_offset = r.read_signed(15)
                 elif header_present:
@@ -401,6 +415,7 @@ class MlpDecoder:
                 ch.iir.shift = 0
                 ch.iir.coeff = []
                 ch.iir.state = []
+                ss.iir_reloaded.add(c)
                 ch.huffman_offset = 0
                 ch.codebook = 0
                 ch.huffman_lsbs = 24

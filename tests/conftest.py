@@ -8,7 +8,9 @@ be set before jax is first imported.
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# force CPU: the environment pre-sets JAX_PLATFORMS=axon (TPU tunnel), which
+# must never be used for tests — first-compile latency there is minutes
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
