@@ -139,14 +139,21 @@ class BitReader:
     # -- reads ------------------------------------------------------------
 
     def read(self, n: int) -> int:
-        """Read ``n`` bits as an unsigned int."""
+        """Read ``n`` bits as an unsigned int.
+
+        ``n < 0`` raises: the reference's unsigned bit counts wrap huge and
+        abort on EOF (e.g. MLP LSB widths when quant > huffman_lsbs), so a
+        negative width is always a stream error.
+        """
+        if n <= 0:
+            if n == 0:
+                return 0
+            raise BitstreamError("negative bit-read width")
         p = self.pos
         q = p + n
         if q > self.end:
             raise BitstreamError("read past end of stream")
         self.pos = q
-        if n == 0:
-            return 0
         i0 = p >> 3
         i1 = (q + 7) >> 3
         word = int.from_bytes(self.data[i0:i1], "big")

@@ -40,6 +40,86 @@ def decode_mlp_track(
     use_device: bool | None = None,
 ) -> np.ndarray:
     """Decode a whole MLP track to int32 [frames, channels] (WAVE order)."""
+    if use_device is None:
+        use_device = os.environ.get("DVDA_TPU_DISABLE_DEVICE", "0") != "1"
+    if use_device and os.environ.get("DVDA_TPU_DISABLE_NATIVE", "0") != "1":
+        out = _try_native(aob, span, parameters)
+        if out is not None:
+            return out
+    return _decode_python(aob, span, parameters, use_device)
+
+
+def _try_native(aob: AOBReader, span, parameters) -> np.ndarray | None:
+    """Single-pass assembly + native parse + device pipeline; ``None`` to
+    fall back to the Python engines."""
+    from .native_engine import decode_native
+
+    assembled = _assemble_stream(aob, span)
+    if assembled is None:
+        return None
+    stream, boundaries, probe_end = assembled
+    if not stream:
+        return np.zeros((0, parameters.channel_count), dtype=np.int32)
+    return decode_native(stream, boundaries, probe_end, parameters)
+
+
+def _assemble_stream(aob: AOBReader, span):
+    """Collect the exact byte stream the pull decoder would feed, plus the
+    post-probe packet boundaries (for the zero-frame-packet cut) and the
+    probe-prefix length.  Mirrors the loop in :func:`_decode_python`."""
+    payloads = iter_mlp_payloads(aob, span.first_sector)
+    buf = bytearray()
+    off = -1
+    for item in payloads:
+        if item is None:
+            return None  # malformed container: let the python path decide
+        _sector, payload = item
+        if payload is None:
+            continue
+        buf += payload
+        off = find_major_sync(bytes(buf))
+        if off >= 0 and len(buf) - off >= 18:
+            break
+    if off < 0:
+        return b"", np.zeros(0, np.int64), 0
+    stream = bytearray(buf[off:])
+    probe_end = len(stream)
+    boundaries: list[int] = []
+    for item in payloads:
+        if item is None:
+            break
+        sector, payload = item
+        if sector > span.last_sector:
+            if payload is None:
+                break  # codec mismatch on the boundary packet: nothing fed
+            tail = bytearray(payload)
+            while True:
+                o2 = find_major_sync(bytes(tail))
+                if o2 >= 0:
+                    stream += tail[:o2]
+                    break
+                nxt = next(payloads, None)
+                if nxt is None:
+                    stream += tail[: max(0, len(tail) - 7)]
+                    break
+                _s2, p2 = nxt
+                if p2 is None:
+                    continue  # non-MLP packets skipped in the tail scan
+                tail += p2
+            break
+        if payload is None:
+            break  # codec mismatch within the track ends the stream
+        stream += payload
+        boundaries.append(len(stream))
+    return bytes(stream), np.asarray(boundaries, dtype=np.int64), probe_end
+
+
+def _decode_python(
+    aob: AOBReader,
+    span,
+    parameters: StreamParameters,
+    use_device: bool | None,
+) -> np.ndarray:
     decoder = _make_decoder(parameters, use_device)
     payloads = iter_mlp_payloads(aob, span.first_sector)
 

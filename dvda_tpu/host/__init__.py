@@ -1,0 +1,206 @@
+"""Native host runtime: ctypes bindings for libdvda_host.so.
+
+The shared library (built from src/*.cc with g++, no external deps) holds
+the host-side hot paths: the MLP stream parser + Huffman residual decoder
+(src/mlp_parse.cc) and the CPPM C2 cipher (src/c2.cc).  The library is
+(re)built on demand at import time; when a toolchain is unavailable every
+entry point reports unavailable and callers fall back to the pure-Python
+implementations (which are the executable specification).
+
+``parse_mlp_stream`` returns a :class:`NativeParse` exposing numpy views
+of the parser's output arrays:
+
+* frame-level: ``frame_len[F]``, ``frame_end[F]`` (byte offsets for the
+  packet-boundary cut), ``out_shift[F,8]``, matrix tensors ``[F,6,…]``,
+  noise channels ``noise0/noise1[T]``, ``bypassed[T,6]``;
+* per substream ``s``: ``blk_len[NB]``, ``blk_restart[NB]``, per-channel
+  ``shift/quant/iir_reset[NB,n_ch]``, reversed-tap ``rc_fir/rc_iir/
+  iir_init[NB,n_ch,8]`` and ragged ``residuals`` ordered
+  (block, channel, sample).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+__all__ = ["available", "parse_mlp_stream", "NativeParse"]
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SO = os.path.join(_DIR, "libdvda_host.so")
+_SOURCES = [os.path.join(_DIR, "src", f) for f in ("mlp_parse.cc", "c2.cc")]
+
+_lib = None
+_load_error: str | None = None
+
+
+def _build() -> bool:
+    sources = [s for s in _SOURCES if os.path.exists(s)]
+    if not sources:
+        return False
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-o", _SO] + sources,
+            check=True, capture_output=True,
+        )
+        return True
+    except (subprocess.CalledProcessError, OSError):
+        return False
+
+
+def _stale() -> bool:
+    if not os.path.exists(_SO):
+        return True
+    so_m = os.path.getmtime(_SO)
+    return any(os.path.exists(s) and os.path.getmtime(s) > so_m for s in _SOURCES)
+
+
+def _load():
+    global _lib, _load_error
+    if _lib is not None or _load_error is not None:
+        return _lib
+    if _stale() and not _build():
+        _load_error = "native host library could not be built"
+        return None
+    try:
+        lib = ctypes.CDLL(_SO)
+    except OSError as exc:
+        _load_error = str(exc)
+        return None
+    c = ctypes
+    lib.mlp_parse.restype = c.c_void_p
+    lib.mlp_parse.argtypes = [c.c_char_p, c.c_int64, c.c_void_p, c.c_void_p]
+    lib.mlp_parse_free.argtypes = [c.c_void_p]
+    for name, res in [
+        ("mp_status", c.c_int32), ("mp_substream_count", c.c_int32),
+        ("mp_mmc", c.c_int32), ("mp_assignment", c.c_int32),
+        ("mp_nframes", c.c_int64), ("mp_total_samples", c.c_int64),
+    ]:
+        fn = getattr(lib, name)
+        fn.restype = res
+        fn.argtypes = [c.c_void_p]
+    for name in ("mp_min_ch", "mp_max_ch"):
+        fn = getattr(lib, name)
+        fn.restype = c.c_int32
+        fn.argtypes = [c.c_void_p, c.c_int32]
+    lib.mp_nblocks.restype = c.c_int64
+    lib.mp_nblocks.argtypes = [c.c_void_p, c.c_int32]
+    lib.mp_residuals_size.restype = c.c_int64
+    lib.mp_residuals_size.argtypes = [c.c_void_p, c.c_int32]
+    for name in ("mp_frame_len", "mp_out_shift", "mp_mat_out", "mp_mat_quant",
+                 "mp_mat_coeff", "mp_mat_noise", "mp_noise0", "mp_noise1"):
+        fn = getattr(lib, name)
+        fn.restype = c.POINTER(c.c_int32)
+        fn.argtypes = [c.c_void_p]
+    lib.mp_frame_end.restype = c.POINTER(c.c_int64)
+    lib.mp_frame_end.argtypes = [c.c_void_p]
+    for name in ("mp_mat_active", "mp_bypassed"):
+        fn = getattr(lib, name)
+        fn.restype = c.POINTER(c.c_uint8)
+        fn.argtypes = [c.c_void_p]
+    for name in ("mp_fr_nblocks", "mp_blk_len", "mp_blk_shift",
+                 "mp_blk_quant", "mp_blk_rc_fir",
+                 "mp_blk_rc_iir", "mp_blk_iir_init", "mp_residuals"):
+        fn = getattr(lib, name)
+        fn.restype = c.POINTER(c.c_int32)
+        fn.argtypes = [c.c_void_p, c.c_int32]
+    for name in ("mp_blk_restart", "mp_blk_iir_reset"):
+        fn = getattr(lib, name)
+        fn.restype = c.POINTER(c.c_uint8)
+        fn.argtypes = [c.c_void_p, c.c_int32]
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _as_np(ptr, dtype, shape):
+    n = int(np.prod(shape)) if shape else 0
+    if n == 0:
+        return np.zeros(shape, dtype=dtype)
+    arr = np.ctypeslib.as_array(ptr, shape=(n,)).astype(dtype, copy=True)
+    return arr.reshape(shape)
+
+
+class NativeParse:
+    """Numpy views of one parsed MLP stream (copies; handle freed)."""
+
+    def __init__(self, lib, h):
+        self.status = lib.mp_status(h)
+        if self.status != 0:
+            return
+        self.substream_count = lib.mp_substream_count(h)
+        self.mmc = lib.mp_mmc(h)
+        self.assignment = lib.mp_assignment(h)
+        F = int(lib.mp_nframes(h))
+        T = int(lib.mp_total_samples(h))
+        self.F, self.T = F, T
+        self.frame_len = _as_np(lib.mp_frame_len(h), np.int32, (F,))
+        self.frame_end = _as_np(lib.mp_frame_end(h), np.int64, (F,))
+        self.out_shift = _as_np(lib.mp_out_shift(h), np.int32, (F, 8))
+        self.mat_active = _as_np(lib.mp_mat_active(h), bool, (F, 6))
+        self.mat_out = _as_np(lib.mp_mat_out(h), np.int32, (F, 6))
+        self.mat_quant = _as_np(lib.mp_mat_quant(h), np.int32, (F, 6))
+        self.mat_coeff = _as_np(lib.mp_mat_coeff(h), np.int32, (F, 6, 8))
+        self.mat_noise = _as_np(lib.mp_mat_noise(h), np.int32, (F, 6, 2))
+        self.noise0 = _as_np(lib.mp_noise0(h), np.int32, (T,))
+        self.noise1 = _as_np(lib.mp_noise1(h), np.int32, (T,))
+        self.bypassed = _as_np(lib.mp_bypassed(h), np.int32, (T, 6))
+        self.sub = []
+        for s in range(self.substream_count):
+            NB = int(lib.mp_nblocks(h, s))
+            lo = lib.mp_min_ch(h, s)
+            hi = lib.mp_max_ch(h, s)
+            n_ch = hi - lo + 1
+            rs = int(lib.mp_residuals_size(h, s))
+            self.sub.append({
+                "min_ch": lo, "max_ch": hi, "NB": NB,
+                "fr_nblocks": _as_np(lib.mp_fr_nblocks(h, s), np.int32, (F,)),
+                "restart": _as_np(lib.mp_blk_restart(h, s), bool, (NB,)),
+                "len": _as_np(lib.mp_blk_len(h, s), np.int32, (NB,)),
+                "shift": _as_np(lib.mp_blk_shift(h, s), np.int32, (NB, n_ch)),
+                "quant": _as_np(lib.mp_blk_quant(h, s), np.int32, (NB, n_ch)),
+                "iir_reset": _as_np(lib.mp_blk_iir_reset(h, s), bool, (NB, n_ch)),
+                "rc_fir": _as_np(lib.mp_blk_rc_fir(h, s), np.int32, (NB, n_ch, 8)),
+                "rc_iir": _as_np(lib.mp_blk_rc_iir(h, s), np.int32, (NB, n_ch, 8)),
+                "iir_init": _as_np(lib.mp_blk_iir_init(h, s), np.int32, (NB, n_ch, 8)),
+                "residuals": _as_np(lib.mp_residuals(h, s), np.int32, (rs,)),
+            })
+
+
+_LUTS = None
+
+
+def _luts():
+    global _LUTS
+    if _LUTS is None:
+        from ..codecs.mlp.codebooks import peek_lut
+
+        vals = np.zeros((4, 512), dtype=np.int32)
+        lens = np.zeros((4, 512), dtype=np.int32)
+        for k in (1, 2, 3):
+            v, l = peek_lut(k)
+            vals[k], lens[k] = v, l
+        _LUTS = (np.ascontiguousarray(vals), np.ascontiguousarray(lens))
+    return _LUTS
+
+
+def parse_mlp_stream(data: bytes) -> NativeParse | None:
+    """Parse a complete MLP frame stream; ``None`` if the native library is
+    unavailable.  Check ``result.status`` (0 = ok, 1 = fall back)."""
+    lib = _load()
+    if lib is None:
+        return None
+    vals, lens = _luts()
+    h = lib.mlp_parse(data, len(data),
+                      vals.ctypes.data_as(ctypes.c_void_p),
+                      lens.ctypes.data_as(ctypes.c_void_p))
+    try:
+        return NativeParse(lib, h)
+    finally:
+        lib.mlp_parse_free(h)

@@ -1,0 +1,726 @@
+// Native MLP stream parser: bitstream walk + Huffman residual decode into
+// flat tensors for the TPU executor.
+//
+// This is the production host-side runtime for the MLP path (the Python
+// planner in codecs/mlp/engine.py is the readable specification and slow
+// fallback).  It performs everything except the device kernels: framing
+// (mlp.c:384-405 analog), major sync (:614-654), substream info (:656-668),
+// checkdata (:670-712, :1360-1399), restart headers (:809-854), the sticky
+// decoding-parameter state machine (:856-1120), Huffman+LSB residual decode
+// (:1122-1241) via flat 9-bit peek LUTs (passed in from
+// codecs/mlp/codebooks.py — single source of truth), and LFSR noise
+// generation (:1327-1335).  Output arrays are laid out exactly as
+// dvda_tpu/host/__init__.py documents; semantics mirror the Python spec
+// decoder (including its documented deviations from the reference on
+// corrupt streams: whole-frame drops, zero history).
+//
+// Build: g++ -O3 -shared -fPIC (no external dependencies).
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+constexpr int kMaxChannels = 8;
+constexpr int kMaxMatrices = 6;
+constexpr int kMaxSubstreams = 2;
+
+// CRC-8 step table for the MLP substream checkdata (same polynomial table
+// as bitstream.py CRC8_TABLE / mlp.c:1363-1395).
+const uint8_t kCrc8[256] = {
+    0x00, 0x63, 0xC6, 0xA5, 0xEF, 0x8C, 0x29, 0x4A, 0xBD, 0xDE, 0x7B, 0x18,
+    0x52, 0x31, 0x94, 0xF7, 0x19, 0x7A, 0xDF, 0xBC, 0xF6, 0x95, 0x30, 0x53,
+    0xA4, 0xC7, 0x62, 0x01, 0x4B, 0x28, 0x8D, 0xEE, 0x32, 0x51, 0xF4, 0x97,
+    0xDD, 0xBE, 0x1B, 0x78, 0x8F, 0xEC, 0x49, 0x2A, 0x60, 0x03, 0xA6, 0xC5,
+    0x2B, 0x48, 0xED, 0x8E, 0xC4, 0xA7, 0x02, 0x61, 0x96, 0xF5, 0x50, 0x33,
+    0x79, 0x1A, 0xBF, 0xDC, 0x64, 0x07, 0xA2, 0xC1, 0x8B, 0xE8, 0x4D, 0x2E,
+    0xD9, 0xBA, 0x1F, 0x7C, 0x36, 0x55, 0xF0, 0x93, 0x7D, 0x1E, 0xBB, 0xD8,
+    0x92, 0xF1, 0x54, 0x37, 0xC0, 0xA3, 0x06, 0x65, 0x2F, 0x4C, 0xE9, 0x8A,
+    0x56, 0x35, 0x90, 0xF3, 0xB9, 0xDA, 0x7F, 0x1C, 0xEB, 0x88, 0x2D, 0x4E,
+    0x04, 0x67, 0xC2, 0xA1, 0x4F, 0x2C, 0x89, 0xEA, 0xA0, 0xC3, 0x66, 0x05,
+    0xF2, 0x91, 0x34, 0x57, 0x1D, 0x7E, 0xDB, 0xB8, 0xC8, 0xAB, 0x0E, 0x6D,
+    0x27, 0x44, 0xE1, 0x82, 0x75, 0x16, 0xB3, 0xD0, 0x9A, 0xF9, 0x5C, 0x3F,
+    0xD1, 0xB2, 0x17, 0x74, 0x3E, 0x5D, 0xF8, 0x9B, 0x6C, 0x0F, 0xAA, 0xC9,
+    0x83, 0xE0, 0x45, 0x26, 0xFA, 0x99, 0x3C, 0x5F, 0x15, 0x76, 0xD3, 0xB0,
+    0x47, 0x24, 0x81, 0xE2, 0xA8, 0xCB, 0x6E, 0x0D, 0xE3, 0x80, 0x25, 0x46,
+    0x0C, 0x6F, 0xCA, 0xA9, 0x5E, 0x3D, 0x98, 0xFB, 0xB1, 0xD2, 0x77, 0x14,
+    0xAC, 0xCF, 0x6A, 0x09, 0x43, 0x20, 0x85, 0xE6, 0x11, 0x72, 0xD7, 0xB4,
+    0xFE, 0x9D, 0x38, 0x5B, 0xB5, 0xD6, 0x73, 0x10, 0x5A, 0x39, 0x9C, 0xFF,
+    0x08, 0x6B, 0xCE, 0xAD, 0xE7, 0x84, 0x21, 0x42, 0x9E, 0xFD, 0x58, 0x3B,
+    0x71, 0x12, 0xB7, 0xD4, 0x23, 0x40, 0xE5, 0x86, 0xCC, 0xAF, 0x0A, 0x69,
+    0x87, 0xE4, 0x41, 0x22, 0x68, 0x0B, 0xAE, 0xCD, 0x3A, 0x59, 0xFC, 0x9F,
+    0xD5, 0xB6, 0x13, 0x70};
+
+struct ParseError {};  // frame-local error -> frame dropped
+
+// MSB-first big-endian bit reader over a byte span.
+struct BitReader {
+  const uint8_t* data;
+  int64_t nbits;
+  int64_t pos = 0;
+
+  BitReader(const uint8_t* d, int64_t nbytes) : data(d), nbits(nbytes * 8) {}
+
+  inline uint32_t read(int n) {
+    if (pos + n > nbits) throw ParseError{};
+    uint32_t v = 0;
+    int64_t p = pos;
+    pos += n;
+    while (n > 0) {
+      int64_t byte = p >> 3;
+      int bit = int(p & 7);
+      int take = 8 - bit;
+      if (take > n) take = n;
+      uint32_t chunk = (uint32_t(data[byte]) >> (8 - bit - take)) &
+                       ((1u << take) - 1);
+      v = (v << take) | chunk;
+      p += take;
+      n -= take;
+    }
+    return v;
+  }
+
+  inline int32_t read_signed(int n) {
+    uint32_t sign = read(1);
+    int32_t mag = int32_t(read(n - 1));
+    return sign ? mag - (1 << (n - 1)) : mag;
+  }
+
+  // peek up to 9 bits, zero-padded past the end (caller checks length)
+  inline uint32_t peek9() const {
+    uint32_t v = 0;
+    int64_t p = pos;
+    for (int i = 0; i < 9; i++) {
+      if (p < nbits) {
+        v = (v << 1) | ((data[p >> 3] >> (7 - (p & 7))) & 1);
+      } else {
+        v <<= 1;
+      }
+      p++;
+    }
+    return v;
+  }
+
+  inline void skip(int64_t n) {
+    if (pos + n > nbits) throw ParseError{};
+    pos += n;
+  }
+  inline void byte_align() { pos = (pos + 7) & ~int64_t(7); }
+  inline int64_t bytes_left() const { return (nbits - pos) / 8; }
+};
+
+struct FilterParams {
+  int shift = 0;
+  int order = 0;
+  int32_t coeff[8] = {0};
+  int state_len = 0;
+  int32_t state[8] = {0};
+};
+
+struct ChannelParams {
+  FilterParams fir, iir;
+  int32_t huffman_offset = 0;
+  int codebook = 0;
+  int huffman_lsbs = 24;
+};
+
+struct MatrixSlot {
+  int out_channel = 0;
+  int lsb_bypass = 0;
+  int32_t coeff[kMaxChannels] = {0};
+  // bypassed LSBs accumulate per frame, aligned with the frame's samples
+  std::vector<uint8_t> bypassed;
+};
+
+struct Substream {
+  int min_ch = 0, max_ch = 0, mmc = 0;
+  int noise_shift = 0;
+  uint32_t noise_seed = 0;
+  int flags[8] = {1, 1, 1, 1, 1, 1, 1, 1};
+  int block_size = 8;
+  int matrix_len = 0;
+  MatrixSlot mats[kMaxMatrices];
+  int32_t output_shift[kMaxChannels] = {0};
+  int32_t quant[kMaxChannels] = {0};
+  ChannelParams ch[kMaxChannels];
+  // per-frame substream info
+  int info_checkdata = 0;
+  int info_end = 0;
+  bool restart_seen = false;
+};
+
+struct Result {
+  int status = 0;  // 0 ok, 1 bail -> python fallback
+  int substream_count = 0;
+  int mmc = -1;
+  int assignment = -1;
+  int min_ch[2] = {0, 0};
+  int max_ch[2] = {-1, -1};
+
+  // frame-level
+  std::vector<int32_t> frame_len;
+  std::vector<int64_t> frame_end;          // byte offset after the frame
+  std::vector<int32_t> out_shift;          // [F*8]
+  std::vector<uint8_t> mat_active;         // [F*6]
+  std::vector<int32_t> mat_out, mat_quant; // [F*6]
+  std::vector<int32_t> mat_coeff;          // [F*6*8]
+  std::vector<int32_t> mat_noise;          // [F*6*2]
+  std::vector<int32_t> noise0, noise1;     // [T]
+  std::vector<uint8_t> bypassed;           // [T*6] sample-major
+
+  // per-substream block-level
+  std::vector<int32_t> fr_nblocks[2];  // blocks contributed per frame
+  std::vector<uint8_t> blk_restart[2];
+  std::vector<int32_t> blk_len[2];
+  std::vector<int32_t> blk_shift[2], blk_quant[2];   // [NB*n_ch]
+  std::vector<uint8_t> blk_iir_reset[2];             // [NB*n_ch]
+  std::vector<int32_t> blk_rc_fir[2], blk_rc_iir[2]; // [NB*n_ch*8]
+  std::vector<int32_t> blk_iir_init[2];              // [NB*n_ch*8]
+  std::vector<int32_t> residuals[2];                 // ragged (blk, ch, sample)
+};
+
+struct Parser {
+  const uint8_t* stream;
+  int64_t size;
+  const int32_t* lut_val;  // [4][512]: codebooks 0(unused),1,2,3
+  const int32_t* lut_len;
+
+  bool have_sync = false;
+  int substream_count = 0;
+  int sync_params[4] = {0, 0, 0, 0};  // g0bps, g1bps, g0rate, g1rate
+  Substream ss[kMaxSubstreams];
+  Result out;
+
+  // per-frame staging (committed only if the whole frame parses)
+  struct Staged {
+    struct Blk {
+      uint8_t restart;
+      int32_t len;
+      std::vector<int32_t> shift, quant;
+      std::vector<uint8_t> iir_reset;
+      std::vector<int32_t> rc_fir, rc_iir, iir_init;
+      std::vector<int32_t> residuals;
+    };
+    std::vector<Blk> blocks[2];
+    int32_t samples[2] = {0, 0};
+  } staged;
+
+  Parser(const uint8_t* d, int64_t n, const int32_t* lv, const int32_t* ll)
+      : stream(d), size(n), lut_val(lv), lut_len(ll) {}
+
+  void run() {
+    int64_t off = 0;
+    while (size - off >= 4) {
+      int32_t total = ((int32_t(stream[off] & 0x0F) << 8) | stream[off + 1]) * 2;
+      if (total < 4 || off + total > size) break;
+      // snapshot sticky state so a dropped frame leaves no partial tensors
+      // (state mutations persist, as in the spec decoder)
+      staged = Staged{};
+      try {
+        decode_frame(stream + off + 4, total - 4, off + total);
+      } catch (ParseError&) {
+        // frame dropped; sticky state keeps whatever was parsed
+      }
+      if (out.status) return;
+      off += total;
+    }
+  }
+
+  void decode_frame(const uint8_t* body, int64_t len, int64_t end_off) {
+    BitReader r(body, len);
+    // major sync?
+    if (len >= 28 && body[0] == 0xF8 && body[1] == 0x72 && body[2] == 0x6F &&
+        body[3] == 0xBB) {
+      int g0b = body[4] >> 4;
+      int g1b = body[4] & 0xF;
+      int g0r = body[5] >> 4;
+      int g1r = body[5] & 0xF;
+      int assign = body[7] & 0x1F;
+      // substream_count: 4 bits at bit offset 128 (after 24+8+16+16+48+16)
+      int nsub = body[16] >> 4;
+      if (nsub == 1 || nsub == 2) {
+        if (have_sync) {
+          if (assign != out.assignment || g0b != sync_params[0] ||
+              g1b != sync_params[1] || g0r != sync_params[2] ||
+              g1r != sync_params[3]) {
+            return;  // parameter change: frame contributes nothing
+          }
+        } else {
+          have_sync = true;
+          substream_count = nsub;
+          out.substream_count = nsub;
+          out.assignment = assign;
+          sync_params[0] = g0b; sync_params[1] = g1b;
+          sync_params[2] = g0r; sync_params[3] = g1r;
+        }
+        r.skip(28 * 8);
+      }
+    }
+    if (!have_sync) throw ParseError{};
+
+    // bypassed-LSB accumulators are frame-local (cleared at frame start,
+    // mlp.c:481-482/:551-553 analog; also discards a dropped frame's bits)
+    for (int s = 0; s < kMaxSubstreams; s++)
+      for (int m = 0; m < kMaxMatrices; m++) ss[s].mats[m].bypassed.clear();
+
+    for (int s = 0; s < substream_count; s++) {
+      uint32_t extraword = r.read(1);
+      r.read(1);  // nonrestart
+      ss[s].info_checkdata = int(r.read(1));
+      r.read(1);
+      ss[s].info_end = int(r.read(12)) * 2;
+      if (extraword) r.skip(16);
+    }
+
+    int64_t pos0 = r.pos;
+    if (pos0 & 7) throw ParseError{};
+    const uint8_t* base = body + (pos0 >> 3);
+    int64_t avail = len - (pos0 >> 3);
+
+    int32_t frames0 = decode_substream(0, base, ss[0].info_end, avail,
+                                       ss[0].info_checkdata);
+    if (frames0 == 0) throw ParseError{};
+    int final_s = 0;
+    if (substream_count == 2) {
+      int32_t f1 = decode_substream(
+          1, base + ss[0].info_end, ss[1].info_end - ss[0].info_end,
+          avail - ss[0].info_end, ss[0].info_checkdata /*reference quirk*/);
+      if (f1 == 0) throw ParseError{};
+      if (staged.samples[1] != staged.samples[0]) {
+        out.status = 1;  // bail: mismatched substream frame lengths
+        return;
+      }
+      final_s = 1;
+    }
+    commit_frame(final_s, frames0, end_off);
+  }
+
+  int32_t decode_substream(int s, const uint8_t* data, int64_t nbytes,
+                           int64_t avail, int checkdata) {
+    if (nbytes < 0 || nbytes > avail) throw ParseError{};
+    int64_t body_len = nbytes;
+    if (checkdata) {
+      if (nbytes < 2) throw ParseError{};
+      body_len = nbytes - 2;
+      uint8_t parity = 0, crc = 0x3C, final = 0;
+      for (int64_t i = 0; i < body_len; i++) {
+        parity ^= data[i];
+        final = crc ^ data[i];
+        crc = kCrc8[final];
+      }
+      if ((data[body_len] ^ parity) != 0xA9) throw ParseError{};
+      if (final != data[body_len + 1]) throw ParseError{};
+    }
+    BitReader r(data, body_len);
+    int32_t total = 0;
+    while (true) {
+      total += decode_block(s, r);
+      if (r.read(1)) break;
+    }
+    r.byte_align();
+    if (r.bytes_left() >= 4) r.read(32);  // end marker, value unchecked
+    return total;
+  }
+
+  int32_t decode_block(int s, BitReader& r) {
+    Substream& u = ss[s];
+    bool restart = false;
+    for (int c = 0; c < kMaxChannels; c++) iir_reloaded[c] = false;
+    if (r.read(1)) {
+      bool has_restart = r.read(1);
+      if (has_restart) {
+        read_restart_header(u, r);
+        restart = true;
+      }
+      read_decoding_parameters(u, r, has_restart);
+    }
+    if (!u.restart_seen) {
+      out.status = 1;  // stream must begin with a restart header
+      throw ParseError{};
+    }
+    // record the block
+    Staged::Blk blk;
+    blk.restart = restart ? 1 : 0;
+    blk.len = u.block_size;
+    int n_ch = u.max_ch - u.min_ch + 1;
+    blk.shift.resize(n_ch);
+    blk.quant.resize(n_ch);
+    blk.iir_reset.assign(n_ch, 0);
+    blk.rc_fir.assign(size_t(n_ch) * 8, 0);
+    blk.rc_iir.assign(size_t(n_ch) * 8, 0);
+    blk.iir_init.assign(size_t(n_ch) * 8, 0);
+    blk.residuals.resize(size_t(n_ch) * u.block_size);
+
+    for (int i = 0; i < n_ch; i++) {
+      ChannelParams& cp = u.ch[u.min_ch + i];
+      if (cp.fir.order + cp.iir.order > 8) throw ParseError{};
+      int shift;
+      if (cp.fir.shift > 0 && cp.iir.shift > 0) {
+        if (cp.fir.shift != cp.iir.shift) throw ParseError{};
+        shift = cp.fir.shift;
+      } else if (cp.fir.order > 0) {
+        shift = cp.fir.shift;
+      } else {
+        shift = cp.iir.shift;
+      }
+      blk.shift[i] = shift;
+      blk.quant[i] = u.quant[u.min_ch + i];
+      for (int j = 0; j < cp.fir.order; j++)
+        blk.rc_fir[size_t(i) * 8 + 7 - j] = cp.fir.coeff[j];
+      for (int j = 0; j < cp.iir.order; j++)
+        blk.rc_iir[size_t(i) * 8 + 7 - j] = cp.iir.coeff[j];
+      if (iir_reloaded[u.min_ch + i]) {
+        blk.iir_reset[i] = 1;
+        for (int j = 0; j < cp.iir.state_len; j++)
+          blk.iir_init[size_t(i) * 8 + 8 - cp.iir.state_len + j] =
+              cp.iir.state[j];
+      }
+    }
+    read_residuals(u, r, blk, n_ch);
+    staged.blocks[s].push_back(std::move(blk));
+    staged.samples[s] += u.block_size;
+    return u.block_size;
+  }
+
+  bool iir_reloaded[kMaxChannels];
+
+  void read_restart_header(Substream& u, BitReader& r) {
+    uint32_t sync = r.read(13);
+    uint32_t noise_type = r.read(1);
+    r.skip(16);
+    int min_c = int(r.read(4));
+    int max_c = int(r.read(4));
+    int mmc = int(r.read(4));
+    u.noise_shift = int(r.read(4));
+    u.noise_seed = r.read(23);
+    r.skip(19);
+    r.skip(1);
+    r.skip(8);
+    r.skip(16);
+    if (sync != 0x18F5 || noise_type != 0) throw ParseError{};
+    if (max_c < min_c || mmc < max_c) throw ParseError{};
+    if (u.restart_seen && (min_c != u.min_ch || max_c != u.max_ch)) {
+      out.status = 1;  // bail: channel range changes mid-stream
+      throw ParseError{};
+    }
+    u.min_ch = min_c;
+    u.max_ch = max_c;
+    u.mmc = mmc;
+    for (int c = 0; c <= mmc; c++) {
+      if (int(r.read(6)) > mmc) throw ParseError{};
+    }
+    r.read(8);  // checksum
+    u.restart_seen = true;
+  }
+
+  void read_decoding_parameters(Substream& u, BitReader& r, bool hp) {
+    for (int c = 0; c < kMaxChannels; c++) iir_reloaded[c] = false;
+    if (hp) {
+      if (r.read(1)) {
+        for (int i = 0; i < 8; i++) u.flags[i] = int(r.read(1));
+      } else {
+        for (int i = 0; i < 8; i++) u.flags[i] = 1;
+      }
+    } else if (u.flags[0] && r.read(1)) {
+      for (int i = 0; i < 8; i++) u.flags[i] = int(r.read(1));
+    }
+
+    if (u.flags[7] && r.read(1)) {
+      u.block_size = int(r.read(9));
+      if (u.block_size < 8) throw ParseError{};
+    } else if (hp) {
+      u.block_size = 8;
+    }
+
+    if (u.flags[6] && r.read(1)) {
+      read_matrices(u, r);
+    } else if (hp) {
+      u.matrix_len = 0;
+    }
+
+    if (u.flags[5] && r.read(1)) {
+      for (int c = 0; c <= u.mmc; c++) u.output_shift[c] = r.read_signed(4);
+    } else if (hp) {
+      for (int c = 0; c < kMaxChannels; c++) u.output_shift[c] = 0;
+    }
+
+    if (u.flags[4] && r.read(1)) {
+      for (int c = 0; c <= u.max_ch; c++) u.quant[c] = int(r.read(4));
+    } else if (hp) {
+      for (int c = 0; c < kMaxChannels; c++) u.quant[c] = 0;
+    }
+
+    for (int c = u.min_ch; c <= u.max_ch; c++) {
+      ChannelParams& cp = u.ch[c];
+      if (r.read(1)) {
+        if (u.flags[3] && r.read(1)) {
+          read_filter(r, cp.fir, false);
+        } else if (hp) {
+          cp.fir.shift = 0;
+          cp.fir.order = 0;
+        }
+        if (u.flags[2] && r.read(1)) {
+          read_filter(r, cp.iir, true);
+          iir_reloaded[c] = true;
+        } else if (hp) {
+          cp.iir.shift = 0;
+          cp.iir.order = 0;
+          cp.iir.state_len = 0;
+          iir_reloaded[c] = true;
+        }
+        if (u.flags[1] && r.read(1)) {
+          cp.huffman_offset = r.read_signed(15);
+        } else if (hp) {
+          cp.huffman_offset = 0;
+        }
+        cp.codebook = int(r.read(2));
+        cp.huffman_lsbs = int(r.read(5));
+        if (cp.huffman_lsbs > 24) throw ParseError{};
+      } else if (hp) {
+        cp.fir.shift = 0;
+        cp.fir.order = 0;
+        cp.iir.shift = 0;
+        cp.iir.order = 0;
+        cp.iir.state_len = 0;
+        iir_reloaded[c] = true;
+        cp.huffman_offset = 0;
+        cp.codebook = 0;
+        cp.huffman_lsbs = 24;
+      }
+    }
+  }
+
+  void read_matrices(Substream& u, BitReader& r) {
+    int count = int(r.read(4));
+    if (count > kMaxMatrices) throw ParseError{};
+    for (int m = 0; m < count; m++) {
+      MatrixSlot& ms = u.mats[m];
+      ms.out_channel = int(r.read(4));
+      if (ms.out_channel > u.mmc) throw ParseError{};
+      int frac = int(r.read(4));
+      if (frac > 14) throw ParseError{};
+      ms.lsb_bypass = int(r.read(1));
+      for (int c = 0; c < kMaxChannels; c++) ms.coeff[c] = 0;
+      for (int c = 0; c < u.mmc + 3; c++) {
+        if (r.read(1)) ms.coeff[c] = r.read_signed(frac + 2) << (14 - frac);
+      }
+    }
+    u.matrix_len = count;
+  }
+
+  void read_filter(BitReader& r, FilterParams& f, bool is_iir) {
+    int order = int(r.read(4));
+    if (order > 8) throw ParseError{};
+    if (order == 0) {
+      f.shift = 0;
+      f.order = 0;
+      if (is_iir) f.state_len = 0;
+      return;
+    }
+    f.order = order;
+    f.shift = int(r.read(4));
+    int coeff_bits = int(r.read(5));
+    if (coeff_bits < 1 || coeff_bits > 16) throw ParseError{};
+    int coeff_shift = int(r.read(3));
+    if (coeff_bits + coeff_shift > 16) throw ParseError{};
+    for (int i = 0; i < order; i++)
+      f.coeff[i] = r.read_signed(coeff_bits) << coeff_shift;
+    if (is_iir) {
+      f.state_len = 0;
+      if (r.read(1)) {
+        int state_bits = int(r.read(4));
+        int state_shift = int(r.read(4));
+        int32_t tmp[8];
+        for (int i = 0; i < order; i++)
+          tmp[i] = r.read_signed(state_bits) << state_shift;
+        // reference reverses: most recent = first value read
+        for (int i = 0; i < order; i++) f.state[i] = tmp[order - 1 - i];
+        f.state_len = order;
+      }
+    } else {
+      if (r.read(1)) throw ParseError{};
+    }
+  }
+
+  void read_residuals(Substream& u, BitReader& r, Staged::Blk& blk, int n_ch) {
+    int32_t lsb_bits[kMaxChannels];
+    int32_t offsets[kMaxChannels];
+    for (int i = 0; i < n_ch; i++) {
+      ChannelParams& cp = u.ch[u.min_ch + i];
+      int lb = cp.huffman_lsbs - int(u.quant[u.min_ch + i]);
+      lsb_bits[i] = lb;
+      if (lb < 0) throw ParseError{};  // reference would request a huge read
+      int64_t off;
+      if (cp.codebook) {
+        int sign_shift = lb + 2 - cp.codebook;
+        off = int64_t(cp.huffman_offset) - (int64_t(7) << lb);
+        if (sign_shift >= 0) off -= int64_t(1) << sign_shift;
+      } else {
+        int sign_shift = lb - 1;
+        off = cp.huffman_offset;
+        if (sign_shift >= 0) off -= int64_t(1) << sign_shift;
+      }
+      offsets[i] = int32_t(off);
+    }
+    int bs = u.block_size;
+    for (int i = 0; i < bs; i++) {
+      for (int m = 0; m < u.matrix_len; m++) {
+        MatrixSlot& ms = u.mats[m];
+        ms.bypassed.push_back(ms.lsb_bypass ? uint8_t(r.read(1)) : 0);
+      }
+      for (int ci = 0; ci < n_ch; ci++) {
+        ChannelParams& cp = u.ch[u.min_ch + ci];
+        int32_t msb = 0;
+        if (cp.codebook) {
+          uint32_t peek = r.peek9();
+          const int32_t* lv = lut_val + cp.codebook * 512;
+          const int32_t* ll = lut_len + cp.codebook * 512;
+          int32_t n = ll[peek];
+          if (n == 0 || r.pos + n > r.nbits) throw ParseError{};
+          msb = lv[peek];
+          r.pos += n;
+        }
+        uint32_t lsb = lsb_bits[ci] ? r.read(lsb_bits[ci]) : 0;
+        int32_t q = int32_t(u.quant[u.min_ch + ci]);
+        int32_t v = int32_t(uint32_t(
+            uint32_t((msb << lsb_bits[ci]) + int32_t(lsb) + offsets[ci])
+            << q));
+        blk.residuals[size_t(ci) * bs + i] = v;
+      }
+    }
+  }
+
+  void commit_frame(int final_s, int32_t frames0, int64_t end_off) {
+    Substream& fu = ss[final_s];
+    if (out.mmc < 0) {
+      out.mmc = fu.mmc;
+    } else if (fu.mmc != out.mmc) {
+      out.status = 1;
+      return;
+    }
+    for (int s = 0; s < substream_count; s++) {
+      if (out.max_ch[s] < 0) {
+        out.min_ch[s] = ss[s].min_ch;
+        out.max_ch[s] = ss[s].max_ch;
+      }
+    }
+    if (substream_count == 2 && out.max_ch[0] >= out.min_ch[1]) {
+      out.status = 1;  // overlapping substream channel ranges
+      return;
+    }
+
+    int32_t L = frames0;
+    out.frame_len.push_back(L);
+    out.frame_end.push_back(end_off);
+    for (int c = 0; c < kMaxChannels; c++) {
+      int32_t sh = (c <= fu.mmc) ? (fu.output_shift[c] & 31) : 0;
+      out.out_shift.push_back(sh);
+    }
+    for (int m = 0; m < kMaxMatrices; m++) {
+      bool act = m < fu.matrix_len;
+      MatrixSlot& ms = fu.mats[m];
+      out.mat_active.push_back(act ? 1 : 0);
+      out.mat_out.push_back(act ? ms.out_channel : 0);
+      out.mat_quant.push_back(act ? fu.quant[ms.out_channel] : 0);
+      for (int c = 0; c < kMaxChannels; c++) {
+        out.mat_coeff.push_back(act && c <= fu.mmc ? ms.coeff[c] : 0);
+      }
+      out.mat_noise.push_back(act ? ms.coeff[fu.mmc + 1] : 0);
+      out.mat_noise.push_back(act ? ms.coeff[fu.mmc + 2] : 0);
+    }
+    // bypassed LSBs, sample-major [t*6+m]; slots may have accumulated fewer
+    // entries than L (mid-frame activation); missing = 0 like the spec
+    for (int32_t i = 0; i < L; i++) {
+      for (int m = 0; m < kMaxMatrices; m++) {
+        MatrixSlot& ms = fu.mats[m];
+        uint8_t b = (m < fu.matrix_len && size_t(i) < ms.bypassed.size())
+                        ? ms.bypassed[i]
+                        : 0;
+        out.bypassed.push_back(b);
+      }
+    }
+    // noise for this frame
+    uint32_t seed = fu.noise_seed;
+    for (int32_t i = 0; i < L; i++) {
+      uint32_t shifted = (seed >> 7) & 0xFFFF;
+      int8_t b0 = int8_t(uint8_t(seed >> 15));
+      int8_t b1 = int8_t(uint8_t(shifted));
+      out.noise0.push_back(int32_t(b0) << fu.noise_shift);
+      out.noise1.push_back(int32_t(b1) << fu.noise_shift);
+      seed = ((seed << 16) ^ shifted ^ (shifted << 5)) & 0xFFFFFFFFu;
+    }
+    fu.noise_seed = seed;
+
+    for (int s = 0; s < substream_count; s++) {
+      out.fr_nblocks[s].push_back(int32_t(staged.blocks[s].size()));
+      for (auto& blk : staged.blocks[s]) {
+        out.blk_restart[s].push_back(blk.restart);
+        out.blk_len[s].push_back(blk.len);
+        auto app = [](std::vector<int32_t>& dst, std::vector<int32_t>& src) {
+          dst.insert(dst.end(), src.begin(), src.end());
+        };
+        app(out.blk_shift[s], blk.shift);
+        app(out.blk_quant[s], blk.quant);
+        out.blk_iir_reset[s].insert(out.blk_iir_reset[s].end(),
+                                    blk.iir_reset.begin(),
+                                    blk.iir_reset.end());
+        app(out.blk_rc_fir[s], blk.rc_fir);
+        app(out.blk_rc_iir[s], blk.rc_iir);
+        app(out.blk_iir_init[s], blk.iir_init);
+        app(out.residuals[s], blk.residuals);
+      }
+    }
+    staged = Staged{};
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+void* mlp_parse(const uint8_t* data, int64_t size, const int32_t* lut_val,
+                const int32_t* lut_len) {
+  Parser* p = new Parser(data, size, lut_val, lut_len);
+  p->run();
+  return p;
+}
+
+void mlp_parse_free(void* h) { delete static_cast<Parser*>(h); }
+
+#define R(h) (static_cast<Parser*>(h)->out)
+
+int32_t mp_status(void* h) { return R(h).status; }
+int32_t mp_substream_count(void* h) { return R(h).substream_count; }
+int32_t mp_mmc(void* h) { return R(h).mmc; }
+int32_t mp_assignment(void* h) { return R(h).assignment; }
+int32_t mp_min_ch(void* h, int s) { return R(h).min_ch[s]; }
+int32_t mp_max_ch(void* h, int s) { return R(h).max_ch[s]; }
+int64_t mp_nframes(void* h) { return int64_t(R(h).frame_len.size()); }
+int64_t mp_nblocks(void* h, int s) { return int64_t(R(h).blk_len[s].size()); }
+int64_t mp_total_samples(void* h) { return int64_t(R(h).noise0.size()); }
+
+const int32_t* mp_frame_len(void* h) { return R(h).frame_len.data(); }
+const int64_t* mp_frame_end(void* h) { return R(h).frame_end.data(); }
+const int32_t* mp_out_shift(void* h) { return R(h).out_shift.data(); }
+const uint8_t* mp_mat_active(void* h) { return R(h).mat_active.data(); }
+const int32_t* mp_mat_out(void* h) { return R(h).mat_out.data(); }
+const int32_t* mp_mat_quant(void* h) { return R(h).mat_quant.data(); }
+const int32_t* mp_mat_coeff(void* h) { return R(h).mat_coeff.data(); }
+const int32_t* mp_mat_noise(void* h) { return R(h).mat_noise.data(); }
+const int32_t* mp_noise0(void* h) { return R(h).noise0.data(); }
+const int32_t* mp_noise1(void* h) { return R(h).noise1.data(); }
+const uint8_t* mp_bypassed(void* h) { return R(h).bypassed.data(); }
+const int32_t* mp_fr_nblocks(void* h, int s) { return R(h).fr_nblocks[s].data(); }
+const uint8_t* mp_blk_restart(void* h, int s) { return R(h).blk_restart[s].data(); }
+const int32_t* mp_blk_len(void* h, int s) { return R(h).blk_len[s].data(); }
+const int32_t* mp_blk_shift(void* h, int s) { return R(h).blk_shift[s].data(); }
+const int32_t* mp_blk_quant(void* h, int s) { return R(h).blk_quant[s].data(); }
+const uint8_t* mp_blk_iir_reset(void* h, int s) { return R(h).blk_iir_reset[s].data(); }
+const int32_t* mp_blk_rc_fir(void* h, int s) { return R(h).blk_rc_fir[s].data(); }
+const int32_t* mp_blk_rc_iir(void* h, int s) { return R(h).blk_rc_iir[s].data(); }
+const int32_t* mp_blk_iir_init(void* h, int s) { return R(h).blk_iir_init[s].data(); }
+const int32_t* mp_residuals(void* h, int s) { return R(h).residuals[s].data(); }
+int64_t mp_residuals_size(void* h, int s) { return int64_t(R(h).residuals[s].size()); }
+
+}  // extern "C"

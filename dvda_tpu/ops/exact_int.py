@@ -25,7 +25,12 @@ import jax.numpy as jnp
 
 __all__ = ["limb_dot", "shift_right_trunc32", "mask_quant_i32"]
 
-_FF = jnp.int32(0xFF)
+# NB: this module deliberately contains no module-level jnp values: arrays
+# captured from outside a trace become hoisted executable constants, and
+# jax 0.9's CPU runtime can drop them between jit cache hits ("Execution
+# supplied N buffers but compiled program expected N+1").  Python ints
+# trace as inlined literals instead.
+_FF = 0xFF
 
 
 def limb_dot(coeff, values, axis: int = -1):

@@ -1,0 +1,106 @@
+"""Native (C++ parse + fused device pipeline) MLP path tests."""
+
+import numpy as np
+import pytest
+
+from dvda_tpu import host
+from dvda_tpu.api import DVDA
+from dvda_tpu.codecs.mlp.native_engine import decode_native, _frame_cut
+from dvda_tpu.codecs.mlp.spec import MlpDecoder
+from dvda_tpu.codecs.params import StreamParameters
+from dvda_tpu.testutil.mlp_synth import MlpSynthConfig, synth_mlp_stream
+from dvda_tpu.testutil.synth import BPS_CODE, RATE_CODE, MlpTrackSpec, build_disc
+from dvda_tpu.utils.wav import pack_samples_le, wave_header
+
+pytestmark = pytest.mark.skipif(not host.available(),
+                                reason="native host library unavailable")
+
+
+def stream_params(cfg):
+    return StreamParameters(BPS_CODE[cfg.bits_per_sample], 0xF,
+                            RATE_CODE[cfg.sample_rate], 0xF,
+                            cfg.channel_assignment)
+
+
+CONFIGS = [
+    (1, 1), (17, 2), (12, 2), (0, 1), (6, 1), (20, 2),
+]
+
+
+@pytest.mark.parametrize("assign,nsub", CONFIGS)
+@pytest.mark.parametrize("seed", [0, 3])
+def test_native_matches_spec(assign, nsub, seed):
+    cfg = MlpSynthConfig(channel_assignment=assign, substream_count=nsub,
+                         n_frames=24, seed=seed)
+    stream = synth_mlp_stream(cfg)
+    params = stream_params(cfg)
+    spec = MlpDecoder(params)
+    spec.decode_bytes(stream)
+    a = spec.take_frames()
+    b = decode_native(stream, np.zeros(0, np.int64), len(stream), params)
+    assert b is not None
+    assert np.array_equal(a, b)
+
+
+def test_native_matches_spec_coupled_and_bigblocks():
+    for kw in [dict(restart_every=2, major_sync_every=2),
+               dict(blocks_per_frame=1, block_size=64)]:
+        cfg = MlpSynthConfig(channel_assignment=17, substream_count=2,
+                             n_frames=16, seed=7, **kw)
+        stream = synth_mlp_stream(cfg)
+        params = stream_params(cfg)
+        spec = MlpDecoder(params)
+        spec.decode_bytes(stream)
+        a = spec.take_frames()
+        b = decode_native(stream, np.zeros(0, np.int64), len(stream), params)
+        assert b is not None and np.array_equal(a, b), kw
+
+
+def test_native_corrupt_frame_dropped_like_spec():
+    cfg = MlpSynthConfig(channel_assignment=1, n_frames=12, seed=9,
+                         major_sync_every=1, restart_every=1)
+    stream = bytearray(synth_mlp_stream(cfg))
+    total0 = (((stream[0] & 0x0F) << 8) | stream[1]) * 2
+    stream[total0 + 40] ^= 0xFF
+    params = stream_params(cfg)
+    spec = MlpDecoder(params)
+    spec.decode_bytes(bytes(stream))
+    a = spec.take_frames()
+    b = decode_native(bytes(stream), np.zeros(0, np.int64), len(stream), params)
+    assert b is not None and np.array_equal(a, b)
+
+
+def test_frame_cut_semantics():
+    # frames end at bytes 100, 200, 300; probe covers to 50
+    ends = np.array([100, 200, 300], dtype=np.int64)
+    # packets: (50,150] has 1 end, (150,250] has 1, (250,400] has 1 -> all kept
+    assert _frame_cut(ends, np.array([150, 250, 400], np.int64), 50) == 3
+    # (50,120] 1 end; (120,140] 0 ends -> cut after frames ending <= 120
+    assert _frame_cut(ends, np.array([120, 140, 400], np.int64), 50) == 1
+    # first packet empty -> nothing
+    assert _frame_cut(ends, np.array([90, 400], np.int64), 50) == 0
+    # no boundaries: keep everything
+    assert _frame_cut(ends, np.zeros(0, np.int64), 50) == 3
+
+
+def test_native_api_multitrack_parity(tmp_path, ref_oracle):
+    """Default (native) path through the public API on a multi-track disc,
+    exercising probe, packet boundaries and the tail-to-sync rule."""
+    cfgs = [MlpSynthConfig(channel_assignment=17, substream_count=2,
+                           bits_per_sample=24, sample_rate=96000,
+                           n_frames=24, seed=s) for s in (1, 2)]
+    tracks = [MlpTrackSpec(mlp_stream=synth_mlp_stream(c),
+                           pcm_frames=c.total_pcm_frames,
+                           sample_rate=96000, channel_assignment=17)
+              for c in cfgs]
+    layout = build_disc(str(tmp_path / "AUDIO_TS"), [tracks])
+    golden = ref_oracle.run_dvda2wav(layout.path, str(tmp_path / "gold"))
+    title = DVDA(layout.path).open_titleset(1).open_title(1)
+    for n in (1, 2):
+        reader = title.open_track(n).open_reader(use_device=True)
+        samples = reader.read_all()
+        hdr = wave_header(reader.sample_rate, reader.channel_count,
+                          reader.channel_mask, reader.bits_per_sample,
+                          samples.shape[0])
+        assert hdr + pack_samples_le(samples, reader.bits_per_sample) \
+            == golden[f"track-01-{n:02d}.wav"], f"track {n}"
