@@ -2,17 +2,20 @@
 
 The native host library (dvda_tpu/host, C++) parses the assembled track
 stream in one pass — framing, parameter state machine, Huffman residuals,
-noise.  This module packs its flat arrays into bucketed kernel inputs with
-fully vectorised numpy (no per-sample or per-block Python), then runs a
-**single jitted program** on device:
+noise.  The host side then only builds *small index tables* (chain →
+block-range maps, per-sample series indices, frame offsets); all heavy
+data movement — packing blocks into chain×channel filter lanes, gathering
+per-channel series, slicing frames, noise/bypassed expansion — happens
+**inside a single jitted program** via ``jnp.take`` on the raw parse
+arrays, so the host never materialises the big intermediates:
 
-    filter (batched AR scan over restart-chain × channel lanes)
-      → per-channel series gather (precomputed indices)
-      → frame gather → rematrix (6 masked matrix applications)
-      → output shifts + WAVE permutation → [T, C_out] flatten
+    per substream: lane-pack (take) → filter (batched AR scan)
+      → per-channel series gather
+    → frame gather → rematrix (6 masked matrix applications)
+    → output shifts + WAVE permutation → [T, C_out] flatten
 
-Keeping every intermediate on device avoids host round-trips; all shapes
-are bucketed to powers of two so XLA programs are reused across tracks.
+Shapes are bucketed to powers of two so XLA programs are reused across
+tracks.
 
 Reference-semantics notes:
 
@@ -72,30 +75,115 @@ def _padded_residuals(sub, nb_keep: int, S: int) -> np.ndarray:
 
 
 @jax.jit
-def _pipeline(residuals, rc_fir, rc_iir, shift, quant, iir_reset, iir_init,
-              block_len, state0, series_idx, frame_idx, flat_idx,
-              noise, mat_coeff, mat_noise, mat_out, mat_active, mat_quant,
-              bypassed, out_shift, wave_perm):
+def _uniform_pipeline(subs, noise01, bypassed_t,
+                      mat_coeff, mat_noise, mat_out, mat_active, mat_quant,
+                      out_shift, wave_perm):
+    """Fast path for *uniform* streams (constant block size, equal-length
+    chains, constant frame length — the norm for real MLP encoders): every
+    data-movement step is a reshape/transpose, no gathers at all.  TPU
+    gathers at these sizes are the dominant runtime cost, so this path is
+    an order of magnitude faster through the device.
+
+    subs[i]: res [Bc, NB0, n_ch, S0], rc_fir/rc_iir/iir_init
+    [Bc, NB0, n_ch, 8], shift/quant/iir_reset [Bc, NB0, n_ch], all padded
+    to a bucketed Bc with zero chains (zero coeffs keep state at zero, and
+    the padded tail is sliced off on the host).
+    """
     from ...ops.mlp_filter import mlp_filter_blocks
     from ...ops.rematrix import apply_output_stage, rematrix_frames
 
-    # initial filter states are explicit arguments: constants captured in
-    # the trace get hoisted as hidden executable parameters by XLA and can
-    # be dropped on jit cache hits (observed as "supplied 20 buffers but
-    # compiled program expected 21" on jax 0.9 CPU)
-    out, _, _ = mlp_filter_blocks(
-        residuals, rc_fir, rc_iir, shift, quant, iir_reset, iir_init,
-        block_len, state0, state0,
-    )
-    flat = out.reshape(-1)
-    series = jnp.take(flat, series_idx, axis=0)          # [8, Tb]
-    channels = jnp.take(series, frame_idx, axis=1)       # [8, Fb, L]
-    channels = channels.transpose(1, 2, 0)               # [Fb, L, 8]
+    series_rows = []
+    for u in subs:
+        res = u["res"]
+        Bc, NB0, n_ch, S0 = res.shape
+
+        def pack(x):  # [Bc, NB0, n_ch, ...] -> [Bc*n_ch, NB0, ...]
+            g = jnp.moveaxis(x, 2, 1)
+            return g.reshape((Bc * n_ch, NB0) + x.shape[3:])
+
+        state0 = jnp.zeros((Bc * n_ch, 8), jnp.int32)
+        block_len = jnp.full((Bc * n_ch, NB0), S0, jnp.int32)
+        out, _, _ = mlp_filter_blocks(
+            pack(res), pack(u["rc_fir"]), pack(u["rc_iir"]),
+            pack(u["shift"]), pack(u["quant"]), pack(u["iir_reset"]),
+            pack(u["iir_init"]), block_len, state0, state0,
+        )
+        # [Bc*n_ch, NB0, S0] -> [n_ch, T_pad]: chains are contiguous in time
+        out = out.reshape(Bc, n_ch, NB0 * S0)
+        series_rows.append(out.transpose(1, 0, 2).reshape(n_ch, -1))
+
+    series = jnp.concatenate(series_rows, axis=0)
+    T_pad = series.shape[1]
+    if series.shape[0] < 8:
+        series = jnp.concatenate(
+            [series, jnp.zeros((8 - series.shape[0], T_pad), jnp.int32)],
+            axis=0)
+    F_pad = mat_coeff.shape[0]
+    L0 = T_pad // F_pad
+    channels = series.reshape(8, F_pad, L0).transpose(1, 2, 0)  # [F, L0, 8]
+    noise = noise01.reshape(F_pad, L0, 2)
+    byp = bypassed_t.astype(jnp.int32).reshape(F_pad, L0, 6).transpose(0, 2, 1)
     channels = rematrix_frames(channels, noise, mat_coeff, mat_noise,
-                               mat_out, mat_active, mat_quant, bypassed)
+                               mat_out, mat_active, mat_quant, byp)
+    staged = apply_output_stage(channels, out_shift, wave_perm)
+    return staged.reshape(T_pad, staged.shape[-1])
+
+
+@jax.jit
+def _pipeline(subs, frame_idx, flat_idx, noise01, bypassed_t,
+              mat_coeff, mat_noise, mat_out, mat_active, mat_quant,
+              out_shift, wave_perm):
+    """``subs``: tuple of per-substream dicts — raw parse arrays plus index
+    tables (see decode_native).  All packing/gathering runs on device."""
+    from ...ops.mlp_filter import mlp_filter_blocks
+    from ...ops.rematrix import apply_output_stage, rematrix_frames
+
+    Tb = flat_idx.shape[0]
+    series_rows = []
+    for u in subs:
+        res = u["res"]          # [NBt, n_ch, S]
+        n_ch = res.shape[1]
+        bidx = u["bidx"]        # [Bc, NB] int32 (clamped)
+        bmask = u["bmask"]      # [Bc, NB] bool
+        Bc, NB = bidx.shape
+
+        def pack(x):  # [NBt, n_ch, ...] -> [Bc*n_ch, NB, ...]
+            g = jnp.take(x, bidx.reshape(-1), axis=0)
+            g = g.reshape((Bc, NB) + x.shape[1:])
+            g = jnp.moveaxis(g, 2, 1)
+            return g.reshape((Bc * n_ch, NB) + g.shape[3:])
+
+        lens_lane = jnp.where(
+            bmask, jnp.take(u["lens"], bidx.reshape(-1), axis=0).reshape(Bc, NB), 0)
+        block_len = jnp.repeat(lens_lane[:, None, :], n_ch, axis=1)
+        block_len = block_len.reshape(Bc * n_ch, NB)
+        lane_mask = jnp.repeat(bmask[:, None, :], n_ch, axis=1)
+        iir_reset = pack(u["iir_reset"]) & lane_mask.reshape(Bc * n_ch, NB)
+        state0 = jnp.zeros((Bc * n_ch, 8), jnp.int32)
+        out, _, _ = mlp_filter_blocks(
+            pack(res), pack(u["rc_fir"]), pack(u["rc_iir"]),
+            pack(u["shift"]), pack(u["quant"]), iir_reset,
+            pack(u["iir_init"]), block_len, state0, state0,
+        )
+        flat = out.reshape(-1)                       # [Bc*n_ch*NB*S]
+        series_rows.append(jnp.take(flat, u["series_idx"], axis=0))  # [n_ch, Tb]
+
+    series = jnp.concatenate(series_rows, axis=0)
+    if series.shape[0] < 8:
+        series = jnp.concatenate(
+            [series, jnp.zeros((8 - series.shape[0], Tb), jnp.int32)], axis=0)
+
+    channels = jnp.take(series, frame_idx, axis=1)   # [8, Fb, L]
+    channels = channels.transpose(1, 2, 0)           # [Fb, L, 8]
+    noise = jnp.take(noise01, frame_idx.reshape(-1), axis=0)
+    noise = noise.reshape(frame_idx.shape + (2,))    # [Fb, L, 2]
+    byp = jnp.take(bypassed_t, frame_idx.reshape(-1), axis=0).astype(jnp.int32)
+    byp = byp.reshape(frame_idx.shape + (6,)).transpose(0, 2, 1)  # [Fb, 6, L]
+    channels = rematrix_frames(channels, noise, mat_coeff, mat_noise,
+                               mat_out, mat_active, mat_quant, byp)
     staged = apply_output_stage(channels, out_shift, wave_perm)
     flat_out = staged.reshape(-1, staged.shape[-1])
-    return jnp.take(flat_out, flat_idx, axis=0)          # [Tb, C_out]
+    return jnp.take(flat_out, flat_idx, axis=0)      # [Tb, C_out]
 
 
 def decode_native(stream: bytes, boundaries: np.ndarray, probe_end: int,
@@ -115,129 +203,98 @@ def decode_native(stream: bytes, boundaries: np.ndarray, probe_end: int,
         return np.zeros((0, out_ch), dtype=np.int32)
     frame_len = parse.frame_len[:F]
     T = int(frame_len.sum())
+    Tb = _bucket(T)
 
-    # ---------------- per-substream chain packing (vectorised) -----------
-    per_sub = []
-    lane_total = 0
-    NB_need = 1
-    S_need = 8
+    uniform = _try_uniform(parse, F, frame_len, T, out_ch)
+    if uniform is not None:
+        return uniform
+
+    # ---------------- per-substream chain tables --------------------------
+    subs = []
     for s in range(parse.substream_count):
         sub = parse.sub[s]
         nb_keep = int(sub["fr_nblocks"][:F].sum())
         lens = sub["len"][:nb_keep]
-        restart = sub["restart"][:nb_keep]
         n_ch = sub["shift"].shape[1]
-        restarts = np.nonzero(restart)[0]
+        restarts = np.nonzero(sub["restart"][:nb_keep])[0]
         coupled = sub["rc_fir"][restarts].any(axis=(1, 2))
         starts = [0] + [int(r) for i, r in enumerate(restarts)
                         if r != 0 and not coupled[i]] + [nb_keep]
         chain_start = np.asarray(starts[:-1], dtype=np.int64)
         chain_len = np.diff(np.asarray(starts, dtype=np.int64))
-        per_sub.append((sub, nb_keep, lens, chain_start, chain_len, n_ch,
-                        lane_total))
-        lane_total += len(chain_start) * n_ch
-        if chain_len.size:
-            NB_need = max(NB_need, int(chain_len.max()))
-        if lens.size:
-            S_need = max(S_need, int(lens.max()))
-
-    NB = _bucket(NB_need)
-    S = _bucket(S_need)
-    B = _bucket(lane_total)
-
-    residuals = np.zeros((B, NB, S), dtype=np.int32)
-    rc_fir = np.zeros((B, NB, 8), dtype=np.int32)
-    rc_iir = np.zeros((B, NB, 8), dtype=np.int32)
-    shift = np.zeros((B, NB), dtype=np.int32)
-    quant = np.zeros((B, NB), dtype=np.int32)
-    iir_reset = np.zeros((B, NB), dtype=bool)
-    iir_init = np.zeros((B, NB, 8), dtype=np.int32)
-    block_len = np.zeros((B, NB), dtype=np.int32)
-    series_idx = np.zeros((8, _bucket(T)), dtype=np.int32)
-
-    for (sub, nb_keep, lens, chain_start, chain_len, n_ch, lane0) in per_sub:
         n_chains = chain_start.shape[0]
-        if n_chains == 0:
-            continue
-        S_sub = int(lens.max()) if lens.size else 8
-        res = _padded_residuals(sub, nb_keep, S_sub)
-        # block index per (chain, position), clamped; mask marks real blocks
+        NB = _bucket(int(chain_len.max()) if chain_len.size else 1)
+        Bc = _bucket(n_chains, lo=1)
+        S = _bucket(int(lens.max()) if lens.size else 8)
+        NBt = _bucket(max(nb_keep, 1))
+
         pos = np.arange(NB, dtype=np.int64)[None, :]
-        bidx = np.minimum(chain_start[:, None] + pos, max(nb_keep - 1, 0))
-        bmask = pos < chain_len[:, None]                       # [n_chains, NB]
+        cs = np.concatenate([chain_start, np.zeros(Bc - n_chains, np.int64)])
+        cl = np.concatenate([chain_len, np.zeros(Bc - n_chains, np.int64)])
+        bidx = np.minimum(cs[:, None] + pos, max(nb_keep - 1, 0)).astype(np.int32)
+        bmask = pos < cl[:, None]
 
-        def pack(x):  # [nb_keep, n_ch, ...] -> [n_chains*n_ch, NB, ...]
-            g = x[bidx]                                        # [n_chains, NB, n_ch, ...]
-            g = np.moveaxis(g, 2, 1)                           # [n_chains, n_ch, NB, ...]
-            return g.reshape((n_chains * n_ch,) + g.shape[2:])
+        def padNBt(x):
+            out = np.zeros((NBt,) + x.shape[1:], dtype=x.dtype)
+            out[: nb_keep] = x[:nb_keep]
+            return out
 
-        rows = slice(lane0, lane0 + n_chains * n_ch)
-        residuals[rows, :, :S_sub] = pack(res)
-        rc_fir[rows] = pack(sub["rc_fir"][:nb_keep])
-        rc_iir[rows] = pack(sub["rc_iir"][:nb_keep])
-        shift[rows] = pack(sub["shift"][:nb_keep])
-        quant[rows] = pack(sub["quant"][:nb_keep])
-        iir_init[rows] = pack(sub["iir_init"][:nb_keep])
-        mask_l = np.repeat(bmask[:, None, :], n_ch, axis=1).reshape(
-            n_chains * n_ch, NB)
-        iir_reset[rows] = pack(sub["iir_reset"][:nb_keep]) & mask_l
-        block_len[rows] = np.where(mask_l, lens[bidx][:, None, :]
-                                   .repeat(n_ch, 1).reshape(n_chains * n_ch, NB), 0)
+        res = _padded_residuals(sub, nb_keep, S)
 
-        # series gather indices: t → flat filter-output index for channel 0
-        # of this substream; channel c adds (c · NB · S) within the lane row
-        chain_of_block = np.repeat(np.arange(n_chains), chain_len)  # [nb_keep]
+        # series index: t → flat [Bc*n_ch, NB, S] position for channel 0;
+        # channel c adds c·NB·S (lane rows are chain-major, channel-minor)
+        chain_of_block = np.repeat(np.arange(n_chains), chain_len)
         pos_of_block = np.arange(nb_keep) - chain_start[chain_of_block]
-        # per-sample: block id and offset
         blk_of_t = np.repeat(np.arange(nb_keep), lens)
-        off_in_blk = np.arange(int(lens.sum())) - np.repeat(
+        off_in_blk = np.arange(int(lens.sum()), dtype=np.int64) - np.repeat(
             np.concatenate([[0], np.cumsum(lens)[:-1]]), lens)
-        lane_row = lane0 + chain_of_block[blk_of_t] * n_ch
+        lane_row = chain_of_block[blk_of_t] * n_ch
         base = (lane_row * NB + pos_of_block[blk_of_t]) * S + off_in_blk
-        lo = sub["min_ch"]
-        for c in range(n_ch):
-            series_idx[lo + c, :base.shape[0]] = base + c * NB * S
+        series_idx = np.zeros((n_ch, Tb), dtype=np.int32)
+        series_idx[:, : base.shape[0]] = (
+            base[None, :] + (np.arange(n_ch) * NB * S)[:, None])
 
-    # ---------------- frame stage inputs ---------------------------------
+        subs.append(dict(
+            res=padNBt(res),
+            rc_fir=padNBt(sub["rc_fir"][:nb_keep]),
+            rc_iir=padNBt(sub["rc_iir"][:nb_keep]),
+            iir_init=padNBt(sub["iir_init"][:nb_keep]),
+            shift=padNBt(sub["shift"][:nb_keep]),
+            quant=padNBt(sub["quant"][:nb_keep]),
+            iir_reset=padNBt(sub["iir_reset"][:nb_keep]),
+            lens=padNBt(lens),
+            bidx=bidx,
+            bmask=bmask,
+            series_idx=series_idx,
+        ))
+
+    # ---------------- frame tables ----------------------------------------
     Fb = _bucket(F)
     L = _bucket(int(frame_len.max()))
-    Tb = series_idx.shape[1]
     t0 = np.concatenate([[0], np.cumsum(frame_len)]).astype(np.int64)
     starts = np.concatenate([t0[:-1], np.zeros(Fb - F, np.int64)])
     frame_idx = np.minimum(starts[:, None] + np.arange(L)[None, :],
                            Tb - 1).astype(np.int32)
-    # inverse map t → (frame, offset) for the final flatten
     f_of_t = np.repeat(np.arange(F, dtype=np.int64), frame_len)
     l_of_t = np.arange(T, dtype=np.int64) - t0[f_of_t]
     flat_idx = np.zeros(Tb, dtype=np.int32)
     flat_idx[:T] = (f_of_t * L + l_of_t).astype(np.int32)
 
-    noise = np.zeros((Fb, L, 2), dtype=np.int32)
-    byp_t = np.zeros((Fb, 6, L), dtype=np.int32)
-    valid = np.arange(L)[None, :] < np.concatenate(
-        [frame_len, np.zeros(Fb - F, np.int32)])[:, None]
-    gather_t = np.minimum(frame_idx, max(T - 1, 0))
-    n2 = np.stack([parse.noise0[:T], parse.noise1[:T]], axis=1)
-    noise[valid] = n2[gather_t[valid]]
-    byp_full = parse.bypassed[:T]  # [T, 6]
-    byp_g = np.where(valid[:, :, None], byp_full[gather_t], 0)
-    byp_t = np.ascontiguousarray(byp_g.transpose(0, 2, 1))
+    noise01 = np.zeros((Tb, 2), dtype=np.int32)
+    noise01[:T, 0] = parse.noise0[:T]
+    noise01[:T, 1] = parse.noise1[:T]
+    bypassed_t = np.zeros((Tb, 6), dtype=np.int8)
+    bypassed_t[:T] = parse.bypassed[:T]
 
     def padF(x):
         pad = [(0, Fb - F)] + [(0, 0)] * (x.ndim - 1)
         return np.pad(x[:F], pad)
 
     out = _pipeline(
-        jnp.asarray(residuals), jnp.asarray(rc_fir), jnp.asarray(rc_iir),
-        jnp.asarray(shift), jnp.asarray(quant), jnp.asarray(iir_reset),
-        jnp.asarray(iir_init), jnp.asarray(block_len),
-        jnp.zeros((B, 8), jnp.int32),
-        jnp.asarray(series_idx), jnp.asarray(frame_idx),
-        jnp.asarray(flat_idx), jnp.asarray(noise),
-        jnp.asarray(padF(parse.mat_coeff)), jnp.asarray(padF(parse.mat_noise)),
-        jnp.asarray(padF(parse.mat_out)), jnp.asarray(padF(parse.mat_active)),
-        jnp.asarray(padF(parse.mat_quant)), jnp.asarray(byp_t),
-        jnp.asarray(padF(parse.out_shift)), jnp.asarray(_wave_perm(parse, out_ch)),
+        tuple(subs), frame_idx, flat_idx, noise01, bypassed_t,
+        padF(parse.mat_coeff), padF(parse.mat_noise), padF(parse.mat_out),
+        padF(parse.mat_active), padF(parse.mat_quant),
+        padF(parse.out_shift), _wave_perm(parse, out_ch),
     )
     return np.asarray(out)[:T]
 
@@ -248,3 +305,77 @@ def _wave_perm(parse, out_ch: int) -> np.ndarray:
     for c in range(out_ch):
         perm[mapping[c]] = c
     return perm
+
+
+def _try_uniform(parse, F: int, frame_len: np.ndarray, T: int,
+                 out_ch: int) -> np.ndarray | None:
+    """Attempt the gather-free uniform pipeline; None if the stream is not
+    uniform (varying block/frame sizes or uneven restart chains)."""
+    L0 = int(frame_len[0])
+    if not (frame_len == L0).all():
+        return None
+    prep = []
+    for s in range(parse.substream_count):
+        sub = parse.sub[s]
+        nb_keep = int(sub["fr_nblocks"][:F].sum())
+        if nb_keep == 0:
+            return None
+        lens = sub["len"][:nb_keep]
+        S0 = int(lens[0])
+        if not (lens == S0).all():
+            return None
+        restart = sub["restart"][:nb_keep]
+        restarts = np.nonzero(restart)[0]
+        coupled = sub["rc_fir"][restarts].any(axis=(1, 2))
+        chain_starts = np.asarray(
+            [0] + [int(r) for i, r in enumerate(restarts)
+                   if r != 0 and not coupled[i]], dtype=np.int64)
+        chain_lens = np.diff(np.concatenate([chain_starts, [nb_keep]]))
+        NB0 = int(chain_lens[0])
+        if not (chain_lens == NB0).all():
+            return None
+        Bc0 = nb_keep // NB0
+        Bc = _bucket(Bc0, lo=1)
+        n_ch = sub["shift"].shape[1]
+
+        def chainview(x, Bc=Bc, Bc0=Bc0, NB0=NB0):
+            out = np.zeros((Bc, NB0) + x.shape[1:], dtype=x.dtype)
+            out[:Bc0] = x[: Bc0 * NB0].reshape((Bc0, NB0) + x.shape[1:])
+            return out
+
+        res = _padded_residuals(sub, nb_keep, S0)
+        prep.append((sub, dict(
+            res=chainview(res),
+            rc_fir=chainview(sub["rc_fir"][:nb_keep]),
+            rc_iir=chainview(sub["rc_iir"][:nb_keep]),
+            iir_init=chainview(sub["iir_init"][:nb_keep]),
+            shift=chainview(sub["shift"][:nb_keep]),
+            quant=chainview(sub["quant"][:nb_keep]),
+            iir_reset=chainview(sub["iir_reset"][:nb_keep]),
+        ), Bc * NB0 * S0))
+
+    T_pads = {tp for (_, _, tp) in prep}
+    if len(T_pads) != 1:
+        return None
+    T_pad = T_pads.pop()
+    if T_pad % L0:
+        return None
+    F_pad = T_pad // L0
+
+    def padF(x):
+        pad = [(0, F_pad - F)] + [(0, 0)] * (x.ndim - 1)
+        return np.pad(x[:F], pad)
+
+    noise01 = np.zeros((T_pad, 2), dtype=np.int32)
+    noise01[:T, 0] = parse.noise0[:T]
+    noise01[:T, 1] = parse.noise1[:T]
+    bypassed_t = np.zeros((T_pad, 6), dtype=np.int8)
+    bypassed_t[:T] = parse.bypassed[:T]
+
+    out = _uniform_pipeline(
+        tuple(d for (_, d, _) in prep), noise01, bypassed_t,
+        padF(parse.mat_coeff), padF(parse.mat_noise), padF(parse.mat_out),
+        padF(parse.mat_active), padF(parse.mat_quant),
+        padF(parse.out_shift), _wave_perm(parse, out_ch),
+    )
+    return np.asarray(out)[:T]

@@ -82,6 +82,7 @@ class _GenSubstream:
         self.flags = [1] * 8
         self.block_size = cfg.block_size
         self.samples_seen = 0  # history length proxy (all channels advance together)
+        self.since_restart = 0
         # per-channel sticky coding state (mirrors decoder)
         self.codebook = {}
         self.lsbs = {}
@@ -171,9 +172,11 @@ class _GenSubstream:
         rng = self.rng
         shift = self.chan_shift[c]
         fir_order = 0
+        can_fir = self.samples_seen >= 8 and (
+            self.cfg.fir_across_restart or self.since_restart >= 8)
         if self.flags[3]:
             w.write(1, 1)  # FIR present
-            if self.samples_seen >= 8:
+            if can_fir:
                 fir_order = self.emit_filter(w, is_iir=False, max_order=4,
                                              shift=shift)
             else:
@@ -197,6 +200,11 @@ class _GenSubstream:
     def emit_block(self, w: BitWriter, restart: bool, want_params: bool,
                    first_block: bool = True) -> None:
         rng = self.rng
+        if restart:
+            # with fir_across_restart=False this keeps restart segments
+            # FIR-decoupled (the seekable-encoder convention): FIR taps
+            # only reappear 8+ samples after each restart
+            self.since_restart = 0
         if restart or want_params:
             w.write(1, 1)  # decoding parameters present
             w.write(1, 1 if restart else 0)
@@ -280,6 +288,7 @@ class _GenSubstream:
                     w.write(length, code)
                 w.write(lsb_bits, rng.randrange(1 << lsb_bits))
         self.samples_seen += self.block_size
+        self.since_restart += self.block_size
 
     # ------------------------------------------------------------ substream
 
