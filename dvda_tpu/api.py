@@ -334,6 +334,25 @@ class TrackReader:
         self._cursor = data.shape[0]
         return out
 
+    # -- random access (beyond the reference API) ---------------------------
+    # The reference supports only track-granularity seeks (aob_reader_seek
+    # + re-probe, dvd-audio.c:616, TODO:63-79).  Batched decode makes
+    # sample-accurate intra-track seeking free: position into the cache.
+
+    def seek(self, pcm_frame: int) -> int:
+        """Seek to an absolute PCM frame within the track; returns the
+        actual (clamped) position."""
+        total = self._decoded.shape[0]
+        self._cursor = min(max(0, pcm_frame), total)
+        return self._cursor
+
+    def tell(self) -> int:
+        return self._cursor
+
+    @property
+    def total_pcm_frames(self) -> int:
+        return self._decoded.shape[0]
+
     def close(self) -> None:
         self.aob.close()
 

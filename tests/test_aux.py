@@ -1,0 +1,102 @@
+"""Auxiliary subsystems: external byte sources, seeking, profiling, config,
+logging."""
+
+import logging
+import os
+
+import numpy as np
+
+from dvda_tpu.api import DVDA, TrackReader
+from dvda_tpu.config import DecodeConfig
+from dvda_tpu.container.aob import AOBReader
+from dvda_tpu.container.sources import (
+    CallableSectorSource,
+    FileSectorSource,
+    SourceAOBReader,
+)
+from dvda_tpu.testutil.synth import PcmTrackSpec, build_disc
+from dvda_tpu.utils.log import configure, logger
+from dvda_tpu.utils.profiling import ByteCounter, StageTimer, trace
+
+
+def _disc(tmp_path):
+    return build_disc(str(tmp_path / "AUDIO_TS"),
+                      [[PcmTrackSpec(pcm_frames=960, seed=1)]])
+
+
+def test_file_sector_source_matches_aob(tmp_path):
+    layout = _disc(tmp_path)
+    aob = AOBReader(layout.path, 1)
+    src = FileSectorSource(os.path.join(layout.path, "ATS_01_1.AOB"))
+    reader = SourceAOBReader([src])
+    assert reader.total_sectors == aob.total_sectors
+    assert np.array_equal(reader.read_sectors(0, 5), aob.read_sectors(0, 5))
+
+
+def test_callable_sector_source_decodes(tmp_path):
+    """The func_io analog: a track decoded through user callbacks."""
+    layout = _disc(tmp_path)
+    path = os.path.join(layout.path, "ATS_01_1.AOB")
+    blob = open(path, "rb").read()
+
+    def read(first, count):
+        return blob[first * 2048 : (first + count) * 2048]
+
+    src = CallableSectorSource(len(blob) // 2048, read)
+    reader = SourceAOBReader([src])
+    dvda = DVDA(layout.path)
+    track = dvda.open_titleset(1).open_title(1).open_track(1)
+    via_cb = TrackReader(reader, track, use_device=False).read_all()
+    via_fs = track.open_reader(use_device=False).read_all()
+    assert np.array_equal(via_cb, via_fs)
+
+
+def test_track_seek_tell(tmp_path):
+    layout = _disc(tmp_path)
+    r = (DVDA(layout.path).open_titleset(1).open_title(1)
+         .open_track(1).open_reader(use_device=False))
+    assert r.total_pcm_frames == 960
+    r.seek(500)
+    assert r.tell() == 500
+    a = r.read(100)
+    assert a.shape == (100, 2)
+    r.seek(0)
+    b = r.read_all()
+    assert np.array_equal(b[500:600], a)
+    assert r.seek(10_000) == 960
+
+
+def test_stage_timer():
+    t = StageTimer()
+    with t.stage("x"):
+        pass
+    t.add("y", 0.5)
+    s = t.summary()
+    assert "x" in s and "y" in s
+    t.reset()
+    assert t.summary() == "(no stages recorded)"
+
+
+def test_trace_noop():
+    with trace("region"):
+        pass
+
+
+def test_byte_counter():
+    c = ByteCounter()
+    c(b"abc")
+    c(b"de")
+    assert c.count == 5
+
+
+def test_config_env(monkeypatch):
+    monkeypatch.setenv("DVDA_TPU_DISABLE_DEVICE", "1")
+    monkeypatch.setenv("DVDA_TPU_DISABLE_NATIVE", "1")
+    cfg = DecodeConfig.from_env()
+    assert not cfg.use_device and not cfg.use_native
+
+
+def test_logging_configure():
+    configure("DEBUG")
+    assert logger.level == logging.DEBUG
+    configure("WARNING")
