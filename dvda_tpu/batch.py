@@ -1,0 +1,97 @@
+"""Full-disc batch decode — BASELINE config 5.
+
+Reference analog: the title/track loops in dvda2wav (utils/dvda2wav.c:
+141-172) — strictly sequential, one pull-decoder per track.  The rebuild
+walks the disc once, reuses one AOB reader (and one CPPM decryptor) per
+titleset, and decodes tracks through the batched engine; each track's
+chains/frames already saturate the device, and the shared shape-bucketed
+XLA programs make per-track dispatch cheap after the first track.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Iterator
+
+import numpy as np
+
+from .api import DVDA, DvdaError
+from .utils.profiling import global_timer
+from .utils.wav import pack_samples_le, wave_header
+
+__all__ = ["TrackResult", "decode_disc", "disc_to_wavs"]
+
+
+@dataclass
+class TrackResult:
+    titleset: int
+    title: int
+    track: int
+    codec: str
+    sample_rate: int
+    bits_per_sample: int
+    channel_count: int
+    channel_mask: int
+    samples: np.ndarray  # int32 [frames, channels], RIFF WAVE order
+
+
+def decode_disc(
+    audio_ts_path: str | os.PathLike,
+    device: str | None = None,
+    titleset: int | None = None,
+    use_device: bool | None = None,
+) -> Iterator[TrackResult]:
+    """Decode every track of a disc (or one titleset), yielding results.
+
+    Tracks are yielded in disc order as soon as each is decoded, so
+    callers can stream results (e.g. write WAVs) while later tracks are
+    in flight.
+    """
+    dvda = DVDA(audio_ts_path, device)
+    titlesets = [titleset] if titleset else range(1, dvda.titleset_count + 1)
+    for ts_num in titlesets:
+        try:
+            ts = dvda.open_titleset(ts_num)
+        except DvdaError:
+            continue
+        for title_num in range(1, ts.title_count + 1):
+            try:
+                title = ts.open_title(title_num)
+            except DvdaError:
+                continue
+            for track_num in range(1, title.track_count + 1):
+                track = title.open_track(track_num)
+                with global_timer.stage("track-decode"):
+                    reader = track.open_reader(use_device=use_device)
+                    samples = reader.read_all()
+                yield TrackResult(
+                    titleset=ts_num, title=title_num, track=track_num,
+                    codec=reader.codec, sample_rate=reader.sample_rate,
+                    bits_per_sample=reader.bits_per_sample,
+                    channel_count=reader.channel_count,
+                    channel_mask=reader.channel_mask, samples=samples,
+                )
+                reader.close()
+
+
+def disc_to_wavs(
+    audio_ts_path: str | os.PathLike,
+    output_dir: str,
+    device: str | None = None,
+    use_device: bool | None = None,
+) -> list[str]:
+    """Decode a whole disc to WAV files (``track-TT-NN.wav``); returns the
+    written paths.  The byte output is identical to the reference
+    dvda2wav's."""
+    os.makedirs(output_dir, exist_ok=True)
+    written = []
+    for r in decode_disc(audio_ts_path, device, use_device=use_device):
+        path = os.path.join(output_dir, f"track-{r.title:02d}-{r.track:02d}.wav")
+        with open(path, "wb") as f:
+            f.write(wave_header(r.sample_rate, r.channel_count,
+                                r.channel_mask, r.bits_per_sample,
+                                r.samples.shape[0]))
+            f.write(pack_samples_le(r.samples, r.bits_per_sample))
+        written.append(path)
+    return written

@@ -74,27 +74,49 @@ def _padded_residuals(sub, nb_keep: int, S: int) -> np.ndarray:
     return out.reshape(nb_keep, n_ch, S)
 
 
-@jax.jit
-def _uniform_pipeline(subs, noise01, bypassed_t,
-                      mat_coeff, mat_noise, mat_out, mat_active, mat_quant,
-                      out_shift, wave_perm):
-    """Fast path for *uniform* streams (constant block size, equal-length
-    chains, constant frame length — the norm for real MLP encoders): every
-    data-movement step is a reshape/transpose, no gathers at all.  TPU
-    gathers at these sizes are the dominant runtime cost, so this path is
-    an order of magnitude faster through the device.
+from functools import partial
 
-    subs[i]: res [Bc, NB0, n_ch, S0], rc_fir/rc_iir/iir_init
-    [Bc, NB0, n_ch, 8], shift/quant/iir_reset [Bc, NB0, n_ch], all padded
-    to a bucketed Bc with zero chains (zero coeffs keep state at zero, and
-    the padded tail is sliced off on the host).
+
+@partial(jax.jit, static_argnums=(3,))
+def _uniform_arena_pipeline(a4, a2, a1, spec):
+    """Arena-packed gather-free pipeline for *uniform* streams (constant
+    block size, equal-length chains, constant frame length — the norm for
+    real MLP encoders).
+
+    All inputs arrive in three flat arenas (int32/int16/int8) so the host
+    performs exactly three h2d transfers — through this environment's
+    narrow TPU tunnel the transfer count and byte volume, not compute,
+    dominate end-to-end time (the whole device pipeline runs in ~tens of
+    ms).  ``spec`` is a static tuple of (name, width, offset, shape,
+    dtype) describing each packed array; dtypes are minimised on the host
+    (int16 filter coefficients/residuals, int8 shifts/flags, per-frame
+    LFSR seeds instead of materialised noise, bit-packed bypass flags)
+    and widened on device.
+
+    Every data-movement step is a reshape/transpose — no gathers: TPU
+    gathers at stream size were the dominant device cost.
     """
     from ...ops.mlp_filter import mlp_filter_blocks
     from ...ops.rematrix import apply_output_stage, rematrix_frames
 
+    arenas = {4: a4, 2: a2, 1: a1}
+    arrs = {}
+    for name, width, off, shape, dtype in spec:
+        n = int(np.prod(shape)) if shape else 1
+        x = jax.lax.slice(arenas[width], (off,), (off + n,)).reshape(shape)
+        if dtype == "uint32":
+            x = jax.lax.bitcast_convert_type(x, jnp.uint32)
+        elif dtype == "uint8":
+            x = jax.lax.bitcast_convert_type(x, jnp.uint8)
+        arrs[name] = x
+
+    def i32(name):
+        return arrs[name].astype(jnp.int32)
+
+    n_sub = max(int(name[1]) for name in arrs if name.startswith("s")) + 1
     series_rows = []
-    for u in subs:
-        res = u["res"]
+    for i in range(n_sub):
+        res = i32(f"s{i}_res")
         Bc, NB0, n_ch, S0 = res.shape
 
         def pack(x):  # [Bc, NB0, n_ch, ...] -> [Bc*n_ch, NB0, ...]
@@ -104,11 +126,11 @@ def _uniform_pipeline(subs, noise01, bypassed_t,
         state0 = jnp.zeros((Bc * n_ch, 8), jnp.int32)
         block_len = jnp.full((Bc * n_ch, NB0), S0, jnp.int32)
         out, _, _ = mlp_filter_blocks(
-            pack(res), pack(u["rc_fir"]), pack(u["rc_iir"]),
-            pack(u["shift"]), pack(u["quant"]), pack(u["iir_reset"]),
-            pack(u["iir_init"]), block_len, state0, state0,
+            pack(res), pack(i32(f"s{i}_rc_fir")), pack(i32(f"s{i}_rc_iir")),
+            pack(i32(f"s{i}_shift")), pack(i32(f"s{i}_quant")),
+            pack(arrs[f"s{i}_iir_reset"] != 0),
+            pack(i32(f"s{i}_iir_init")), block_len, state0, state0,
         )
-        # [Bc*n_ch, NB0, S0] -> [n_ch, T_pad]: chains are contiguous in time
         out = out.reshape(Bc, n_ch, NB0 * S0)
         series_rows.append(out.transpose(1, 0, 2).reshape(n_ch, -1))
 
@@ -118,15 +140,65 @@ def _uniform_pipeline(subs, noise01, bypassed_t,
         series = jnp.concatenate(
             [series, jnp.zeros((8 - series.shape[0], T_pad), jnp.int32)],
             axis=0)
-    F_pad = mat_coeff.shape[0]
+    F_pad = arrs["mat_coeff"].shape[0]
     L0 = T_pad // F_pad
     channels = series.reshape(8, F_pad, L0).transpose(1, 2, 0)  # [F, L0, 8]
-    noise = noise01.reshape(F_pad, L0, 2)
-    byp = bypassed_t.astype(jnp.int32).reshape(F_pad, L0, 6).transpose(0, 2, 1)
-    channels = rematrix_frames(channels, noise, mat_coeff, mat_noise,
-                               mat_out, mat_active, mat_quant, byp)
-    staged = apply_output_stage(channels, out_shift, wave_perm)
+
+    # LFSR noise expanded on device from per-frame seeds by jump doubling
+    seeds = arrs["frame_seed"][:, None]                 # [F_pad, 1] uint32
+    jumps = arrs["jumps"]                               # [K, 32] uint32
+    width, k = 1, 0
+    while width < L0:
+        cur = seeds
+        nxt = jnp.zeros_like(cur)
+        for j in range(32):
+            bit = ((cur >> jnp.uint32(j)) & jnp.uint32(1)) != 0
+            nxt = nxt ^ jnp.where(bit, jumps[k, j], jnp.uint32(0))
+        seeds = jnp.concatenate([cur, nxt], axis=1)[:, :L0]
+        width *= 2
+        k += 1
+    shifted = (seeds >> jnp.uint32(7)) & jnp.uint32(0xFFFF)
+    b0 = ((seeds >> jnp.uint32(15)) & jnp.uint32(0xFF)).astype(jnp.int32)
+    b1 = (shifted & jnp.uint32(0xFF)).astype(jnp.int32)
+    nshift = i32("frame_nshift")[:, None]
+    n0 = (((b0 ^ 0x80) - 0x80) << nshift)
+    n1 = (((b1 ^ 0x80) - 0x80) << nshift)
+    noise = jnp.stack([n0, n1], axis=-1)                # [F_pad, L0, 2]
+
+    byp_bits = i32("byp")                               # [T_pad]
+    byp = ((byp_bits[:, None] >> jnp.arange(6, dtype=jnp.int32)) & 1)
+    byp = byp.reshape(F_pad, L0, 6).transpose(0, 2, 1)  # [F_pad, 6, L0]
+
+    channels = rematrix_frames(channels, noise, arrs["mat_coeff"],
+                               arrs["mat_noise"], i32("mat_out"),
+                               arrs["mat_active"] != 0, i32("mat_quant"),
+                               byp)
+    staged = apply_output_stage(channels, i32("out_shift"), i32("wave_perm"))
     return staged.reshape(T_pad, staged.shape[-1])
+
+
+class _ArenaBuilder:
+    """Packs named arrays into three typed arenas + a static spec."""
+
+    def __init__(self):
+        self._parts = {4: [], 2: [], 1: []}
+        self._spec = []
+
+    def add(self, name: str, arr: np.ndarray) -> None:
+        width = arr.dtype.itemsize
+        base = {4: np.int32, 2: np.int16, 1: np.int8}[width]
+        off = sum(p.size for p in self._parts[width])
+        self._parts[width].append(np.ascontiguousarray(arr).view(base).ravel())
+        self._spec.append((name, width, off, tuple(arr.shape),
+                           str(arr.dtype)))
+
+    def finish(self):
+        arenas = tuple(
+            np.concatenate(self._parts[w]) if self._parts[w]
+            else np.zeros(0, {4: np.int32, 2: np.int16, 1: np.int8}[w])
+            for w in (4, 2, 1)
+        )
+        return arenas, tuple(self._spec)
 
 
 @jax.jit
@@ -284,7 +356,9 @@ def decode_native(stream: bytes, boundaries: np.ndarray, probe_end: int,
     noise01[:T, 0] = parse.noise0[:T]
     noise01[:T, 1] = parse.noise1[:T]
     bypassed_t = np.zeros((Tb, 6), dtype=np.int8)
-    bypassed_t[:T] = parse.bypassed[:T]
+    bypassed_t[:T] = (
+        (parse.bypassed_packed[:T, None] >> np.arange(6)) & 1
+    ).astype(np.int8)
 
     def padF(x):
         pad = [(0, Fb - F)] + [(0, 0)] * (x.ndim - 1)
@@ -309,14 +383,17 @@ def _wave_perm(parse, out_ch: int) -> np.ndarray:
 
 def _try_uniform(parse, F: int, frame_len: np.ndarray, T: int,
                  out_ch: int) -> np.ndarray | None:
-    """Attempt the gather-free uniform pipeline; None if the stream is not
+    """Attempt the gather-free arena pipeline; None if the stream is not
     uniform (varying block/frame sizes or uneven restart chains)."""
+    from ...ops.lfsr import _jump_columns
+
     L0 = int(frame_len[0])
     if not (frame_len == L0).all():
         return None
-    prep = []
-    for s in range(parse.substream_count):
-        sub = parse.sub[s]
+    b = _ArenaBuilder()
+    T_pad = None
+    for s_idx in range(parse.substream_count):
+        sub = parse.sub[s_idx]
         nb_keep = int(sub["fr_nblocks"][:F].sum())
         if nb_keep == 0:
             return None
@@ -336,46 +413,57 @@ def _try_uniform(parse, F: int, frame_len: np.ndarray, T: int,
             return None
         Bc0 = nb_keep // NB0
         Bc = _bucket(Bc0, lo=1)
-        n_ch = sub["shift"].shape[1]
+        tp = Bc * NB0 * S0
+        if T_pad is None:
+            T_pad = tp
+        elif tp != T_pad:
+            return None
 
-        def chainview(x, Bc=Bc, Bc0=Bc0, NB0=NB0):
-            out = np.zeros((Bc, NB0) + x.shape[1:], dtype=x.dtype)
+        def chainview(x, dtype, Bc=Bc, Bc0=Bc0, NB0=NB0):
+            out = np.zeros((Bc, NB0) + x.shape[1:], dtype=dtype)
             out[:Bc0] = x[: Bc0 * NB0].reshape((Bc0, NB0) + x.shape[1:])
             return out
 
         res = _padded_residuals(sub, nb_keep, S0)
-        prep.append((sub, dict(
-            res=chainview(res),
-            rc_fir=chainview(sub["rc_fir"][:nb_keep]),
-            rc_iir=chainview(sub["rc_iir"][:nb_keep]),
-            iir_init=chainview(sub["iir_init"][:nb_keep]),
-            shift=chainview(sub["shift"][:nb_keep]),
-            quant=chainview(sub["quant"][:nb_keep]),
-            iir_reset=chainview(sub["iir_reset"][:nb_keep]),
-        ), Bc * NB0 * S0))
+        # residuals usually fit int16 (halves the dominant transfer); the
+        # dtype is part of the static spec so either variant compiles once
+        res_dtype = np.int16 if (np.abs(res) < 32768).all() else np.int32
+        b.add(f"s{s_idx}_res", chainview(res, res_dtype))
+        # filter coefficients are ≤16 bits by format (coeff_bits +
+        # coeff_shift ≤ 16, mlp.c:1043-1047) — int16 always safe
+        b.add(f"s{s_idx}_rc_fir", chainview(sub["rc_fir"][:nb_keep], np.int16))
+        b.add(f"s{s_idx}_rc_iir", chainview(sub["rc_iir"][:nb_keep], np.int16))
+        b.add(f"s{s_idx}_iir_init", chainview(sub["iir_init"][:nb_keep], np.int32))
+        b.add(f"s{s_idx}_shift", chainview(sub["shift"][:nb_keep], np.int8))
+        b.add(f"s{s_idx}_quant", chainview(sub["quant"][:nb_keep], np.int8))
+        b.add(f"s{s_idx}_iir_reset",
+              chainview(sub["iir_reset"][:nb_keep], np.int8))
 
-    T_pads = {tp for (_, _, tp) in prep}
-    if len(T_pads) != 1:
-        return None
-    T_pad = T_pads.pop()
     if T_pad % L0:
         return None
     F_pad = T_pad // L0
 
-    def padF(x):
+    def padF(x, dtype=None):
         pad = [(0, F_pad - F)] + [(0, 0)] * (x.ndim - 1)
-        return np.pad(x[:F], pad)
+        out = np.pad(x[:F], pad)
+        return out.astype(dtype) if dtype is not None else out
 
-    noise01 = np.zeros((T_pad, 2), dtype=np.int32)
-    noise01[:T, 0] = parse.noise0[:T]
-    noise01[:T, 1] = parse.noise1[:T]
-    bypassed_t = np.zeros((T_pad, 6), dtype=np.int8)
-    bypassed_t[:T] = parse.bypassed[:T]
+    b.add("mat_coeff", padF(parse.mat_coeff))
+    b.add("mat_noise", padF(parse.mat_noise))
+    b.add("mat_out", padF(parse.mat_out, np.int8))
+    b.add("mat_active", padF(parse.mat_active, np.int8))
+    b.add("mat_quant", padF(parse.mat_quant, np.int8))
+    b.add("out_shift", padF(parse.out_shift, np.int8))
+    b.add("wave_perm", _wave_perm(parse, out_ch).astype(np.int8))
+    b.add("frame_seed", padF(parse.frame_seed))
+    b.add("frame_nshift", padF(parse.frame_nshift, np.int8))
+    byp = np.zeros(T_pad, dtype=np.int8)
+    byp[:T] = parse.bypassed_packed[:T].view(np.int8)
+    b.add("byp", byp)
+    K = max(1, int(np.ceil(np.log2(max(L0, 2)))))
+    jumps = np.array([_jump_columns(k) for k in range(K)], dtype=np.uint32)
+    b.add("jumps", jumps)
 
-    out = _uniform_pipeline(
-        tuple(d for (_, d, _) in prep), noise01, bypassed_t,
-        padF(parse.mat_coeff), padF(parse.mat_noise), padF(parse.mat_out),
-        padF(parse.mat_active), padF(parse.mat_quant),
-        padF(parse.out_shift), _wave_perm(parse, out_ch),
-    )
-    return np.asarray(out)[:T]
+    (a4, a2, a1), spec = b.finish()
+    out = _uniform_arena_pipeline(a4, a2, a1, spec)
+    return np.asarray(out[:T])

@@ -71,12 +71,15 @@ class CppmDecryptor:
     """Stateful per-disc decryptor (media key + album ID)."""
 
     def __init__(self, media_key: int, id_album_media: int,
-                 preserve_cci: bool = False):
+                 preserve_cci: bool = False, use_device: bool | None = None):
         self.media_key = media_key
         self.id_album_media = id_album_media
         self.preserve_cci = preserve_cci
         # k_au is per-disc (cppm.c:540-541)
         self.k_au = c2_g(id_album_media, media_key) & _M56
+        # device (TPU) D-CBC kernel for large batches; numpy otherwise
+        self.use_device = use_device
+        self.device_batch_threshold = 256
 
     # -- constructors -------------------------------------------------------
 
@@ -130,14 +133,17 @@ class CppmDecryptor:
         idx = np.nonzero(scrambled)[0]
         if idx.size:
             enc = sectors[idx]
-            keys = self._content_keys(enc)
             words = enc[:, SECTOR_SIZE - ENCRYPTED_SIZE :].reshape(
                 -1, ENCRYPTED_WORDS, 8).astype(np.uint32)
             hi = ((words[..., 0] << 24) | (words[..., 1] << 16)
                   | (words[..., 2] << 8) | words[..., 3])
             lo = ((words[..., 4] << 24) | (words[..., 5] << 16)
                   | (words[..., 6] << 8) | words[..., 7])
-            c2_dcbc_dec_batch(hi, lo, keys, ENCRYPTED_WORDS)
+            if self._device_enabled(idx.size):
+                hi, lo = self._decrypt_device(enc, hi, lo)
+            else:
+                keys = self._content_keys(enc)
+                c2_dcbc_dec_batch(hi, lo, keys, ENCRYPTED_WORDS)
             dec = np.empty_like(words, dtype=np.uint8)
             for i, src in enumerate([hi >> 24, hi >> 16, hi >> 8, hi,
                                      lo >> 24, lo >> 16, lo >> 8, lo]):
@@ -149,6 +155,34 @@ class CppmDecryptor:
         if not self.preserve_cci:
             self._reset_cci(sectors, is_pack)
         return sectors
+
+    def _device_enabled(self, n: int) -> bool:
+        import os
+
+        if self.use_device is False:
+            return False
+        if os.environ.get("DVDA_TPU_DISABLE_DEVICE", "0") == "1":
+            return False
+        return self.use_device is True or n >= self.device_batch_threshold
+
+    def _decrypt_device(self, enc: np.ndarray, hi: np.ndarray,
+                        lo: np.ndarray):
+        """TPU path: one scan over the whole batch (ops/c2_decrypt.py)."""
+        import jax.numpy as jnp
+
+        from ..ops.c2_decrypt import dcbc_dec_device
+
+        fields = np.zeros((enc.shape[0], 5, 2), np.uint32)
+        for i, off in enumerate((24, 32, 40, 48, 84)):
+            b = enc[:, off : off + 8].astype(np.uint32)
+            fields[:, i, 0] = (b[:, 0] << 24) | (b[:, 1] << 16) | (b[:, 2] << 8) | b[:, 3]
+            fields[:, i, 1] = (b[:, 4] << 24) | (b[:, 5] << 16) | (b[:, 6] << 8) | b[:, 7]
+        kau = np.array([self.k_au >> 32, self.k_au & 0xFFFFFFFF], np.uint32)
+        words = np.stack([hi, lo], axis=-1)
+        out = np.asarray(dcbc_dec_device(jnp.asarray(words),
+                                         jnp.asarray(fields),
+                                         jnp.asarray(kau)))
+        return out[..., 0], out[..., 1]
 
     def _content_keys(self, sectors: np.ndarray) -> np.ndarray:
         """Per-sector content key chain (cppm.c:540-556)."""

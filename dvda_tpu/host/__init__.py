@@ -12,7 +12,8 @@ of the parser's output arrays:
 
 * frame-level: ``frame_len[F]``, ``frame_end[F]`` (byte offsets for the
   packet-boundary cut), ``out_shift[F,8]``, matrix tensors ``[F,6,…]``,
-  noise channels ``noise0/noise1[T]``, ``bypassed[T,6]``;
+  noise channels ``noise0/noise1[T]`` plus per-frame LFSR seeds,
+  bit-packed ``bypassed[T]`` (bit m = matrix slot m);
 * per substream ``s``: ``blk_len[NB]``, ``blk_restart[NB]``, per-channel
   ``shift/quant/iir_reset[NB,n_ch]``, reversed-tap ``rc_fir/rc_iir/
   iir_init[NB,n_ch,8]`` and ragged ``residuals`` ordered
@@ -101,6 +102,10 @@ def _load():
         fn = getattr(lib, name)
         fn.restype = c.POINTER(c.c_uint8)
         fn.argtypes = [c.c_void_p]
+    lib.mp_frame_seed.restype = c.POINTER(c.c_uint32)
+    lib.mp_frame_seed.argtypes = [c.c_void_p]
+    lib.mp_frame_nshift.restype = c.POINTER(c.c_int32)
+    lib.mp_frame_nshift.argtypes = [c.c_void_p]
     for name in ("mp_fr_nblocks", "mp_blk_len", "mp_blk_shift",
                  "mp_blk_quant", "mp_blk_rc_fir",
                  "mp_blk_rc_iir", "mp_blk_iir_init", "mp_residuals"):
@@ -150,7 +155,9 @@ class NativeParse:
         self.mat_noise = _as_np(lib.mp_mat_noise(h), np.int32, (F, 6, 2))
         self.noise0 = _as_np(lib.mp_noise0(h), np.int32, (T,))
         self.noise1 = _as_np(lib.mp_noise1(h), np.int32, (T,))
-        self.bypassed = _as_np(lib.mp_bypassed(h), np.int32, (T, 6))
+        self.frame_seed = _as_np(lib.mp_frame_seed(h), np.uint32, (F,))
+        self.frame_nshift = _as_np(lib.mp_frame_nshift(h), np.int32, (F,))
+        self.bypassed_packed = _as_np(lib.mp_bypassed(h), np.uint8, (T,))
         self.sub = []
         for s in range(self.substream_count):
             NB = int(lib.mp_nblocks(h, s))

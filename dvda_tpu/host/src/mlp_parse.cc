@@ -167,7 +167,9 @@ struct Result {
   std::vector<int32_t> mat_coeff;          // [F*6*8]
   std::vector<int32_t> mat_noise;          // [F*6*2]
   std::vector<int32_t> noise0, noise1;     // [T]
-  std::vector<uint8_t> bypassed;           // [T*6] sample-major
+  std::vector<uint32_t> frame_seed;        // [F] LFSR seed at frame start
+  std::vector<int32_t> frame_nshift;       // [F] noise shift
+  std::vector<uint8_t> bypassed;           // [T] bit-packed (bit m = slot m)
 
   // per-substream block-level
   std::vector<int32_t> fr_nblocks[2];  // blocks contributed per frame
@@ -632,15 +634,19 @@ struct Parser {
     // bypassed LSBs, sample-major [t*6+m]; slots may have accumulated fewer
     // entries than L (mid-frame activation); missing = 0 like the spec
     for (int32_t i = 0; i < L; i++) {
+      uint8_t packed = 0;
       for (int m = 0; m < kMaxMatrices; m++) {
         MatrixSlot& ms = fu.mats[m];
-        uint8_t b = (m < fu.matrix_len && size_t(i) < ms.bypassed.size())
-                        ? ms.bypassed[i]
-                        : 0;
-        out.bypassed.push_back(b);
+        if (m < fu.matrix_len && size_t(i) < ms.bypassed.size() &&
+            ms.bypassed[i]) {
+          packed |= uint8_t(1) << m;
+        }
       }
+      out.bypassed.push_back(packed);
     }
     // noise for this frame
+    out.frame_seed.push_back(fu.noise_seed);
+    out.frame_nshift.push_back(fu.noise_shift);
     uint32_t seed = fu.noise_seed;
     for (int32_t i = 0; i < L; i++) {
       uint32_t shifted = (seed >> 7) & 0xFFFF;
@@ -711,6 +717,8 @@ const int32_t* mp_mat_noise(void* h) { return R(h).mat_noise.data(); }
 const int32_t* mp_noise0(void* h) { return R(h).noise0.data(); }
 const int32_t* mp_noise1(void* h) { return R(h).noise1.data(); }
 const uint8_t* mp_bypassed(void* h) { return R(h).bypassed.data(); }
+const uint32_t* mp_frame_seed(void* h) { return R(h).frame_seed.data(); }
+const int32_t* mp_frame_nshift(void* h) { return R(h).frame_nshift.data(); }
 const int32_t* mp_fr_nblocks(void* h, int s) { return R(h).fr_nblocks[s].data(); }
 const uint8_t* mp_blk_restart(void* h, int s) { return R(h).blk_restart[s].data(); }
 const int32_t* mp_blk_len(void* h, int s) { return R(h).blk_len[s].data(); }
