@@ -384,14 +384,19 @@ def _wave_perm(parse, out_ch: int) -> np.ndarray:
 def _try_uniform(parse, F: int, frame_len: np.ndarray, T: int,
                  out_ch: int) -> np.ndarray | None:
     """Attempt the gather-free arena pipeline; None if the stream is not
-    uniform (varying block/frame sizes or uneven restart chains)."""
-    from ...ops.lfsr import _jump_columns
+    uniform (varying block/frame sizes or uneven restart chains).
 
+    Long tracks are split into fixed-size *chain chunks* (each a bucketed
+    number of restart chains): every chunk shares one small XLA program
+    (fast compile, reused forever) and chunks are dispatched
+    asynchronously so transfers and compute overlap."""
     L0 = int(frame_len[0])
     if not (frame_len == L0).all():
         return None
-    b = _ArenaBuilder()
-    T_pad = None
+
+    subs_info = []
+    n_chains = None
+    period = None  # samples per chain, must agree across substreams
     for s_idx in range(parse.substream_count):
         sub = parse.sub[s_idx]
         nb_keep = int(sub["fr_nblocks"][:F].sum())
@@ -411,41 +416,70 @@ def _try_uniform(parse, F: int, frame_len: np.ndarray, T: int,
         NB0 = int(chain_lens[0])
         if not (chain_lens == NB0).all():
             return None
-        Bc0 = nb_keep // NB0
-        Bc = _bucket(Bc0, lo=1)
-        tp = Bc * NB0 * S0
-        if T_pad is None:
-            T_pad = tp
-        elif tp != T_pad:
+        nc = nb_keep // NB0
+        per = NB0 * S0
+        if n_chains is None:
+            n_chains, period = nc, per
+        elif nc != n_chains or per != period:
             return None
+        subs_info.append((sub, nb_keep, S0, NB0))
+    if period % L0:
+        return None
 
-        def chainview(x, dtype, Bc=Bc, Bc0=Bc0, NB0=NB0):
-            out = np.zeros((Bc, NB0) + x.shape[1:], dtype=dtype)
-            out[:Bc0] = x[: Bc0 * NB0].reshape((Bc0, NB0) + x.shape[1:])
+    CHUNK = 128  # chains per chunk; fixed so every chunk shares a compile
+    pending = []
+    for c0 in range(0, n_chains, CHUNK):
+        c1 = min(c0 + CHUNK, n_chains)
+        pending.append(
+            (_dispatch_uniform_chunk(parse, subs_info, c0, c1, CHUNK,
+                                     period, L0, out_ch),
+             (c1 - c0) * period))
+    parts = [np.asarray(dev)[:n] for dev, n in pending]
+    out = parts[0] if len(parts) == 1 else np.concatenate(parts, axis=0)
+    return out[:T]
+
+
+def _dispatch_uniform_chunk(parse, subs_info, c0, c1, CHUNK, period, L0,
+                            out_ch):
+    """Build arenas for chains [c0, c1) and dispatch the pipeline (async);
+    returns the device array ([CHUNK*period, C_out], valid rows first)."""
+    from ...ops.lfsr import _jump_columns
+
+    b = _ArenaBuilder()
+    nc = c1 - c0
+    for s_idx, (sub, nb_keep, S0, NB0) in enumerate(subs_info):
+        blk0, blk1 = c0 * NB0, c1 * NB0
+
+        def chainview(x, dtype=None, blk0=blk0, blk1=blk1, NB0=NB0):
+            dtype = dtype or x.dtype
+            out = np.zeros((CHUNK, NB0) + x.shape[1:], dtype=dtype)
+            out[: (blk1 - blk0) // NB0] = (
+                x[blk0:blk1].reshape((-1, NB0) + x.shape[1:]))
             return out
 
-        res = _padded_residuals(sub, nb_keep, S0)
-        # residuals usually fit int16 (halves the dominant transfer); the
-        # dtype is part of the static spec so either variant compiles once
+        res = _padded_residuals_range(sub, blk0, blk1, S0)
         res_dtype = np.int16 if (np.abs(res) < 32768).all() else np.int32
-        b.add(f"s{s_idx}_res", chainview(res, res_dtype))
-        # filter coefficients are ≤16 bits by format (coeff_bits +
-        # coeff_shift ≤ 16, mlp.c:1043-1047) — int16 always safe
-        b.add(f"s{s_idx}_rc_fir", chainview(sub["rc_fir"][:nb_keep], np.int16))
-        b.add(f"s{s_idx}_rc_iir", chainview(sub["rc_iir"][:nb_keep], np.int16))
-        b.add(f"s{s_idx}_iir_init", chainview(sub["iir_init"][:nb_keep], np.int32))
-        b.add(f"s{s_idx}_shift", chainview(sub["shift"][:nb_keep], np.int8))
-        b.add(f"s{s_idx}_quant", chainview(sub["quant"][:nb_keep], np.int8))
+        b.add(f"s{s_idx}_res", chainview(res.reshape((blk1 - blk0,)
+                                                     + res.shape[1:]),
+                                         res_dtype))
+        b.add(f"s{s_idx}_rc_fir", chainview(sub["rc_fir"][blk0:blk1], np.int16))
+        b.add(f"s{s_idx}_rc_iir", chainview(sub["rc_iir"][blk0:blk1], np.int16))
+        b.add(f"s{s_idx}_iir_init", chainview(sub["iir_init"][blk0:blk1]))
+        b.add(f"s{s_idx}_shift", chainview(sub["shift"][blk0:blk1], np.int8))
+        b.add(f"s{s_idx}_quant", chainview(sub["quant"][blk0:blk1], np.int8))
         b.add(f"s{s_idx}_iir_reset",
-              chainview(sub["iir_reset"][:nb_keep], np.int8))
+              chainview(sub["iir_reset"][blk0:blk1], np.int8))
 
-    if T_pad % L0:
-        return None
+    T_pad = CHUNK * period
     F_pad = T_pad // L0
+    f0 = c0 * period // L0
+    f1 = c1 * period // L0
+    t0, t1 = f0 * L0, f1 * L0
 
     def padF(x, dtype=None):
-        pad = [(0, F_pad - F)] + [(0, 0)] * (x.ndim - 1)
-        out = np.pad(x[:F], pad)
+        seg = x[f0:f1]
+        pad = [(0, F_pad - seg.shape[0])] + [(0, 0)] * (x.ndim - 1)
+        out = np.pad(seg, pad)
         return out.astype(dtype) if dtype is not None else out
 
     b.add("mat_coeff", padF(parse.mat_coeff))
@@ -458,12 +492,20 @@ def _try_uniform(parse, F: int, frame_len: np.ndarray, T: int,
     b.add("frame_seed", padF(parse.frame_seed))
     b.add("frame_nshift", padF(parse.frame_nshift, np.int8))
     byp = np.zeros(T_pad, dtype=np.int8)
-    byp[:T] = parse.bypassed_packed[:T].view(np.int8)
+    byp[: t1 - t0] = parse.bypassed_packed[t0:t1].view(np.int8)
     b.add("byp", byp)
     K = max(1, int(np.ceil(np.log2(max(L0, 2)))))
     jumps = np.array([_jump_columns(k) for k in range(K)], dtype=np.uint32)
     b.add("jumps", jumps)
 
     (a4, a2, a1), spec = b.finish()
-    out = _uniform_arena_pipeline(a4, a2, a1, spec)
-    return np.asarray(out[:T])
+    return _uniform_arena_pipeline(a4, a2, a1, spec)
+
+
+def _padded_residuals_range(sub, blk0: int, blk1: int, S0: int) -> np.ndarray:
+    """Residuals for a block range → [nb, n_ch, S0] (uniform lengths)."""
+    n_ch = sub["shift"].shape[1]
+    flat = sub["residuals"]
+    lo = blk0 * n_ch * S0
+    hi = blk1 * n_ch * S0
+    return flat[lo:hi].reshape(blk1 - blk0, n_ch, S0)

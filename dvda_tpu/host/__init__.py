@@ -44,7 +44,8 @@ def _build() -> bool:
         return False
     try:
         subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-o", _SO] + sources,
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+             "-std=c++17", "-o", _SO] + sources,
             check=True, capture_output=True,
         )
         return True

@@ -55,6 +55,12 @@ const uint8_t kCrc8[256] = {
 struct ParseError {};  // frame-local error -> frame dropped
 
 // MSB-first big-endian bit reader over a byte span.
+//
+// Reads go through an unaligned 64-bit big-endian window load, so any
+// ≤32-bit field is one load + two shifts.  The root stream buffer is
+// padded with 8 zero bytes (Parser constructor), so window loads starting
+// at any in-range bit position never read unowned memory — even from
+// substream slices, which all alias the padded root buffer.
 struct BitReader {
   const uint8_t* data;
   int64_t nbits;
@@ -62,22 +68,17 @@ struct BitReader {
 
   BitReader(const uint8_t* d, int64_t nbytes) : data(d), nbits(nbytes * 8) {}
 
+  inline uint64_t window(int64_t bitpos) const {
+    uint64_t w;
+    std::memcpy(&w, data + (bitpos >> 3), 8);
+    return __builtin_bswap64(w) << (bitpos & 7);
+  }
+
   inline uint32_t read(int n) {
     if (pos + n > nbits) throw ParseError{};
-    uint32_t v = 0;
-    int64_t p = pos;
+    if (n == 0) return 0;
+    uint32_t v = uint32_t(window(pos) >> (64 - n));
     pos += n;
-    while (n > 0) {
-      int64_t byte = p >> 3;
-      int bit = int(p & 7);
-      int take = 8 - bit;
-      if (take > n) take = n;
-      uint32_t chunk = (uint32_t(data[byte]) >> (8 - bit - take)) &
-                       ((1u << take) - 1);
-      v = (v << take) | chunk;
-      p += take;
-      n -= take;
-    }
     return v;
   }
 
@@ -87,19 +88,9 @@ struct BitReader {
     return sign ? mag - (1 << (n - 1)) : mag;
   }
 
-  // peek up to 9 bits, zero-padded past the end (caller checks length)
+  // peek 9 bits, zero-padded past the end (the pad bytes are zero)
   inline uint32_t peek9() const {
-    uint32_t v = 0;
-    int64_t p = pos;
-    for (int i = 0; i < 9; i++) {
-      if (p < nbits) {
-        v = (v << 1) | ((data[p >> 3] >> (7 - (p & 7))) & 1);
-      } else {
-        v <<= 1;
-      }
-      p++;
-    }
-    return v;
+    return uint32_t(window(pos) >> 55);
   }
 
   inline void skip(int64_t n) {
@@ -183,6 +174,7 @@ struct Result {
 };
 
 struct Parser {
+  std::vector<uint8_t> padded;  // stream + 8 zero guard bytes
   const uint8_t* stream;
   int64_t size;
   const int32_t* lut_val;  // [4][512]: codebooks 0(unused),1,2,3
@@ -194,35 +186,58 @@ struct Parser {
   Substream ss[kMaxSubstreams];
   Result out;
 
-  // per-frame staging (committed only if the whole frame parses)
-  struct Staged {
-    struct Blk {
-      uint8_t restart;
-      int32_t len;
-      std::vector<int32_t> shift, quant;
-      std::vector<uint8_t> iir_reset;
-      std::vector<int32_t> rc_fir, rc_iir, iir_init;
-      std::vector<int32_t> residuals;
-    };
-    std::vector<Blk> blocks[2];
-    int32_t samples[2] = {0, 0};
-  } staged;
+  // Frame staging writes *directly* into the output vectors; a dropped
+  // frame rolls them back to the sizes recorded at frame start (avoids
+  // per-block vector allocations, which dominated parse time).
+  struct Marks {
+    size_t nblk[2], chan[2], tap[2], res[2];
+    int32_t samples[2];
+    int32_t blocks[2];
+  } marks;
+
+  void mark_frame() {
+    for (int s = 0; s < 2; s++) {
+      marks.nblk[s] = out.blk_len[s].size();
+      marks.chan[s] = out.blk_shift[s].size();
+      marks.tap[s] = out.blk_rc_fir[s].size();
+      marks.res[s] = out.residuals[s].size();
+      marks.samples[s] = 0;
+      marks.blocks[s] = 0;
+    }
+  }
+
+  void rollback_frame() {
+    for (int s = 0; s < 2; s++) {
+      out.blk_restart[s].resize(marks.nblk[s]);
+      out.blk_len[s].resize(marks.nblk[s]);
+      out.blk_shift[s].resize(marks.chan[s]);
+      out.blk_quant[s].resize(marks.chan[s]);
+      out.blk_iir_reset[s].resize(marks.chan[s]);
+      out.blk_rc_fir[s].resize(marks.tap[s]);
+      out.blk_rc_iir[s].resize(marks.tap[s]);
+      out.blk_iir_init[s].resize(marks.tap[s]);
+      out.residuals[s].resize(marks.res[s]);
+    }
+  }
 
   Parser(const uint8_t* d, int64_t n, const int32_t* lv, const int32_t* ll)
-      : stream(d), size(n), lut_val(lv), lut_len(ll) {}
+      : padded(size_t(n) + 8, 0), size(n), lut_val(lv), lut_len(ll) {
+    std::memcpy(padded.data(), d, size_t(n));
+    stream = padded.data();
+  }
 
   void run() {
     int64_t off = 0;
     while (size - off >= 4) {
       int32_t total = ((int32_t(stream[off] & 0x0F) << 8) | stream[off + 1]) * 2;
       if (total < 4 || off + total > size) break;
-      // snapshot sticky state so a dropped frame leaves no partial tensors
-      // (state mutations persist, as in the spec decoder)
-      staged = Staged{};
+      mark_frame();
       try {
         decode_frame(stream + off + 4, total - 4, off + total);
       } catch (ParseError&) {
-        // frame dropped; sticky state keeps whatever was parsed
+        // frame dropped; sticky state keeps whatever was parsed, but its
+        // partially-written tensors are rolled back
+        rollback_frame();
       }
       if (out.status) return;
       off += total;
@@ -289,7 +304,7 @@ struct Parser {
           1, base + ss[0].info_end, ss[1].info_end - ss[0].info_end,
           avail - ss[0].info_end, ss[0].info_checkdata /*reference quirk*/);
       if (f1 == 0) throw ParseError{};
-      if (staged.samples[1] != staged.samples[0]) {
+      if (marks.samples[1] != marks.samples[0]) {
         out.status = 1;  // bail: mismatched substream frame lengths
         return;
       }
@@ -341,18 +356,27 @@ struct Parser {
       out.status = 1;  // stream must begin with a restart header
       throw ParseError{};
     }
-    // record the block
-    Staged::Blk blk;
-    blk.restart = restart ? 1 : 0;
-    blk.len = u.block_size;
+    // write the block's tensors straight into the output arrays
     int n_ch = u.max_ch - u.min_ch + 1;
-    blk.shift.resize(n_ch);
-    blk.quant.resize(n_ch);
-    blk.iir_reset.assign(n_ch, 0);
-    blk.rc_fir.assign(size_t(n_ch) * 8, 0);
-    blk.rc_iir.assign(size_t(n_ch) * 8, 0);
-    blk.iir_init.assign(size_t(n_ch) * 8, 0);
-    blk.residuals.resize(size_t(n_ch) * u.block_size);
+    out.blk_restart[s].push_back(restart ? 1 : 0);
+    out.blk_len[s].push_back(u.block_size);
+    size_t chan0 = out.blk_shift[s].size();
+    size_t tap0 = out.blk_rc_fir[s].size();
+    out.blk_shift[s].resize(chan0 + n_ch);
+    out.blk_quant[s].resize(chan0 + n_ch);
+    out.blk_iir_reset[s].resize(chan0 + n_ch, 0);
+    out.blk_rc_fir[s].resize(tap0 + size_t(n_ch) * 8, 0);
+    out.blk_rc_iir[s].resize(tap0 + size_t(n_ch) * 8, 0);
+    out.blk_iir_init[s].resize(tap0 + size_t(n_ch) * 8, 0);
+    size_t res0 = out.residuals[s].size();
+    out.residuals[s].resize(res0 + size_t(n_ch) * u.block_size);
+
+    int32_t* p_shift = out.blk_shift[s].data() + chan0;
+    int32_t* p_quant = out.blk_quant[s].data() + chan0;
+    uint8_t* p_irst = out.blk_iir_reset[s].data() + chan0;
+    int32_t* p_fir = out.blk_rc_fir[s].data() + tap0;
+    int32_t* p_iir = out.blk_rc_iir[s].data() + tap0;
+    int32_t* p_init = out.blk_iir_init[s].data() + tap0;
 
     for (int i = 0; i < n_ch; i++) {
       ChannelParams& cp = u.ch[u.min_ch + i];
@@ -366,22 +390,22 @@ struct Parser {
       } else {
         shift = cp.iir.shift;
       }
-      blk.shift[i] = shift;
-      blk.quant[i] = u.quant[u.min_ch + i];
+      p_shift[i] = shift;
+      p_quant[i] = u.quant[u.min_ch + i];
       for (int j = 0; j < cp.fir.order; j++)
-        blk.rc_fir[size_t(i) * 8 + 7 - j] = cp.fir.coeff[j];
+        p_fir[size_t(i) * 8 + 7 - j] = cp.fir.coeff[j];
       for (int j = 0; j < cp.iir.order; j++)
-        blk.rc_iir[size_t(i) * 8 + 7 - j] = cp.iir.coeff[j];
+        p_iir[size_t(i) * 8 + 7 - j] = cp.iir.coeff[j];
       if (iir_reloaded[u.min_ch + i]) {
-        blk.iir_reset[i] = 1;
+        p_irst[i] = 1;
         for (int j = 0; j < cp.iir.state_len; j++)
-          blk.iir_init[size_t(i) * 8 + 8 - cp.iir.state_len + j] =
+          p_init[size_t(i) * 8 + 8 - cp.iir.state_len + j] =
               cp.iir.state[j];
       }
     }
-    read_residuals(u, r, blk, n_ch);
-    staged.blocks[s].push_back(std::move(blk));
-    staged.samples[s] += u.block_size;
+    read_residuals(u, r, out.residuals[s].data() + res0, n_ch);
+    marks.samples[s] += u.block_size;
+    marks.blocks[s] += 1;
     return u.block_size;
   }
 
@@ -545,7 +569,7 @@ struct Parser {
     }
   }
 
-  void read_residuals(Substream& u, BitReader& r, Staged::Blk& blk, int n_ch) {
+  void read_residuals(Substream& u, BitReader& r, int32_t* dst, int n_ch) {
     int32_t lsb_bits[kMaxChannels];
     int32_t offsets[kMaxChannels];
     for (int i = 0; i < n_ch; i++) {
@@ -588,7 +612,7 @@ struct Parser {
         int32_t v = int32_t(uint32_t(
             uint32_t((msb << lsb_bits[ci]) + int32_t(lsb) + offsets[ci])
             << q));
-        blk.residuals[size_t(ci) * bs + i] = v;
+        dst[size_t(ci) * bs + i] = v;
       }
     }
   }
@@ -659,25 +683,8 @@ struct Parser {
     fu.noise_seed = seed;
 
     for (int s = 0; s < substream_count; s++) {
-      out.fr_nblocks[s].push_back(int32_t(staged.blocks[s].size()));
-      for (auto& blk : staged.blocks[s]) {
-        out.blk_restart[s].push_back(blk.restart);
-        out.blk_len[s].push_back(blk.len);
-        auto app = [](std::vector<int32_t>& dst, std::vector<int32_t>& src) {
-          dst.insert(dst.end(), src.begin(), src.end());
-        };
-        app(out.blk_shift[s], blk.shift);
-        app(out.blk_quant[s], blk.quant);
-        out.blk_iir_reset[s].insert(out.blk_iir_reset[s].end(),
-                                    blk.iir_reset.begin(),
-                                    blk.iir_reset.end());
-        app(out.blk_rc_fir[s], blk.rc_fir);
-        app(out.blk_rc_iir[s], blk.rc_iir);
-        app(out.blk_iir_init[s], blk.iir_init);
-        app(out.residuals[s], blk.residuals);
-      }
+      out.fr_nblocks[s].push_back(marks.blocks[s]);
     }
-    staged = Staged{};
   }
 };
 
