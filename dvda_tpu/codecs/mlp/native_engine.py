@@ -450,18 +450,20 @@ def _dispatch_uniform_chunk(parse, subs_info, c0, c1, CHUNK, period, L0,
     for s_idx, (sub, nb_keep, S0, NB0) in enumerate(subs_info):
         blk0, blk1 = c0 * NB0, c1 * NB0
 
-        def chainview(x, dtype=None, blk0=blk0, blk1=blk1, NB0=NB0):
+        def chainview(x, dtype=None, NB0=NB0):
+            """Pre-sliced block-range array [(blk1-blk0), …] → chain view
+            [CHUNK, NB0, …] (zero-padded trailing chains)."""
             dtype = dtype or x.dtype
             out = np.zeros((CHUNK, NB0) + x.shape[1:], dtype=dtype)
-            out[: (blk1 - blk0) // NB0] = (
-                x[blk0:blk1].reshape((-1, NB0) + x.shape[1:]))
+            out[: x.shape[0] // NB0] = x.reshape((-1, NB0) + x.shape[1:])
             return out
 
         res = _padded_residuals_range(sub, blk0, blk1, S0)
         res_dtype = np.int16 if (np.abs(res) < 32768).all() else np.int32
-        b.add(f"s{s_idx}_res", chainview(res.reshape((blk1 - blk0,)
-                                                     + res.shape[1:]),
-                                         res_dtype))
+        res_c = np.zeros((CHUNK, NB0) + res.shape[1:], dtype=res_dtype)
+        res_c[: (blk1 - blk0) // NB0] = res.reshape(
+            (-1, NB0) + res.shape[1:])
+        b.add(f"s{s_idx}_res", res_c)
         b.add(f"s{s_idx}_rc_fir", chainview(sub["rc_fir"][blk0:blk1], np.int16))
         b.add(f"s{s_idx}_rc_iir", chainview(sub["rc_iir"][blk0:blk1], np.int16))
         b.add(f"s{s_idx}_iir_init", chainview(sub["iir_init"][blk0:blk1]))

@@ -104,3 +104,20 @@ def test_native_api_multitrack_parity(tmp_path, ref_oracle):
                           samples.shape[0])
         assert hdr + pack_samples_le(samples, reader.bits_per_sample) \
             == golden[f"track-01-{n:02d}.wav"], f"track {n}"
+
+
+def test_native_multichunk_streams():
+    """>128 restart chains exercises the chunked arena path (each chunk a
+    separate async device dispatch sharing one compiled program)."""
+    for nfr, re_ in [(300, 1), (180, 1)]:
+        cfg = MlpSynthConfig(channel_assignment=17, substream_count=2,
+                             n_frames=nfr, restart_every=re_,
+                             major_sync_every=re_, seed=3,
+                             fir_across_restart=False)
+        stream = synth_mlp_stream(cfg)
+        params = stream_params(cfg)
+        spec = MlpDecoder(params)
+        spec.decode_bytes(stream)
+        a = spec.take_frames()
+        b = decode_native(stream, np.zeros(0, np.int64), len(stream), params)
+        assert b is not None and np.array_equal(a, b), (nfr, re_)
