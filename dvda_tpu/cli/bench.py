@@ -1,0 +1,127 @@
+#!/usr/bin/env python
+"""Benchmark: end-to-end MLP 5.1/96 kHz decode throughput per chip.
+
+Prints ONE JSON line to stdout:
+    {"metric": ..., "value": N, "unit": "x-realtime", "vs_baseline": N}
+
+* value — steady-state end-to-end realtime multiple for decoding a
+  synthetic 5.1/96 kHz/24-bit MLP track (native C++ parse + batched device
+  pipeline), the BASELINE.json headline config.
+* vs_baseline — our throughput divided by the reference ``dvda2wav``
+  binary's measured throughput on the *same* disc (the reference publishes
+  no numbers, so the baseline is measured; BASELINE.md).
+
+Diagnostics (sub-timings, PCM config, device info) go to stderr.
+"""
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+SECONDS_OF_AUDIO = 8  # per timed decode
+RATE = 96000
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def build_disc(tmp):
+    from ..testutil.mlp_synth import MlpSynthConfig, synth_mlp_stream
+    from ..testutil.synth import MlpTrackSpec, build_disc as _bd
+
+    frames_per = 2 * 40  # blocks_per_frame * block_size
+    n_frames = SECONDS_OF_AUDIO * RATE // frames_per
+    cfg = MlpSynthConfig(
+        channel_assignment=17, substream_count=2, bits_per_sample=24,
+        sample_rate=RATE, n_frames=n_frames, blocks_per_frame=2,
+        block_size=40, major_sync_every=8, restart_every=8, seed=7,
+        # real (seekable) encoders reset filters at restarts; this keeps
+        # restart chains independent, which is what the engine parallelises
+        fir_across_restart=False,
+    )
+    stream = synth_mlp_stream(cfg)
+    spec = MlpTrackSpec(mlp_stream=stream, pcm_frames=cfg.total_pcm_frames,
+                        sample_rate=RATE, channel_assignment=17)
+    layout = _bd(os.path.join(tmp, "AUDIO_TS"), [[spec]])
+    return layout, cfg.total_pcm_frames / RATE
+
+
+def time_reference(audio_ts, tmp):
+    """Wall-time the reference dvda2wav on the disc; None if unavailable."""
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    binary = os.path.join(repo, ".refbuild", "dvda2wav")
+    if not os.path.exists(binary):
+        try:
+            subprocess.run([os.path.join(repo, "tools", "build_reference_oracle.sh")],
+                           check=True, capture_output=True, timeout=300)
+        except Exception:
+            return None
+    if not os.path.exists(binary):
+        return None
+    out = os.path.join(tmp, "refout")
+    os.makedirs(out, exist_ok=True)
+    best = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        subprocess.run([binary, "-A", audio_ts, "-d", out],
+                       check=True, capture_output=True)
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return best
+
+
+def main(argv=None):
+    del argv
+    import jax
+
+    from ..api import DVDA
+
+    log(f"devices: {jax.devices()}")
+    with tempfile.TemporaryDirectory() as tmp:
+        layout, audio_seconds = build_disc(tmp)
+        log(f"synthetic disc: {audio_seconds:.1f}s of 5.1/96k/24-bit MLP")
+
+        ref_dt = time_reference(layout.path, tmp)
+        if ref_dt:
+            log(f"reference dvda2wav: {ref_dt:.2f}s = "
+                f"{audio_seconds / ref_dt:.1f}x realtime")
+
+        def decode_once():
+            reader = (DVDA(layout.path).open_titleset(1).open_title(1)
+                      .open_track(1).open_reader(use_device=True))
+            out = reader.read_all()
+            return out
+
+        t0 = time.perf_counter()
+        out = decode_once()
+        warm = time.perf_counter() - t0
+        log(f"warm-up (incl. compile): {warm:.1f}s, decoded {out.shape}")
+        assert out.shape[0] == round(audio_seconds * RATE)
+
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            decode_once()
+            times.append(time.perf_counter() - t0)
+        dt = min(times)
+        value = audio_seconds / dt
+        log(f"steady-state: {dt * 1000:.0f} ms → {value:.1f}x realtime "
+            f"(runs: {[f'{t:.3f}' for t in times]})")
+
+        vs_baseline = (value / (audio_seconds / ref_dt)) if ref_dt else None
+        print(json.dumps({
+            "metric": "MLP 5.1/96kHz end-to-end decode throughput per chip",
+            "value": round(value, 2),
+            "unit": "x-realtime",
+            "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
+        }))
+
+
+if __name__ == "__main__":
+    main()

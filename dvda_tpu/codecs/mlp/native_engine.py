@@ -426,7 +426,9 @@ def _try_uniform(parse, F: int, frame_len: np.ndarray, T: int,
     if period % L0:
         return None
 
-    CHUNK = 128  # chains per chunk; fixed so every chunk shares a compile
+    # chains per chunk: fixed so every chunk shares one compiled program;
+    # large enough that per-chunk dispatch round-trips stay negligible
+    CHUNK = 512
     pending = []
     for c0 in range(0, n_chains, CHUNK):
         c1 = min(c0 + CHUNK, n_chains)
@@ -434,9 +436,12 @@ def _try_uniform(parse, F: int, frame_len: np.ndarray, T: int,
             (_dispatch_uniform_chunk(parse, subs_info, c0, c1, CHUNK,
                                      period, L0, out_ch),
              (c1 - c0) * period))
-    parts = [np.asarray(dev)[:n] for dev, n in pending]
-    out = parts[0] if len(parts) == 1 else np.concatenate(parts, axis=0)
-    return out[:T]
+    if len(pending) == 1:
+        dev, n = pending[0]
+        return np.asarray(dev[:min(n, T)])[:T]
+    # concatenate the valid spans on device → a single d2h transfer
+    joined = jnp.concatenate([dev[:n] for dev, n in pending], axis=0)
+    return np.asarray(joined[:T])
 
 
 def _dispatch_uniform_chunk(parse, subs_info, c0, c1, CHUNK, period, L0,

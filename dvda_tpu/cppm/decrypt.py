@@ -126,6 +126,15 @@ class CppmDecryptor:
         sectors = np.ascontiguousarray(sectors).copy()
         if sectors.size == 0:
             return sectors
+        if not self._device_enabled(sectors.shape[0]):
+            # native host path (host/src/c2.cc) when available
+            from .. import host
+
+            done = host.c2_decrypt_sectors(sectors, self.media_key,
+                                           self.id_album_media,
+                                           self.preserve_cci)
+            if done is not None:
+                return sectors
         # pack-header sync + PES scrambling control (cppm.c:568-574)
         is_pack = ((sectors[:, 0] == 0) & (sectors[:, 1] == 0)
                    & (sectors[:, 2] == 1) & (sectors[:, 3] == 0xBA))

@@ -28,7 +28,8 @@ import subprocess
 
 import numpy as np
 
-__all__ = ["available", "parse_mlp_stream", "NativeParse"]
+__all__ = ["available", "parse_mlp_stream", "NativeParse",
+           "c2_decrypt_sectors"]
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SO = os.path.join(_DIR, "libdvda_host.so")
@@ -107,6 +108,9 @@ def _load():
     lib.mp_frame_seed.argtypes = [c.c_void_p]
     lib.mp_frame_nshift.restype = c.POINTER(c.c_int32)
     lib.mp_frame_nshift.argtypes = [c.c_void_p]
+    lib.c2_decrypt_sectors.restype = c.c_int64
+    lib.c2_decrypt_sectors.argtypes = [c.c_void_p, c.c_int64, c.c_uint64,
+                                       c.c_uint64, c.c_int32]
     for name in ("mp_fr_nblocks", "mp_blk_len", "mp_blk_shift",
                  "mp_blk_quant", "mp_blk_rc_fir",
                  "mp_blk_rc_iir", "mp_blk_iir_init", "mp_residuals"):
@@ -212,3 +216,17 @@ def parse_mlp_stream(data: bytes) -> NativeParse | None:
         return NativeParse(lib, h)
     finally:
         lib.mlp_parse_free(h)
+
+
+def c2_decrypt_sectors(sectors: np.ndarray, media_key: int, album_id: int,
+                       preserve_cci: bool) -> int | None:
+    """Native in-place CPPM sector decryption (host/src/c2.cc); returns the
+    number of encrypted sectors handled, or None if the library is
+    unavailable.  ``sectors`` must be a contiguous uint8 [N, 2048]."""
+    lib = _load()
+    if lib is None:
+        return None
+    assert sectors.dtype == np.uint8 and sectors.flags.c_contiguous
+    return int(lib.c2_decrypt_sectors(
+        sectors.ctypes.data_as(ctypes.c_void_p), sectors.shape[0],
+        media_key, album_id, 1 if preserve_cci else 0))
