@@ -175,16 +175,31 @@ class MlpDecoder:
             frame = self._next_frame()
             if frame is None:
                 return decoded
+            # snapshot per-sample state so a dropped frame is state-neutral
+            state_snap = [
+                (list(ss.channels[c].fir.state), list(ss.channels[c].iir.state))
+                for ss in self.substreams for c in range(MAX_CHANNELS)
+            ]
             try:
                 decoded += self._decode_frame(frame)
             except (MlpFrameError, BitstreamError):
-                # frame dropped; stream continues with the next one.  A
-                # mid-frame failure can leave partially-appended channel
-                # buffers behind (the reference leaks those into the next
-                # frame's output or crashes on its asserts; we discard them
-                # for deterministic corrupt-stream behaviour).
+                # Frame dropped; stream continues with the next one.  The
+                # reference partially processes bad frames (advancing filter
+                # state, sometimes emitting partial sample runs, sometimes
+                # crashing on asserts/stale memory); for deterministic
+                # behaviour — and so all three engines agree — a dropped
+                # frame here leaves NO trace on per-sample state: channel
+                # buffers are discarded and filter states restored.  Sticky
+                # *parameters* parsed before the error persist, as in the
+                # reference.
                 for fl in self._framelist:
                     fl.clear()
+                it = iter(state_snap)
+                for ss in self.substreams:
+                    for c in range(MAX_CHANNELS):
+                        fir_st, iir_st = next(it)
+                        ss.channels[c].fir.state = fir_st
+                        ss.channels[c].iir.state = iir_st
                 continue
 
     def _next_frame(self) -> bytes | None:
@@ -483,6 +498,10 @@ class MlpDecoder:
         for c in range(ss.min_channel, ss.max_channel + 1):
             ch = ss.channels[c]
             lb = ch.huffman_lsbs - ss.quant_step_size[c]
+            if lb < 0:
+                # the reference's unsigned width wraps huge and aborts the
+                # read (frame drop); treat negative widths as a stream error
+                raise MlpFrameError("huffman_lsbs < quant_step_size")
             lsb_bits[c] = lb
             if ch.codebook:
                 sign_shift = lb + 2 - ch.codebook
@@ -563,6 +582,12 @@ class MlpDecoder:
         """rematrix_channels (mlp.c:1308-1358): LFSR noise pair + sequential
         in-place matrix application over the whole frame."""
         n = len(self._framelist[0])
+        # corrupt streams can leave channels ragged (the reference reads or
+        # writes stale memory there); zero-fill so rematrixing is defined
+        for c in range(ss.max_matrix_channel + 1):
+            fl = self._framelist[c]
+            if len(fl) < n:
+                fl.extend([0] * (n - len(fl)))
         seed = ss.noise_gen_seed
         noise0, noise1 = [], []
         shift = ss.noise_shift
