@@ -44,6 +44,8 @@ def build_disc(tmp):
         # real (seekable) encoders reset filters at restarts; this keeps
         # restart chains independent, which is what the engine parallelises
         fir_across_restart=False,
+        # real encoders re-send decoding parameters at restarts only
+        params_update_prob=0.0,
     )
     stream = synth_mlp_stream(cfg)
     spec = MlpTrackSpec(mlp_stream=stream, pcm_frames=cfg.total_pcm_frames,

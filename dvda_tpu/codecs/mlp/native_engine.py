@@ -125,11 +125,31 @@ def _uniform_arena_pipeline(a4, a2, a1, spec):
 
         state0 = jnp.zeros((Bc * n_ch, 8), jnp.int32)
         block_len = jnp.full((Bc * n_ch, NB0), S0, jnp.int32)
+        if f"s{i}_rc_fir_c" in arrs:
+            # per-chain parameter rows broadcast across the chain's blocks
+            def bc(x):
+                return jnp.broadcast_to(
+                    x[:, None], (Bc, NB0) + x.shape[1:])
+
+            rc_fir = bc(i32(f"s{i}_rc_fir_c"))
+            rc_iir = bc(i32(f"s{i}_rc_iir_c"))
+            shift_b = bc(i32(f"s{i}_shift_c"))
+            quant_b = bc(i32(f"s{i}_quant_c"))
+            iir_init = bc(i32(f"s{i}_iir_init_c"))
+            r0 = arrs[f"s{i}_iir_reset_c"] != 0           # [Bc, n_ch]
+            iir_reset = jnp.concatenate(
+                [r0[:, None], jnp.zeros((Bc, NB0 - 1, n_ch), bool)], axis=1)
+        else:
+            rc_fir = i32(f"s{i}_rc_fir")
+            rc_iir = i32(f"s{i}_rc_iir")
+            shift_b = i32(f"s{i}_shift")
+            quant_b = i32(f"s{i}_quant")
+            iir_init = i32(f"s{i}_iir_init")
+            iir_reset = arrs[f"s{i}_iir_reset"] != 0
         out, _, _ = mlp_filter_blocks(
-            pack(res), pack(i32(f"s{i}_rc_fir")), pack(i32(f"s{i}_rc_iir")),
-            pack(i32(f"s{i}_shift")), pack(i32(f"s{i}_quant")),
-            pack(arrs[f"s{i}_iir_reset"] != 0),
-            pack(i32(f"s{i}_iir_init")), block_len, state0, state0,
+            pack(res), pack(rc_fir), pack(rc_iir),
+            pack(shift_b), pack(quant_b), pack(iir_reset),
+            pack(iir_init), block_len, state0, state0,
         )
         out = out.reshape(Bc, n_ch, NB0 * S0)
         series_rows.append(out.transpose(1, 0, 2).reshape(n_ch, -1))
@@ -469,13 +489,36 @@ def _dispatch_uniform_chunk(parse, subs_info, c0, c1, CHUNK, period, L0,
         res_c[: (blk1 - blk0) // NB0] = res.reshape(
             (-1, NB0) + res.shape[1:])
         b.add(f"s{s_idx}_res", res_c)
-        b.add(f"s{s_idx}_rc_fir", chainview(sub["rc_fir"][blk0:blk1], np.int16))
-        b.add(f"s{s_idx}_rc_iir", chainview(sub["rc_iir"][blk0:blk1], np.int16))
-        b.add(f"s{s_idx}_iir_init", chainview(sub["iir_init"][blk0:blk1]))
-        b.add(f"s{s_idx}_shift", chainview(sub["shift"][blk0:blk1], np.int8))
-        b.add(f"s{s_idx}_quant", chainview(sub["quant"][blk0:blk1], np.int8))
-        b.add(f"s{s_idx}_iir_reset",
-              chainview(sub["iir_reset"][blk0:blk1], np.int8))
+
+        rcF = chainview(sub["rc_fir"][blk0:blk1], np.int16)
+        rcI = chainview(sub["rc_iir"][blk0:blk1], np.int16)
+        init = chainview(sub["iir_init"][blk0:blk1])
+        shift = chainview(sub["shift"][blk0:blk1], np.int8)
+        quant = chainview(sub["quant"][blk0:blk1], np.int8)
+        irst = chainview(sub["iir_reset"][blk0:blk1], np.int8)
+        # real encoders set filter/coding parameters at restarts only; when
+        # every block of a chain repeats block 0's parameters (and IIR
+        # resets only happen at chain starts), ship one row per chain —
+        # NB0× less coefficient traffic through the tunnel
+        per_chain = (
+            (rcF == rcF[:, :1]).all() and (rcI == rcI[:, :1]).all()
+            and (shift == shift[:, :1]).all() and (quant == quant[:, :1]).all()
+            and not irst[:, 1:].any()
+        )
+        if per_chain:
+            b.add(f"s{s_idx}_rc_fir_c", rcF[:, 0].copy())
+            b.add(f"s{s_idx}_rc_iir_c", rcI[:, 0].copy())
+            b.add(f"s{s_idx}_iir_init_c", init[:, 0].copy())
+            b.add(f"s{s_idx}_shift_c", shift[:, 0].copy())
+            b.add(f"s{s_idx}_quant_c", quant[:, 0].copy())
+            b.add(f"s{s_idx}_iir_reset_c", irst[:, 0].copy())
+        else:
+            b.add(f"s{s_idx}_rc_fir", rcF)
+            b.add(f"s{s_idx}_rc_iir", rcI)
+            b.add(f"s{s_idx}_iir_init", init)
+            b.add(f"s{s_idx}_shift", shift)
+            b.add(f"s{s_idx}_quant", quant)
+            b.add(f"s{s_idx}_iir_reset", irst)
 
     T_pad = CHUNK * period
     F_pad = T_pad // L0

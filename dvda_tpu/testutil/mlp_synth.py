@@ -55,6 +55,10 @@ class MlpSynthConfig:
     end_marker: bool = True
     # exercise the reference's cross-restart FIR state carry-over
     fir_across_restart: bool = True
+    # probability of re-sending decoding parameters outside restart blocks
+    # (real encoders mostly set parameters at restarts; 0.3 stresses the
+    # sticky state machine)
+    params_update_prob: float = 0.3
 
     @property
     def channels(self) -> int:
@@ -293,7 +297,9 @@ class _GenSubstream:
     # ------------------------------------------------------------ substream
 
     def emit_substream(self, restart: bool, blocks: int,
-                       params_prob: float = 0.3) -> bytes:
+                       params_prob: float | None = None) -> bytes:
+        if params_prob is None:
+            params_prob = self.cfg.params_update_prob
         w = BitWriter()
         rng = self.rng
         for b in range(blocks):
