@@ -306,7 +306,11 @@ class TrackReader:
         if not chunk_arrays:
             return np.zeros((0, ch), dtype=np.int32)
         all_chunks = np.concatenate(chunk_arrays, axis=0)
-        if self._device_enabled():
+        # PCM unpack is pure data movement: the vectorised numpy path runs
+        # at memcpy speed on the host, so the device kernel only pays off
+        # when explicitly requested (e.g. the data is device-resident
+        # anyway or host cores are saturated).  Auto mode stays host-side.
+        if self.use_device is True:
             from .ops.pcm_unpack import decode_chunks_device
 
             return np.asarray(decode_chunks_device(all_chunks, bps, ch))

@@ -102,6 +102,8 @@ def _uniform_arena_pipeline(a4, a2, a1, spec):
     arenas = {4: a4, 2: a2, 1: a1}
     arrs = {}
     for name, width, off, shape, dtype in spec:
+        if dtype == "flag":  # static marker entries carry no data
+            continue
         n = int(np.prod(shape)) if shape else 1
         x = jax.lax.slice(arenas[width], (off,), (off + n,)).reshape(shape)
         if dtype == "uint32":
@@ -189,12 +191,20 @@ def _uniform_arena_pipeline(a4, a2, a1, spec):
     byp = ((byp_bits[:, None] >> jnp.arange(6, dtype=jnp.int32)) & 1)
     byp = byp.reshape(F_pad, L0, 6).transpose(0, 2, 1)  # [F_pad, 6, L0]
 
-    channels = rematrix_frames(channels, noise, arrs["mat_coeff"],
-                               arrs["mat_noise"], i32("mat_out"),
+    channels = rematrix_frames(channels, noise, i32("mat_coeff"),
+                               i32("mat_noise"), i32("mat_out"),
                                arrs["mat_active"] != 0, i32("mat_quant"),
                                byp)
     staged = apply_output_stage(channels, i32("out_shift"), i32("wave_perm"))
-    return staged.reshape(T_pad, staged.shape[-1])
+    staged = staged.reshape(T_pad, staged.shape[-1])
+    if any(name == "__pack24__" for name, *_ in spec):
+        # 24-bit little-endian byte packing on device: [T_pad, C_out*3]
+        b0 = (staged & 0xFF).astype(jnp.uint8)
+        b1 = ((staged >> 8) & 0xFF).astype(jnp.uint8)
+        b2 = ((staged >> 16) & 0xFF).astype(jnp.uint8)
+        packed = jnp.stack([b0, b1, b2], axis=-1)
+        return packed.reshape(T_pad, -1)
+    return staged
 
 
 class _ArenaBuilder:
@@ -297,7 +307,8 @@ def decode_native(stream: bytes, boundaries: np.ndarray, probe_end: int,
     T = int(frame_len.sum())
     Tb = _bucket(T)
 
-    uniform = _try_uniform(parse, F, frame_len, T, out_ch)
+    uniform = _try_uniform(parse, F, frame_len, T, out_ch,
+                           parameters.bits_per_sample)
     if uniform is not None:
         return uniform
 
@@ -402,7 +413,7 @@ def _wave_perm(parse, out_ch: int) -> np.ndarray:
 
 
 def _try_uniform(parse, F: int, frame_len: np.ndarray, T: int,
-                 out_ch: int) -> np.ndarray | None:
+                 out_ch: int, bits_per_sample: int = 24) -> np.ndarray | None:
     """Attempt the gather-free arena pipeline; None if the stream is not
     uniform (varying block/frame sizes or uneven restart chains).
 
@@ -449,23 +460,30 @@ def _try_uniform(parse, F: int, frame_len: np.ndarray, T: int,
     # chains per chunk: fixed so every chunk shares one compiled program;
     # large enough that per-chunk dispatch round-trips stay negligible
     CHUNK = 512
+    pack24 = bits_per_sample == 24
     pending = []
     for c0 in range(0, n_chains, CHUNK):
         c1 = min(c0 + CHUNK, n_chains)
         pending.append(
             (_dispatch_uniform_chunk(parse, subs_info, c0, c1, CHUNK,
-                                     period, L0, out_ch),
+                                     period, L0, out_ch, pack24=pack24),
              (c1 - c0) * period))
     if len(pending) == 1:
         dev, n = pending[0]
-        return np.asarray(dev[:min(n, T)])[:T]
-    # concatenate the valid spans on device → a single d2h transfer
-    joined = jnp.concatenate([dev[:n] for dev, n in pending], axis=0)
-    return np.asarray(joined[:T])
+        raw = np.asarray(dev[:min(n, T)])[:T]
+    else:
+        # concatenate the valid spans on device → a single d2h transfer
+        joined = jnp.concatenate([dev[:n] for dev, n in pending], axis=0)
+        raw = np.asarray(joined[:T])
+    if not pack24:
+        return raw
+    b = raw.reshape(T, out_ch, 3).astype(np.int32)
+    v = b[..., 0] | (b[..., 1] << 8) | (b[..., 2] << 16)
+    return ((v ^ 0x800000) - 0x800000).astype(np.int32)
 
 
 def _dispatch_uniform_chunk(parse, subs_info, c0, c1, CHUNK, period, L0,
-                            out_ch):
+                            out_ch, pack24=False):
     """Build arenas for chains [c0, c1) and dispatch the pipeline (async);
     returns the device array ([CHUNK*period, C_out], valid rows first)."""
     from ...ops.lfsr import _jump_columns
@@ -532,8 +550,10 @@ def _dispatch_uniform_chunk(parse, subs_info, c0, c1, CHUNK, period, L0,
         out = np.pad(seg, pad)
         return out.astype(dtype) if dtype is not None else out
 
-    b.add("mat_coeff", padF(parse.mat_coeff))
-    b.add("mat_noise", padF(parse.mat_noise))
+    # matrix coefficients are ≤16-bit by format ((frac+2 ≤ 16)-bit values
+    # scaled to 14 fractional bits, mlp.c:1016-1019) — int16 safe
+    b.add("mat_coeff", padF(parse.mat_coeff, np.int16))
+    b.add("mat_noise", padF(parse.mat_noise, np.int16))
     b.add("mat_out", padF(parse.mat_out, np.int8))
     b.add("mat_active", padF(parse.mat_active, np.int8))
     b.add("mat_quant", padF(parse.mat_quant, np.int8))
@@ -549,6 +569,8 @@ def _dispatch_uniform_chunk(parse, subs_info, c0, c1, CHUNK, period, L0,
     b.add("jumps", jumps)
 
     (a4, a2, a1), spec = b.finish()
+    # 24-bit streams return device-packed 3-byte samples (25% less d2h)
+    spec = spec + (("__pack24__", 0, 0, (), "flag"),) if pack24 else spec
     return _uniform_arena_pipeline(a4, a2, a1, spec)
 
 
