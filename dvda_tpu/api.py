@@ -31,7 +31,6 @@ from .codecs.params import (
     MLP_CODEC_ID,
     PCM_CODEC_ID,
     PTS_PER_SECOND,
-    StreamParameters,
 )
 
 __all__ = ["DVDA", "Titleset", "Title", "Track", "TrackReader", "open_disc"]

@@ -29,7 +29,7 @@ from typing import Iterator
 import numpy as np
 
 from ..bitstream import BitReader, BitstreamError
-from .aob import AOBReader, SECTOR_SIZE
+from .aob import AOBReader
 
 __all__ = [
     "AUDIO_STREAM_ID",

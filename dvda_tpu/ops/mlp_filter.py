@@ -28,8 +28,6 @@ Arithmetic is exactly C's: int64 accumulate via limb decomposition, then
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 
