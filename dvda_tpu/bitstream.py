@@ -407,6 +407,26 @@ class BitWriter:
     def write_signed_le(self, n: int, value: int) -> None:
         self.write_le(n, value & ((1 << n) - 1))
 
+    def build(self, fmt: str, *values) -> None:
+        """Inverse of BitReader.parse: write values per the format string
+        (reference: bw build, bitstream.h:758-790)."""
+        it = iter(values)
+        for count, code in _parse_format(fmt):
+            if code == "u":
+                self.write(count, next(it))
+            elif code == "s":
+                self.write_signed(count, next(it))
+            elif code == "p":
+                self.write(count, 0)
+            elif code == "P":
+                self.write_bytes(bytes(count))
+            elif code == "b":
+                data = next(it)
+                assert len(data) == count
+                self.write_bytes(data)
+            elif code == "a":
+                self.byte_align()
+
     # -- positions ----------------------------------------------------------
 
     def getpos(self) -> int:

@@ -36,6 +36,8 @@ __all__ = [
     "decode_tree",
     "encode_map",
     "codebook_value_range",
+    "compile_entries",
+    "load_codebook_json",
 ]
 
 MAX_CODE_LEN = 9
@@ -70,26 +72,61 @@ CODEBOOKS: dict[int, list[tuple[str, int | None]]] = {
 }
 
 
+def compile_entries(entries, max_len: int | None = None):
+    """Generic codebook compiler: ``entries`` is a list of
+    (code-bit-string, value-or-None); returns flat peek tables
+    ``(values, lengths)`` of size 2^max_len.
+
+    This is the rebuild's analog of the reference's runtime Huffman
+    compiler (compile_br_huffman_table, huffman.h:84): any prefix-free
+    codebook — not just the three MLP ones — compiles to gather-friendly
+    tables.  Raises ValueError on duplicate/overlapping codes.
+    """
+    if max_len is None:
+        max_len = max(len(c) for c, _ in entries)
+    values = np.full(1 << max_len, -1, dtype=np.int32)
+    lengths = np.zeros(1 << max_len, dtype=np.int32)
+    for code, value in entries:
+        n = len(code)
+        if n > max_len:
+            raise ValueError(f"code {code} longer than max_len {max_len}")
+        prefix = int(code, 2) << (max_len - n)
+        span = 1 << (max_len - n)
+        if value is None:
+            continue
+        if lengths[prefix : prefix + span].any():
+            raise ValueError(f"code {code} overlaps an earlier code")
+        values[prefix : prefix + span] = value
+        lengths[prefix : prefix + span] = n
+    return values, lengths
+
+
+def load_codebook_json(path: str):
+    """Load a codebook in the reference's JSON layout — a flat list
+    alternating bit arrays and values (src/mlp_codebookN.json; negative
+    values mark invalid codes) — into (code-string, value) entries."""
+    import json
+
+    with open(path) as f:
+        flat = json.load(f)
+    entries = []
+    for i in range(0, len(flat), 2):
+        bits, value = flat[i], flat[i + 1]
+        code = "".join(str(b) for b in bits)
+        entries.append((code, None if value < 0 else int(value)))
+    return entries
+
+
 @lru_cache(maxsize=None)
 def peek_lut(codebook: int) -> tuple[np.ndarray, np.ndarray]:
-    """Compile a codebook to flat 9-bit peek tables.
+    """Compile a canonical MLP codebook to flat 9-bit peek tables.
 
     Returns ``(values, lengths)``, both int32[512]: index with the next 9
     bits (MSB-first); ``lengths[i]`` is the code length to consume and
     ``values[i]`` the decoded MSB, or length 0 / value -1 for invalid
     codes (the reference signals these as -1, mlp.c:1228-1229).
     """
-    values = np.full(1 << MAX_CODE_LEN, -1, dtype=np.int32)
-    lengths = np.zeros(1 << MAX_CODE_LEN, dtype=np.int32)
-    for code, value in CODEBOOKS[codebook]:
-        if value is None:
-            continue
-        n = len(code)
-        prefix = int(code, 2) << (MAX_CODE_LEN - n)
-        span = 1 << (MAX_CODE_LEN - n)
-        values[prefix : prefix + span] = value
-        lengths[prefix : prefix + span] = n
-    return values, lengths
+    return compile_entries(CODEBOOKS[codebook], MAX_CODE_LEN)
 
 
 @lru_cache(maxsize=None)

@@ -150,3 +150,10 @@ def test_reader_numpy_input():
     arr = np.array([0xAB, 0xCD], dtype=np.uint8)
     r = BitReader(arr)
     assert r.read(16) == 0xABCD
+
+
+def test_writer_build_roundtrips_parse():
+    w = BitWriter()
+    w.build("16u 8p 4u 4s 2P 3b a", 0xBEEF, 0xA, -3, b"xyz")
+    r = BitReader(w.getvalue())
+    assert r.parse("16u 8p 4u 4s 2P 3b") == [0xBEEF, 0xA, -3, b"xyz"]

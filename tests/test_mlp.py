@@ -216,3 +216,36 @@ def test_mixed_pcm_mlp_disc(tmp_path, ref_oracle):
                           samples.shape[0])
         ours = hdr + pack_samples_le(samples, reader.bits_per_sample)
         assert ours == golden[f"track-01-{n:02d}.wav"], f"track {n}"
+
+
+def test_generic_codebook_compiler():
+    from dvda_tpu.codecs.mlp.codebooks import compile_entries
+
+    vals, lens = compile_entries([("0", 5), ("10", 6), ("11", None)])
+    assert vals[0b00] == 5 and lens[0b00] == 1
+    assert vals[0b10] == 6 and lens[0b10] == 2
+    assert vals[0b11] == -1 and lens[0b11] == 0
+    with pytest.raises(ValueError):
+        compile_entries([("0", 1), ("01", 2)])  # overlap
+
+
+def test_load_reference_codebook_json(tmp_path):
+    """Our canonical tables must equal a compile of the reference's JSON
+    codebooks loaded through the generic path."""
+    import json
+    import os
+
+    from dvda_tpu.codecs.mlp.codebooks import (
+        compile_entries,
+        load_codebook_json,
+        peek_lut,
+    )
+
+    ref_dir = "/root/reference/src"
+    if not os.path.isdir(ref_dir):
+        pytest.skip("reference sources unavailable")
+    for k in (1, 2, 3):
+        entries = load_codebook_json(os.path.join(ref_dir, f"mlp_codebook{k}.json"))
+        vals, lens = compile_entries(entries, 9)
+        v2, l2 = peek_lut(k)
+        assert np.array_equal(vals, v2) and np.array_equal(lens, l2), k
