@@ -28,7 +28,7 @@ os.environ.setdefault(
     os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__)))), ".cache", "jax"))
 
-SECONDS_OF_AUDIO = 8  # per timed decode
+SECONDS_OF_AUDIO = 30  # per timed decode (real tracks run minutes)
 RATE = 96000
 
 
@@ -112,7 +112,7 @@ def main(argv=None):
         assert out.shape[0] == round(audio_seconds * RATE)
 
         times = []
-        for _ in range(5):
+        for _ in range(3):
             t0 = time.perf_counter()
             decode_once()
             times.append(time.perf_counter() - t0)
@@ -122,6 +122,9 @@ def main(argv=None):
         log(f"steady-state: best {dt * 1000:.0f} ms → {value:.1f}x realtime, "
             f"median {audio_seconds / med:.1f}x "
             f"(runs: {[f'{t:.3f}' for t in times]})")
+
+        from ..utils.profiling import global_timer
+        log("stage breakdown (all timed runs):\n" + global_timer.summary())
 
         vs_baseline = (value / (audio_seconds / ref_dt)) if ref_dt else None
         print(json.dumps({

@@ -38,6 +38,7 @@ import numpy as np
 
 from ... import host
 from ..params import WAVE_CHANNEL, StreamParameters
+from ...utils.profiling import global_timer
 
 __all__ = ["decode_native"]
 
@@ -292,7 +293,8 @@ def decode_native(stream: bytes, boundaries: np.ndarray, probe_end: int,
                   parameters: StreamParameters) -> np.ndarray | None:
     if not host.available():
         return None
-    parse = host.parse_mlp_stream(stream)
+    with global_timer.stage("mlp/native-parse"):
+        parse = host.parse_mlp_stream(stream)
     if parse is None or parse.status != 0:
         return None
     out_ch = parameters.channel_count
@@ -462,19 +464,21 @@ def _try_uniform(parse, F: int, frame_len: np.ndarray, T: int,
     CHUNK = 512
     pack24 = bits_per_sample == 24
     pending = []
-    for c0 in range(0, n_chains, CHUNK):
-        c1 = min(c0 + CHUNK, n_chains)
-        pending.append(
-            (_dispatch_uniform_chunk(parse, subs_info, c0, c1, CHUNK,
-                                     period, L0, out_ch, pack24=pack24),
-             (c1 - c0) * period))
-    if len(pending) == 1:
-        dev, n = pending[0]
-        raw = np.asarray(dev[:min(n, T)])[:T]
-    else:
-        # concatenate the valid spans on device → a single d2h transfer
-        joined = jnp.concatenate([dev[:n] for dev, n in pending], axis=0)
-        raw = np.asarray(joined[:T])
+    with global_timer.stage("mlp/stage+dispatch"):
+        for c0 in range(0, n_chains, CHUNK):
+            c1 = min(c0 + CHUNK, n_chains)
+            pending.append(
+                (_dispatch_uniform_chunk(parse, subs_info, c0, c1, CHUNK,
+                                         period, L0, out_ch, pack24=pack24),
+                 (c1 - c0) * period))
+    with global_timer.stage("mlp/device+d2h"):
+        if len(pending) == 1:
+            dev, n = pending[0]
+            raw = np.asarray(dev[:min(n, T)])[:T]
+        else:
+            # concatenate the valid spans on device → a single d2h transfer
+            joined = jnp.concatenate([dev[:n] for dev, n in pending], axis=0)
+            raw = np.asarray(joined[:T])
     if not pack24:
         return raw
     b = raw.reshape(T, out_ch, 3).astype(np.int32)
