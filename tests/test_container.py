@@ -102,3 +102,21 @@ def test_seek_and_tell(tmp_path):
     assert aob.tell() == 6
     assert np.array_equal(s5, aob.read_sectors(5, 1)[0])
     assert not aob.seek(aob.total_sectors)
+
+
+def test_aob_nine_file_chain(tmp_path):
+    """Maximum AOB chaining: 9 files (aob.c:101-123 allows 1..9)."""
+    # 4320 frames of 16-bit stereo = 9 sectors → 9 one-sector AOB files
+    spec = [[PcmTrackSpec(pcm_frames=4320, seed=4)]]
+    whole = build_disc(str(tmp_path / "w" / "AUDIO_TS"), spec)
+    total = AOBReader(whole.path, 1).total_sectors
+    assert total == 9
+    split = build_disc(str(tmp_path / "s" / "AUDIO_TS"), spec,
+                       aob_split_sectors=1)
+    import os
+    aobs = [f for f in os.listdir(split.path) if f.endswith(".AOB")]
+    assert len(aobs) == 9
+    a = AOBReader(whole.path, 1)
+    b = AOBReader(split.path, 1)
+    assert a.total_sectors == b.total_sectors
+    assert np.array_equal(a.read_sectors(0, total), b.read_sectors(0, total))
