@@ -337,6 +337,29 @@ class TrackReader:
         self._cursor = data.shape[0]
         return out
 
+    def read_all_packed(self) -> bytes:
+        """Whole track as little-endian WAV data bytes (what follows the
+        ``data`` chunk header).  On the native 24-bit MLP path the device
+        packs the bytes itself, so this skips two full host passes
+        (unpack to int32 + repack) versus ``pack_samples_le(read_all())``
+        — it is the production path for disc→WAV conversion."""
+        from .utils.wav import pack_samples_le
+
+        bps = self.bits_per_sample
+        if (self.codec == "MLP" and bps == 24 and self._device_enabled()
+                and "_decoded" not in self.__dict__ and self._cursor == 0):
+            from .codecs.mlp.track import decode_mlp_track
+
+            out = decode_mlp_track(self.aob, self.track.span,
+                                   self.parameters,
+                                   use_device=self.use_device,
+                                   want_packed=True)
+            if out.dtype == np.uint8:
+                self._cursor = out.shape[0]
+                return out.tobytes()
+            self.__dict__["_decoded"] = out  # fallback decoded int32: keep
+        return pack_samples_le(self.read_all(), bps)
+
     # -- random access (beyond the reference API) ---------------------------
     # The reference supports only track-granularity seeks (aob_reader_seek
     # + re-probe, dvd-audio.c:616, TODO:63-79).  Batched decode makes

@@ -33,7 +33,13 @@ class TrackResult:
     bits_per_sample: int
     channel_count: int
     channel_mask: int
-    samples: np.ndarray  # int32 [frames, channels], RIFF WAVE order
+    samples: np.ndarray | None  # int32 [frames, channels], RIFF WAVE order
+    data: bytes | None = None   # packed little-endian WAV data bytes
+    pcm_frames: int = 0
+
+    def wav_data(self) -> bytes:
+        return (self.data if self.data is not None
+                else pack_samples_le(self.samples, self.bits_per_sample))
 
 
 def decode_disc(
@@ -41,12 +47,15 @@ def decode_disc(
     device: str | None = None,
     titleset: int | None = None,
     use_device: bool | None = None,
+    packed: bool = False,
 ) -> Iterator[TrackResult]:
     """Decode every track of a disc (or one titleset), yielding results.
 
     Tracks are yielded in disc order as soon as each is decoded, so
     callers can stream results (e.g. write WAVs) while later tracks are
-    in flight.
+    in flight.  With ``packed`` each result carries ready-to-write WAV
+    data bytes (``data``/``pcm_frames``; ``samples`` is None) — on the
+    native 24-bit MLP path the device packs those bytes directly.
     """
     dvda = DVDA(audio_ts_path, device)
     titlesets = [titleset] if titleset else range(1, dvda.titleset_count + 1)
@@ -64,13 +73,22 @@ def decode_disc(
                 track = title.open_track(track_num)
                 with global_timer.stage("track-decode"):
                     reader = track.open_reader(use_device=use_device)
-                    samples = reader.read_all()
+                    if packed:
+                        data = reader.read_all_packed()
+                        samples = None
+                        frame_bits = (reader.channel_count
+                                      * reader.bits_per_sample)
+                        frames = len(data) * 8 // max(1, frame_bits)
+                    else:
+                        samples = reader.read_all()
+                        data, frames = None, samples.shape[0]
                 yield TrackResult(
                     titleset=ts_num, title=title_num, track=track_num,
                     codec=reader.codec, sample_rate=reader.sample_rate,
                     bits_per_sample=reader.bits_per_sample,
                     channel_count=reader.channel_count,
                     channel_mask=reader.channel_mask, samples=samples,
+                    data=data, pcm_frames=frames,
                 )
                 reader.close()
 
@@ -86,12 +104,13 @@ def disc_to_wavs(
     dvda2wav's."""
     os.makedirs(output_dir, exist_ok=True)
     written = []
-    for r in decode_disc(audio_ts_path, device, use_device=use_device):
+    for r in decode_disc(audio_ts_path, device, use_device=use_device,
+                         packed=True):
         path = os.path.join(output_dir, f"track-{r.title:02d}-{r.track:02d}.wav")
         with open(path, "wb") as f:
             f.write(wave_header(r.sample_rate, r.channel_count,
                                 r.channel_mask, r.bits_per_sample,
-                                r.samples.shape[0]))
-            f.write(pack_samples_le(r.samples, r.bits_per_sample))
+                                r.pcm_frames))
+            f.write(r.wav_data())
         written.append(path)
     return written

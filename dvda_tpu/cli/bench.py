@@ -100,16 +100,17 @@ def main(argv=None):
                 f"{audio_seconds / ref_dt:.1f}x realtime")
 
         def decode_once():
+            # disc → WAV data bytes: the same work dvda2wav is timed on
             reader = (DVDA(layout.path).open_titleset(1).open_title(1)
                       .open_track(1).open_reader(use_device=True))
-            out = reader.read_all()
-            return out
+            return reader.read_all_packed()
 
         t0 = time.perf_counter()
         out = decode_once()
         warm = time.perf_counter() - t0
-        log(f"warm-up (incl. compile): {warm:.1f}s, decoded {out.shape}")
-        assert out.shape[0] == round(audio_seconds * RATE)
+        frames = len(out) // (6 * 3)
+        log(f"warm-up (incl. compile): {warm:.1f}s, decoded {frames} frames")
+        assert frames == round(audio_seconds * RATE)
 
         times = []
         for _ in range(3):

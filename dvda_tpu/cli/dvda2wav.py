@@ -14,7 +14,7 @@ import sys
 
 from .. import __version__
 from ..api import DVDA, DvdaError
-from ..utils.wav import pack_samples_le, wave_header
+from ..utils.wav import wave_header
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -48,14 +48,18 @@ def extract_track(title, track_num: int, output_dir: str,
     print(f"* Extracting {reader.codec} track  "
           f"{reader.channel_count} channels  "
           f"{reader.sample_rate} Hz  {reader.bits_per_sample} bps")
-    samples = reader.read_all()
+    # packed path: on the native 24-bit MLP pipeline the device emits the
+    # WAV data bytes directly (no host unpack/repack passes)
+    data = reader.read_all_packed()
+    frames = len(data) * 8 // max(
+        1, reader.channel_count * reader.bits_per_sample)
     name = f"track-{title.number:02d}-{track_num:02d}.wav"
     path = os.path.join(output_dir, name)
     with open(path, "wb") as f:
         f.write(wave_header(reader.sample_rate, reader.channel_count,
                             reader.channel_mask, reader.bits_per_sample,
-                            samples.shape[0]))
-        f.write(pack_samples_le(samples, reader.bits_per_sample))
+                            frames))
+        f.write(data)
     reader.close()
     print(f'* Wrote: "{path}"')
     return True

@@ -290,7 +290,11 @@ def _pipeline(subs, frame_idx, flat_idx, noise01, bypassed_t,
 
 
 def decode_native(stream: bytes, boundaries: np.ndarray, probe_end: int,
-                  parameters: StreamParameters) -> np.ndarray | None:
+                  parameters: StreamParameters,
+                  want_packed: bool = False) -> np.ndarray | None:
+    """Decode a complete MLP stream.  Returns int32 [T, C] samples, or —
+    with ``want_packed`` on a uniform 24-bit stream — uint8 [T, C*3]
+    little-endian WAV data bytes (callers distinguish by dtype)."""
     if not host.available():
         return None
     with global_timer.stage("mlp/native-parse"):
@@ -310,7 +314,8 @@ def decode_native(stream: bytes, boundaries: np.ndarray, probe_end: int,
     Tb = _bucket(T)
 
     uniform = _try_uniform(parse, F, frame_len, T, out_ch,
-                           parameters.bits_per_sample)
+                           parameters.bits_per_sample,
+                           want_packed=want_packed)
     if uniform is not None:
         return uniform
 
@@ -415,14 +420,21 @@ def _wave_perm(parse, out_ch: int) -> np.ndarray:
 
 
 def _try_uniform(parse, F: int, frame_len: np.ndarray, T: int,
-                 out_ch: int, bits_per_sample: int = 24) -> np.ndarray | None:
+                 out_ch: int, bits_per_sample: int = 24,
+                 want_packed: bool = False) -> np.ndarray | None:
     """Attempt the gather-free arena pipeline; None if the stream is not
     uniform (varying block/frame sizes or uneven restart chains).
 
     Long tracks are split into fixed-size *chain chunks* (each a bucketed
     number of restart chains): every chunk shares one small XLA program
     (fast compile, reused forever) and chunks are dispatched
-    asynchronously so transfers and compute overlap."""
+    asynchronously so transfers and compute overlap; each chunk's output
+    starts its d2h copy (``copy_to_host_async``) while later chunks are
+    still being staged, hiding the readback behind the pipeline.
+
+    With ``want_packed`` (24-bit only) the device-packed little-endian
+    3-byte samples are returned as uint8 [T, C*3] — exactly the WAV data
+    layout — skipping the host-side unpack *and* the WAV writer's repack."""
     L0 = int(frame_len[0])
     if not (frame_len == L0).all():
         return None
@@ -467,23 +479,25 @@ def _try_uniform(parse, F: int, frame_len: np.ndarray, T: int,
     with global_timer.stage("mlp/stage+dispatch"):
         for c0 in range(0, n_chains, CHUNK):
             c1 = min(c0 + CHUNK, n_chains)
-            pending.append(
-                (_dispatch_uniform_chunk(parse, subs_info, c0, c1, CHUNK,
-                                         period, L0, out_ch, pack24=pack24),
-                 (c1 - c0) * period))
+            dev = _dispatch_uniform_chunk(parse, subs_info, c0, c1, CHUNK,
+                                          period, L0, out_ch, pack24=pack24)
+            try:
+                dev.copy_to_host_async()  # overlap d2h with later chunks
+            except (AttributeError, NotImplementedError):
+                pass
+            pending.append((dev, (c1 - c0) * period))
     with global_timer.stage("mlp/device+d2h"):
-        if len(pending) == 1:
-            dev, n = pending[0]
-            raw = np.asarray(dev[:min(n, T)])[:T]
-        else:
-            # concatenate the valid spans on device → a single d2h transfer
-            joined = jnp.concatenate([dev[:n] for dev, n in pending], axis=0)
-            raw = np.asarray(joined[:T])
+        host_chunks = [np.asarray(dev)[:n] for dev, n in pending]
+        raw = (host_chunks[0] if len(host_chunks) == 1
+               else np.concatenate(host_chunks, axis=0))[:T]
     if not pack24:
         return raw
-    b = raw.reshape(T, out_ch, 3).astype(np.int32)
-    v = b[..., 0] | (b[..., 1] << 8) | (b[..., 2] << 16)
-    return ((v ^ 0x800000) - 0x800000).astype(np.int32)
+    if want_packed:
+        return np.ascontiguousarray(raw)  # uint8 [T, C_out*3], WAV layout
+    with global_timer.stage("mlp/unpack24"):
+        b = raw.reshape(T, out_ch, 3).astype(np.int32)
+        v = b[..., 0] | (b[..., 1] << 8) | (b[..., 2] << 16)
+        return ((v ^ 0x800000) - 0x800000).astype(np.int32)
 
 
 def _dispatch_uniform_chunk(parse, subs_info, c0, c1, CHUNK, period, L0,
@@ -492,8 +506,11 @@ def _dispatch_uniform_chunk(parse, subs_info, c0, c1, CHUNK, period, L0,
     returns the device array ([CHUNK*period, C_out], valid rows first)."""
     from ...ops.lfsr import _jump_columns
 
+    import time as _time
+
     b = _ArenaBuilder()
     nc = c1 - c0
+    _t_build = _time.perf_counter()
     for s_idx, (sub, nb_keep, S0, NB0) in enumerate(subs_info):
         blk0, blk1 = c0 * NB0, c1 * NB0
 
@@ -572,10 +589,13 @@ def _dispatch_uniform_chunk(parse, subs_info, c0, c1, CHUNK, period, L0,
     jumps = np.array([_jump_columns(k) for k in range(K)], dtype=np.uint32)
     b.add("jumps", jumps)
 
-    (a4, a2, a1), spec = b.finish()
+    global_timer.add("mlp/arena-build", _time.perf_counter() - _t_build)
+    with global_timer.stage("mlp/arena-finish"):
+        (a4, a2, a1), spec = b.finish()
     # 24-bit streams return device-packed 3-byte samples (25% less d2h)
     spec = spec + (("__pack24__", 0, 0, (), "flag"),) if pack24 else spec
-    return _uniform_arena_pipeline(a4, a2, a1, spec)
+    with global_timer.stage("mlp/jit-call"):
+        return _uniform_arena_pipeline(a4, a2, a1, spec)
 
 
 def _padded_residuals_range(sub, blk0: int, blk1: int, S0: int) -> np.ndarray:

@@ -38,35 +38,58 @@ def decode_mlp_track(
     span,
     parameters: StreamParameters,
     use_device: bool | None = None,
+    want_packed: bool = False,
 ) -> np.ndarray:
-    """Decode a whole MLP track to int32 [frames, channels] (WAVE order)."""
+    """Decode a whole MLP track to int32 [frames, channels] (WAVE order).
+
+    With ``want_packed`` the native 24-bit path may instead return uint8
+    [frames, channels*3] little-endian WAV data bytes (the device packs
+    them); callers must check the dtype — every fallback returns int32."""
     if use_device is None:
         use_device = os.environ.get("DVDA_TPU_DISABLE_DEVICE", "0") != "1"
     if use_device and os.environ.get("DVDA_TPU_DISABLE_NATIVE", "0") != "1":
-        out = _try_native(aob, span, parameters)
+        out = _try_native(aob, span, parameters, want_packed)
         if out is not None:
             return out
     return _decode_python(aob, span, parameters, use_device)
 
 
-def _try_native(aob: AOBReader, span, parameters) -> np.ndarray | None:
+def _try_native(aob: AOBReader, span, parameters,
+                want_packed: bool = False) -> np.ndarray | None:
     """Single-pass assembly + native parse + device pipeline; ``None`` to
     fall back to the Python engines."""
+    from ...utils.profiling import global_timer
     from .native_engine import decode_native
 
-    assembled = _assemble_stream(aob, span)
+    with global_timer.stage("mlp/assemble"):
+        assembled = _assemble_stream(aob, span)
     if assembled is None:
         return None
     stream, boundaries, probe_end = assembled
     if not stream:
         return np.zeros((0, parameters.channel_count), dtype=np.int32)
-    return decode_native(stream, boundaries, probe_end, parameters)
+    return decode_native(stream, boundaries, probe_end, parameters,
+                         want_packed=want_packed)
 
 
 def _assemble_stream(aob: AOBReader, span):
     """Collect the exact byte stream the pull decoder would feed, plus the
     post-probe packet boundaries (for the zero-frame-packet cut) and the
-    probe-prefix length.  Mirrors the loop in :func:`_decode_python`."""
+    probe-prefix length.  Mirrors the loop in :func:`_decode_python`.
+
+    The native demux/assembler (host/src/demux.cc) is the production path
+    — the Python loop below is its executable specification and the
+    fallback when no toolchain is available (or via
+    ``DVDA_TPU_DISABLE_NATIVE_DEMUX=1`` for differential testing)."""
+    if os.environ.get("DVDA_TPU_DISABLE_NATIVE_DEMUX", "0") != "1":
+        from ... import host
+
+        native = host.assemble_mlp_stream(aob, span.first_sector,
+                                          span.last_sector)
+        if native is not None:
+            return native
+        if host.available():
+            return None  # malformed during probe: Python decode path
     payloads = iter_mlp_payloads(aob, span.first_sector)
     buf = bytearray()
     off = -1

@@ -29,11 +29,12 @@ import subprocess
 import numpy as np
 
 __all__ = ["available", "parse_mlp_stream", "NativeParse",
-           "c2_decrypt_sectors"]
+           "c2_decrypt_sectors", "assemble_mlp_stream"]
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SO = os.path.join(_DIR, "libdvda_host.so")
-_SOURCES = [os.path.join(_DIR, "src", f) for f in ("mlp_parse.cc", "c2.cc")]
+_SOURCES = [os.path.join(_DIR, "src", f)
+            for f in ("mlp_parse.cc", "c2.cc", "demux.cc")]
 
 _lib = None
 _load_error: str | None = None
@@ -121,6 +122,11 @@ def _load():
         fn = getattr(lib, name)
         fn.restype = c.POINTER(c.c_uint8)
         fn.argtypes = [c.c_void_p, c.c_int32]
+    lib.dvda_demux_feed.restype = c.c_int64
+    lib.dvda_demux_feed.argtypes = [
+        c.c_void_p, c.c_void_p, c.c_int64, c.c_int64, c.c_int64,
+        c.c_void_p, c.c_int64, c.c_void_p, c.c_int64, c.c_void_p]
+    lib.dvda_demux_finish.argtypes = [c.c_void_p, c.c_void_p]
     _lib = lib
     return lib
 
@@ -216,6 +222,63 @@ def parse_mlp_stream(data: bytes) -> NativeParse | None:
         return NativeParse(lib, h)
     finally:
         lib.mlp_parse_free(h)
+
+
+def assemble_mlp_stream(aob, first_sector: int, last_sector: int,
+                        batch: int = 4096):
+    """Native demux + MLP stream assembly (src/demux.cc): the exact byte
+    stream the pull decoder would feed, plus post-probe packet boundaries
+    and the probe-prefix length.  Semantics mirror
+    codecs/mlp/track.py:_assemble_stream; returns ``None`` when the native
+    library is unavailable or the container is malformed during the probe
+    (the Python path handles those).
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    c = ctypes
+    state = np.zeros(10, dtype=np.int64)
+    state[3] = -1  # ST_SYNC_OFF
+    stream = np.empty(batch * 2048, dtype=np.uint8)
+    bounds_cap = batch * 342  # > max audio packets per sector
+    bounds_buf = np.empty(bounds_cap, dtype=np.int64)
+    n_out = np.zeros(1, dtype=np.int64)
+    boundaries: list[np.ndarray] = []
+    sector = first_sector
+    while True:
+        sectors = aob.read_sectors(sector, batch)
+        n = sectors.shape[0]
+        if n == 0:
+            break
+        need = int(state[1]) + n * 2048
+        if need > stream.shape[0]:
+            grown = np.empty(max(need, 2 * stream.shape[0]), dtype=np.uint8)
+            grown[: int(state[1])] = stream[: int(state[1])]
+            stream = grown
+        sectors = np.ascontiguousarray(sectors)
+        rc = lib.dvda_demux_feed(
+            state.ctypes.data_as(c.c_void_p),
+            sectors.ctypes.data_as(c.c_void_p), n, sector, last_sector,
+            stream.ctypes.data_as(c.c_void_p), stream.shape[0],
+            bounds_buf.ctypes.data_as(c.c_void_p), bounds_cap,
+            n_out.ctypes.data_as(c.c_void_p))
+        if rc != 0:
+            return None  # capacity overflow: let the Python path handle it
+        if n_out[0]:
+            boundaries.append(bounds_buf[: int(n_out[0])].copy())
+        if state[0] >= 3:  # done or fallback
+            break
+        sector += n
+        if n < batch:
+            break
+    if state[0] < 3:
+        lib.dvda_demux_finish(state.ctypes.data_as(c.c_void_p),
+                              stream.ctypes.data_as(c.c_void_p))
+    if state[0] == 4:  # malformed during probe: Python fallback
+        return None
+    out = (np.concatenate(boundaries) if boundaries
+           else np.zeros(0, dtype=np.int64))
+    return bytes(stream[: int(state[1])]), out, int(state[2])
 
 
 def c2_decrypt_sectors(sectors: np.ndarray, media_key: int, album_id: int,

@@ -121,3 +121,30 @@ def test_native_multichunk_streams():
         a = spec.take_frames()
         b = decode_native(stream, np.zeros(0, np.int64), len(stream), params)
         assert b is not None and np.array_equal(a, b), (nfr, re_)
+
+
+def test_read_all_packed_parity(tmp_path):
+    """read_all_packed (device-packed WAV bytes) equals packing read_all."""
+    cfg = MlpSynthConfig(channel_assignment=17, substream_count=2,
+                         bits_per_sample=24, sample_rate=96000,
+                         n_frames=24, seed=41)
+    spec = MlpTrackSpec(mlp_stream=synth_mlp_stream(cfg),
+                        pcm_frames=cfg.total_pcm_frames,
+                        sample_rate=96000, channel_assignment=17)
+    layout = build_disc(str(tmp_path / "AUDIO_TS"), [[spec]])
+    track = DVDA(layout.path).open_titleset(1).open_title(1).open_track(1)
+    packed = track.open_reader(use_device=True).read_all_packed()
+    ref_reader = track.open_reader(use_device=True)
+    expect = pack_samples_le(ref_reader.read_all(), 24)
+    assert packed == expect
+    # 16-bit stream takes the pack_samples_le fallback path
+    cfg16 = MlpSynthConfig(channel_assignment=1, bits_per_sample=16,
+                           sample_rate=48000, n_frames=12, seed=42)
+    spec16 = MlpTrackSpec(mlp_stream=synth_mlp_stream(cfg16),
+                          pcm_frames=cfg16.total_pcm_frames,
+                          sample_rate=48000, channel_assignment=1)
+    layout16 = build_disc(str(tmp_path / "b" / "AUDIO_TS"), [[spec16]])
+    tr = DVDA(layout16.path).open_titleset(1).open_title(1).open_track(1)
+    a = tr.open_reader(use_device=True).read_all_packed()
+    b = pack_samples_le(tr.open_reader(use_device=True).read_all(), 16)
+    assert a == b
