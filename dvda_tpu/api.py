@@ -264,6 +264,18 @@ class TrackReader:
         total = round(span.pts_length * self.parameters.sample_rate / PTS_PER_SECOND)
         bps = self.parameters.bits_per_sample
         ch = self.parameters.channel_count
+        csize = pcm_codec.chunk_size(bps, ch)
+        if os.environ.get("DVDA_TPU_DISABLE_NATIVE_DEMUX", "0") != "1":
+            # native packet walk (host/src/demux.cc); the loop below is its
+            # executable specification and differential-test oracle
+            from . import host
+
+            data = host.assemble_pcm_chunks(self.aob, span.first_sector,
+                                            self.parameters, total, csize)
+            if data is not None:
+                chunks = np.frombuffer(data, dtype=np.uint8)
+                return self._unpack_pcm_chunks(
+                    chunks.reshape(-1, csize), bps, ch)
         chunk_arrays: list[np.ndarray] = []
         remaining = total
         sector = span.first_sector
@@ -304,7 +316,11 @@ class TrackReader:
             sector += sectors.shape[0]
         if not chunk_arrays:
             return np.zeros((0, ch), dtype=np.int32)
-        all_chunks = np.concatenate(chunk_arrays, axis=0)
+        return self._unpack_pcm_chunks(
+            np.concatenate(chunk_arrays, axis=0), bps, ch)
+
+    def _unpack_pcm_chunks(self, all_chunks: np.ndarray, bps: int,
+                           ch: int) -> np.ndarray:
         # PCM unpack is pure data movement: the vectorised numpy path runs
         # at memcpy speed on the host, so the device kernel only pays off
         # when explicitly requested (e.g. the data is device-resident

@@ -127,6 +127,10 @@ def _load():
         c.c_void_p, c.c_void_p, c.c_int64, c.c_int64, c.c_int64,
         c.c_void_p, c.c_int64, c.c_void_p, c.c_int64, c.c_void_p]
     lib.dvda_demux_finish.argtypes = [c.c_void_p, c.c_void_p]
+    lib.dvda_pcm_feed.restype = c.c_int64
+    lib.dvda_pcm_feed.argtypes = [
+        c.c_void_p, c.c_void_p, c.c_int64, c.c_uint8, c.c_uint8, c.c_uint8,
+        c.c_int64, c.c_void_p, c.c_int64]
     _lib = lib
     return lib
 
@@ -279,6 +283,46 @@ def assemble_mlp_stream(aob, first_sector: int, last_sector: int,
     out = (np.concatenate(boundaries) if boundaries
            else np.zeros(0, dtype=np.int64))
     return bytes(stream[: int(state[1])]), out, int(state[2])
+
+
+def assemble_pcm_chunks(aob, first_sector: int, parameters, total_frames: int,
+                        csize: int, batch: int = 4096) -> bytes | None:
+    """Native PCM packet walk (src/demux.cc:dvda_pcm_feed): concatenated
+    whole chunks of every consumed packet, honoring the PTS frame
+    countdown and codec/parameter-match termination.  Semantics mirror
+    api.py:TrackReader._decode_pcm; ``None`` when the library is
+    unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    c = ctypes
+    b3 = (parameters.group_0_bps << 4) | parameters.group_1_bps
+    b4 = (parameters.group_0_rate << 4) | parameters.group_1_rate
+    b6 = parameters.channel_assignment
+    state = np.zeros(4, dtype=np.int64)
+    state[2] = total_frames
+    chunks: list[bytes] = []
+    out = np.empty(batch * 2048, dtype=np.uint8)
+    sector = first_sector
+    while not state[0]:
+        sectors = aob.read_sectors(sector, batch)
+        n = sectors.shape[0]
+        if n == 0:
+            break
+        sectors = np.ascontiguousarray(sectors)
+        state[1] = 0
+        rc = lib.dvda_pcm_feed(
+            state.ctypes.data_as(c.c_void_p),
+            sectors.ctypes.data_as(c.c_void_p), n, b3, b4, b6, csize,
+            out.ctypes.data_as(c.c_void_p), out.shape[0])
+        if rc != 0:
+            return None  # cannot happen (cap ≥ payload bytes); be safe
+        if state[1]:
+            chunks.append(out[: int(state[1])].tobytes())
+        sector += n
+        if n < batch:
+            break
+    return b"".join(chunks)
 
 
 def c2_decrypt_sectors(sectors: np.ndarray, media_key: int, album_id: int,

@@ -285,4 +285,86 @@ void dvda_demux_finish(int64_t* state, uint8_t* stream) {
   if (state[ST_PHASE] < PH_DONE) a.feed_end(false);
 }
 
+// ---- PCM chunk assembly -------------------------------------------------
+//
+// Python analog: api.py:TrackReader._decode_pcm (itself mirroring
+// decode_pcm_audio, dvd-audio.c:1016-1082).  Packets are consumed while
+// the PTS-derived frame countdown is positive and the packet's codec id /
+// stream parameters match; each packet contributes its whole chunks
+// (trailing partial chunk dropped, pcm.c:147).  Malformed containers or
+// any mismatch simply end the stream — all consumed chunks are kept.
+//
+// pcm_state layout (int64[4]):
+//   [0] done flag   [1] chunk bytes written   [2] frames remaining
+//
+// params: b3 = bps nibbles, b4 = rate nibbles, b6 = channel assignment —
+// bytes 3/4/6 of the packet's 9-byte parameter block (pcm.c:79-96).
+int64_t dvda_pcm_feed(int64_t* state, const uint8_t* sectors,
+                      int64_t n_sectors, uint8_t b3, uint8_t b4, uint8_t b6,
+                      int64_t csize, uint8_t* out, int64_t out_cap) {
+  constexpr uint8_t PCM_CODEC_ID = 0xA0;
+  for (int64_t i = 0; i < n_sectors && !state[0]; ++i) {
+    const uint8_t* sec = sectors + i * SECTOR;
+    Bits b{sec, SECTOR};
+    uint32_t sync = b.get(32);
+    uint32_t m0 = b.get(2);
+    b.get(3);
+    uint32_t m1 = b.get(1);
+    b.get(15);
+    uint32_t m2 = b.get(1);
+    b.get(15);
+    uint32_t m3 = b.get(1);
+    b.get(9);
+    uint32_t m4 = b.get(1);
+    b.get(22);
+    uint32_t m5 = b.get(2);
+    b.get(5);
+    uint32_t stuffing = b.get(3);
+    if (b.err || sync != 0x000001BAu || m0 != 1 || m1 != 1 || m2 != 1 ||
+        m3 != 1 || m4 != 1 || m5 != 3) {
+      state[0] = 1;
+      break;
+    }
+    int64_t pos = 14 + stuffing;
+    while (SECTOR - pos >= 6 && !state[0]) {
+      uint32_t start = (uint32_t(sec[pos]) << 16) |
+                       (uint32_t(sec[pos + 1]) << 8) | sec[pos + 2];
+      uint8_t stream_id = sec[pos + 3];
+      int64_t length = (int64_t(sec[pos + 4]) << 8) | sec[pos + 5];
+      pos += 6;
+      if (start != 0x000001u || pos + length > SECTOR) {
+        state[0] = 1;
+        break;
+      }
+      if (stream_id == AUDIO_STREAM_ID) {
+        const uint8_t* pkt = sec + pos;
+        int64_t n = length;
+        if (n < 3) { state[0] = 1; break; }
+        int64_t off = 3 + pkt[2];
+        if (off + 4 > n) { state[0] = 1; break; }
+        uint8_t codec_id = pkt[off];
+        int64_t pad2 = pkt[off + 3];
+        off += 4;
+        if (codec_id != PCM_CODEC_ID || off + pad2 > n || pad2 < 9 ||
+            pkt[off + 3] != b3 || pkt[off + 4] != b4 || pkt[off + 6] != b6) {
+          state[0] = 1;
+          break;
+        }
+        off += pad2;
+        int64_t nchunks = (n - off) / csize;
+        int64_t nbytes = nchunks * csize;
+        if (state[1] + nbytes > out_cap) return -1;
+        memcpy(out + state[1], pkt + off, static_cast<size_t>(nbytes));
+        state[1] += nbytes;
+        int64_t frames = nchunks * 2;
+        state[2] -= frames < state[2] ? frames : state[2];
+        if (state[2] == 0) state[0] = 1;
+      }
+      pos += length;
+    }
+    if (!state[0] && pos != SECTOR) state[0] = 1;  // trailing bytes
+  }
+  return 0;
+}
+
 }  // extern "C"

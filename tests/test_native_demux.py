@@ -120,3 +120,43 @@ def test_native_demux_feeds_decoder(tmp_path):
     finally:
         del os.environ["DVDA_TPU_DISABLE_NATIVE_DEMUX"]
     assert np.array_equal(a, b)
+
+
+@pytest.mark.parametrize("bps,rate,ch_assign,frames", [
+    (16, 48000, 1, 2880), (24, 96000, 17, 2880), (24, 192000, 0, 2880),
+    (16, 44100, 12, 2940),  # 44.1k: frames must be a multiple of 49
+])
+def test_pcm_native_walk_matches_python(tmp_path, bps, rate, ch_assign,
+                                        frames):
+    spec = PcmTrackSpec(pcm_frames=frames, seed=bps + ch_assign,
+                        bits_per_sample=bps, sample_rate=rate,
+                        channel_assignment=ch_assign)
+    layout = build_disc(str(tmp_path / "AUDIO_TS"), [[spec]],
+                        aob_split_sectors=5)
+    track = DVDA(layout.path).open_titleset(1).open_title(1).open_track(1)
+    a = track.open_reader(use_device=False).read_all()
+    os.environ["DVDA_TPU_DISABLE_NATIVE_DEMUX"] = "1"
+    try:
+        b = track.open_reader(use_device=False).read_all()
+    finally:
+        del os.environ["DVDA_TPU_DISABLE_NATIVE_DEMUX"]
+    assert np.array_equal(a, b)
+    assert a.shape[0] > 0
+
+
+def test_pcm_native_walk_corrupt_matches_python(tmp_path):
+    spec = PcmTrackSpec(pcm_frames=5760, seed=2)
+    layout = build_disc(str(tmp_path / "AUDIO_TS"), [[spec]])
+    track = DVDA(layout.path).open_titleset(1).open_title(1).open_track(1)
+    path = os.path.join(layout.path, sorted(
+        f for f in os.listdir(layout.path) if f.endswith(".AOB"))[0])
+    data = bytearray(open(path, "rb").read())
+    data[(track.first_sector + 2) * 2048 + 1] ^= 0xFF
+    open(path, "wb").write(bytes(data))
+    a = track.open_reader(use_device=False).read_all()
+    os.environ["DVDA_TPU_DISABLE_NATIVE_DEMUX"] = "1"
+    try:
+        b = track.open_reader(use_device=False).read_all()
+    finally:
+        del os.environ["DVDA_TPU_DISABLE_NATIVE_DEMUX"]
+    assert np.array_equal(a, b)
