@@ -165,6 +165,12 @@ class BitReader:
             return self.read(n - 1) - (1 << (n - 1))
         return self.read(n - 1)
 
+    def read_bigint(self, n: int) -> int:
+        """Read an arbitrarily wide unsigned field (reference analog:
+        ``br_read_bits_bigint`` backed by mini-gmp, bitstream.h:176-186).
+        Python ints are arbitrary precision, so this is :meth:`read`."""
+        return self.read(n)
+
     def read_unary(self, stop_bit: int) -> int:
         """Count bits until ``stop_bit`` is seen (reference: br_read_unary)."""
         count = 0

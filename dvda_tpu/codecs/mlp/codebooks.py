@@ -38,6 +38,7 @@ __all__ = [
     "codebook_value_range",
     "compile_entries",
     "load_codebook_json",
+    "build_codebook",
 ]
 
 MAX_CODE_LEN = 9
@@ -99,6 +100,50 @@ def compile_entries(entries, max_len: int | None = None):
         values[prefix : prefix + span] = value
         lengths[prefix : prefix + span] = n
     return values, lengths
+
+
+def build_codebook(frequencies) -> list[tuple[str, int]]:
+    """Build a canonical prefix-free codebook from value frequencies.
+
+    Reference analog: the runtime frequency-list entry point of the
+    Huffman compiler (compile_huffman_tree, huffman.c:262-353, which
+    accepts ``(value, frequency)`` pairs as well as JSON codebooks).
+
+    ``frequencies`` is a mapping or iterable of ``(value, count)``; the
+    result is (code-string, value) entries — canonical Huffman codes,
+    shortest codes to the most frequent values, ties broken by value —
+    directly consumable by :func:`compile_entries`.
+    """
+    import heapq
+    from itertools import count
+
+    items = (list(frequencies.items()) if hasattr(frequencies, "items")
+             else list(frequencies))
+    if not items:
+        return []
+    if len(items) == 1:
+        return [("0", items[0][0])]
+    tick = count()  # tie-breaker so heap entries never compare values
+    heap = [(freq, next(tick), [value]) for value, freq in items]
+    depth = {value: 0 for value, _ in items}
+    heapq.heapify(heap)
+    while len(heap) > 1:
+        fa, _, va = heapq.heappop(heap)
+        fb, _, vb = heapq.heappop(heap)
+        for v in va + vb:
+            depth[v] += 1
+        heapq.heappush(heap, (fa + fb, next(tick), va + vb))
+    # canonical code assignment: by (length, value)
+    order = sorted(depth, key=lambda v: (depth[v], v))
+    entries = []
+    code = 0
+    prev_len = depth[order[0]]
+    for v in order:
+        code <<= depth[v] - prev_len
+        prev_len = depth[v]
+        entries.append((format(code, f"0{depth[v]}b"), v))
+        code += 1
+    return entries
 
 
 def load_codebook_json(path: str):

@@ -249,3 +249,42 @@ def test_load_reference_codebook_json(tmp_path):
         vals, lens = compile_entries(entries, 9)
         v2, l2 = peek_lut(k)
         assert np.array_equal(vals, v2) and np.array_equal(lens, l2), k
+
+
+def test_build_codebook_from_frequencies():
+    """Runtime frequency-list Huffman building (reference huffman.c:262-353
+    analog): canonical, prefix-free, optimal-length, round-trips."""
+    from dvda_tpu.codecs.mlp.codebooks import build_codebook, compile_entries
+
+    freqs = {0: 45, 1: 13, 2: 12, 3: 16, 4: 9, 5: 5}
+    entries = build_codebook(freqs)
+    # compiles cleanly → prefix-free
+    vals, lens = compile_entries(entries)
+    # classic huffman example: expected code lengths 1,3,3,3,4,4
+    got = sorted(len(c) for c, _ in entries)
+    assert got == [1, 3, 3, 3, 4, 4]
+    # most frequent value gets the shortest code
+    by_value = {v: c for c, v in entries}
+    assert len(by_value[0]) == 1
+    # every code decodes back through the generic LUT
+    for code, value in entries:
+        pattern = int(code, 2) << (max(got) - len(code))
+        assert vals[pattern] == value and lens[pattern] == len(code)
+    # degenerate cases
+    assert build_codebook({}) == []
+    assert build_codebook({7: 3}) == [("0", 7)]
+
+
+def test_bitreader_bigint_fields():
+    """>64-bit field reads (reference mini-gmp read_bigint analog,
+    bitstream.h:176-186) — Python ints are arbitrary precision."""
+    from dvda_tpu.bitstream import BitReader, BitWriter
+
+    big = (1 << 150) - 0xDEADBEEF
+    w = BitWriter()
+    w.write(3, 5)
+    w.write(151, big)
+    w.byte_align()
+    r = BitReader(w.getvalue())
+    assert r.read(3) == 5
+    assert r.read_bigint(151) == big
