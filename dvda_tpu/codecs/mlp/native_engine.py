@@ -301,6 +301,15 @@ def decode_native(stream: bytes, boundaries: np.ndarray, probe_end: int,
         parse = host.parse_mlp_stream(stream)
     if parse is None or parse.status != 0:
         return None
+    try:
+        return _decode_parsed(parse, boundaries, probe_end, parameters,
+                              want_packed)
+    finally:
+        parse.close()  # frees the zero-copy parse buffers
+
+
+def _decode_parsed(parse, boundaries, probe_end, parameters,
+                   want_packed) -> np.ndarray | None:
     out_ch = parameters.channel_count
     if parse.F == 0:
         return np.zeros((0, out_ch), dtype=np.int32)
@@ -523,7 +532,11 @@ def _dispatch_uniform_chunk(parse, subs_info, c0, c1, CHUNK, period, L0,
             return out
 
         res = _padded_residuals_range(sub, blk0, blk1, S0)
-        res_dtype = np.int16 if (np.abs(res) < 32768).all() else np.int32
+        # the parser tracks max |residual| — no host scan needed
+        amax = sub.get("res_amax")
+        res_dtype = np.int16 if (
+            amax <= 32767 if amax is not None
+            else (np.abs(res) < 32768).all()) else np.int32
         res_c = np.zeros((CHUNK, NB0) + res.shape[1:], dtype=res_dtype)
         res_c[: (blk1 - blk0) // NB0] = res.reshape(
             (-1, NB0) + res.shape[1:])

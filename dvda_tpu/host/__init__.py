@@ -127,6 +127,8 @@ def _load():
         c.c_void_p, c.c_void_p, c.c_int64, c.c_int64, c.c_int64,
         c.c_void_p, c.c_int64, c.c_void_p, c.c_int64, c.c_void_p]
     lib.dvda_demux_finish.argtypes = [c.c_void_p, c.c_void_p]
+    lib.mp_res_amax.restype = c.c_int32
+    lib.mp_res_amax.argtypes = [c.c_void_p, c.c_int32]
     lib.dvda_pcm_feed.restype = c.c_int64
     lib.dvda_pcm_feed.argtypes = [
         c.c_void_p, c.c_void_p, c.c_int64, c.c_uint8, c.c_uint8, c.c_uint8,
@@ -147,12 +149,32 @@ def _as_np(ptr, dtype, shape):
     return arr.reshape(shape)
 
 
+def _as_view(ptr, shape):
+    """Zero-copy numpy view over the parser's output buffer (dtype is the
+    pointer's own ctype).  Valid while the owning NativeParse is alive."""
+    n = int(np.prod(shape)) if shape else 0
+    if n == 0:
+        dtype = np.ctypeslib.as_array(ptr, shape=(1,)).dtype if ptr \
+            else np.int32
+        return np.zeros(shape, dtype=dtype)
+    return np.ctypeslib.as_array(ptr, shape=(n,)).reshape(shape)
+
+
 class NativeParse:
-    """Numpy views of one parsed MLP stream (copies; handle freed)."""
+    """Numpy access to one parsed MLP stream.
+
+    Large arrays (residuals, filter/matrix tensors, noise) are **zero-copy
+    views** into the native parser's buffers — the handle is owned by this
+    object and freed on :meth:`close`/GC, so the views must not outlive
+    it.  Copying them cost ~100 MB of memcpy + page faults per 30 s track,
+    which dominated the parse stage.  Small semantically-boolean arrays
+    are converted (copied) for engine ergonomics."""
 
     def __init__(self, lib, h):
+        self._lib, self._h = lib, (h if lib.mp_status(h) == 0 else None)
         self.status = lib.mp_status(h)
         if self.status != 0:
+            lib.mlp_parse_free(h)
             return
         self.substream_count = lib.mp_substream_count(h)
         self.mmc = lib.mp_mmc(h)
@@ -160,19 +182,19 @@ class NativeParse:
         F = int(lib.mp_nframes(h))
         T = int(lib.mp_total_samples(h))
         self.F, self.T = F, T
-        self.frame_len = _as_np(lib.mp_frame_len(h), np.int32, (F,))
-        self.frame_end = _as_np(lib.mp_frame_end(h), np.int64, (F,))
-        self.out_shift = _as_np(lib.mp_out_shift(h), np.int32, (F, 8))
+        self.frame_len = _as_view(lib.mp_frame_len(h), (F,))
+        self.frame_end = _as_view(lib.mp_frame_end(h), (F,))
+        self.out_shift = _as_view(lib.mp_out_shift(h), (F, 8))
         self.mat_active = _as_np(lib.mp_mat_active(h), bool, (F, 6))
-        self.mat_out = _as_np(lib.mp_mat_out(h), np.int32, (F, 6))
-        self.mat_quant = _as_np(lib.mp_mat_quant(h), np.int32, (F, 6))
-        self.mat_coeff = _as_np(lib.mp_mat_coeff(h), np.int32, (F, 6, 8))
-        self.mat_noise = _as_np(lib.mp_mat_noise(h), np.int32, (F, 6, 2))
-        self.noise0 = _as_np(lib.mp_noise0(h), np.int32, (T,))
-        self.noise1 = _as_np(lib.mp_noise1(h), np.int32, (T,))
-        self.frame_seed = _as_np(lib.mp_frame_seed(h), np.uint32, (F,))
-        self.frame_nshift = _as_np(lib.mp_frame_nshift(h), np.int32, (F,))
-        self.bypassed_packed = _as_np(lib.mp_bypassed(h), np.uint8, (T,))
+        self.mat_out = _as_view(lib.mp_mat_out(h), (F, 6))
+        self.mat_quant = _as_view(lib.mp_mat_quant(h), (F, 6))
+        self.mat_coeff = _as_view(lib.mp_mat_coeff(h), (F, 6, 8))
+        self.mat_noise = _as_view(lib.mp_mat_noise(h), (F, 6, 2))
+        self.noise0 = _as_view(lib.mp_noise0(h), (T,))
+        self.noise1 = _as_view(lib.mp_noise1(h), (T,))
+        self.frame_seed = _as_view(lib.mp_frame_seed(h), (F,))
+        self.frame_nshift = _as_view(lib.mp_frame_nshift(h), (F,))
+        self.bypassed_packed = _as_view(lib.mp_bypassed(h), (T,))
         self.sub = []
         for s in range(self.substream_count):
             NB = int(lib.mp_nblocks(h, s))
@@ -182,17 +204,29 @@ class NativeParse:
             rs = int(lib.mp_residuals_size(h, s))
             self.sub.append({
                 "min_ch": lo, "max_ch": hi, "NB": NB,
-                "fr_nblocks": _as_np(lib.mp_fr_nblocks(h, s), np.int32, (F,)),
+                "res_amax": int(lib.mp_res_amax(h, s)),
+                "fr_nblocks": _as_view(lib.mp_fr_nblocks(h, s), (F,)),
                 "restart": _as_np(lib.mp_blk_restart(h, s), bool, (NB,)),
-                "len": _as_np(lib.mp_blk_len(h, s), np.int32, (NB,)),
-                "shift": _as_np(lib.mp_blk_shift(h, s), np.int32, (NB, n_ch)),
-                "quant": _as_np(lib.mp_blk_quant(h, s), np.int32, (NB, n_ch)),
+                "len": _as_view(lib.mp_blk_len(h, s), (NB,)),
+                "shift": _as_view(lib.mp_blk_shift(h, s), (NB, n_ch)),
+                "quant": _as_view(lib.mp_blk_quant(h, s), (NB, n_ch)),
                 "iir_reset": _as_np(lib.mp_blk_iir_reset(h, s), bool, (NB, n_ch)),
-                "rc_fir": _as_np(lib.mp_blk_rc_fir(h, s), np.int32, (NB, n_ch, 8)),
-                "rc_iir": _as_np(lib.mp_blk_rc_iir(h, s), np.int32, (NB, n_ch, 8)),
-                "iir_init": _as_np(lib.mp_blk_iir_init(h, s), np.int32, (NB, n_ch, 8)),
-                "residuals": _as_np(lib.mp_residuals(h, s), np.int32, (rs,)),
+                "rc_fir": _as_view(lib.mp_blk_rc_fir(h, s), (NB, n_ch, 8)),
+                "rc_iir": _as_view(lib.mp_blk_rc_iir(h, s), (NB, n_ch, 8)),
+                "iir_init": _as_view(lib.mp_blk_iir_init(h, s), (NB, n_ch, 8)),
+                "residuals": _as_view(lib.mp_residuals(h, s), (rs,)),
             })
+
+    def close(self) -> None:
+        if self._h is not None:
+            self._lib.mlp_parse_free(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
 
 
 _LUTS = None
@@ -222,10 +256,8 @@ def parse_mlp_stream(data: bytes) -> NativeParse | None:
     h = lib.mlp_parse(data, len(data),
                       vals.ctypes.data_as(ctypes.c_void_p),
                       lens.ctypes.data_as(ctypes.c_void_p))
-    try:
-        return NativeParse(lib, h)
-    finally:
-        lib.mlp_parse_free(h)
+    # NativeParse owns the handle (zero-copy views); freed on close/GC
+    return NativeParse(lib, h)
 
 
 def assemble_mlp_stream(aob, first_sector: int, last_sector: int,

@@ -171,6 +171,9 @@ struct Result {
   std::vector<int32_t> blk_rc_fir[2], blk_rc_iir[2]; // [NB*n_ch*8]
   std::vector<int32_t> blk_iir_init[2];              // [NB*n_ch*8]
   std::vector<int32_t> residuals[2];                 // ragged (blk, ch, sample)
+  int32_t res_amax[2] = {0, 0};  // max |residual| seen (monotone; includes
+                                 // rolled-back frames — only used to pick a
+                                 // safe transfer dtype, so overcount is fine)
 };
 
 struct Parser {
@@ -403,7 +406,7 @@ struct Parser {
               cp.iir.state[j];
       }
     }
-    read_residuals(u, r, out.residuals[s].data() + res0, n_ch);
+    read_residuals(u, r, out.residuals[s].data() + res0, n_ch, &out.res_amax[s]);
     marks.samples[s] += u.block_size;
     marks.blocks[s] += 1;
     return u.block_size;
@@ -569,7 +572,8 @@ struct Parser {
     }
   }
 
-  void read_residuals(Substream& u, BitReader& r, int32_t* dst, int n_ch) {
+  void read_residuals(Substream& u, BitReader& r, int32_t* dst, int n_ch,
+                      int32_t* amax) {
     int32_t lsb_bits[kMaxChannels];
     int32_t offsets[kMaxChannels];
     for (int i = 0; i < n_ch; i++) {
@@ -613,6 +617,8 @@ struct Parser {
             uint32_t((msb << lsb_bits[ci]) + int32_t(lsb) + offsets[ci])
             << q));
         dst[size_t(ci) * bs + i] = v;
+        int32_t a = v < 0 ? ~v : v;  // |v| with INT32_MIN -> INT32_MAX
+        if (a > *amax) *amax = a;
       }
     }
   }
@@ -736,6 +742,7 @@ const int32_t* mp_blk_rc_fir(void* h, int s) { return R(h).blk_rc_fir[s].data();
 const int32_t* mp_blk_rc_iir(void* h, int s) { return R(h).blk_rc_iir[s].data(); }
 const int32_t* mp_blk_iir_init(void* h, int s) { return R(h).blk_iir_init[s].data(); }
 const int32_t* mp_residuals(void* h, int s) { return R(h).residuals[s].data(); }
+int32_t mp_res_amax(void* h, int s) { return R(h).res_amax[s]; }
 int64_t mp_residuals_size(void* h, int s) { return int64_t(R(h).residuals[s].size()); }
 
 }  // extern "C"
