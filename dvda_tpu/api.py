@@ -376,6 +376,36 @@ class TrackReader:
             self.__dict__["_decoded"] = out  # fallback decoded int32: keep
         return pack_samples_le(self.read_all(), bps)
 
+    def read_range(self, start_frame: int, pcm_frames: int) -> np.ndarray:
+        """Decode only ``[start_frame, start_frame + pcm_frames)``.
+
+        On the native MLP path this resumes at the nearest manifest point
+        (codecs/mlp/manifest.py) — the prefix is never decoded, so partial
+        reads of long tracks skip most of the work.  Everywhere else it
+        slices the cached full decode.  Does not move the cursor."""
+        if (self.codec == "MLP" and "_decoded" not in self.__dict__
+                and self._device_enabled()
+                and os.environ.get("DVDA_TPU_DISABLE_NATIVE", "0") != "1"):
+            from .codecs.mlp.track import decode_mlp_track_range
+
+            out = decode_mlp_track_range(self.aob, self.track.span,
+                                         self.parameters, start_frame,
+                                         pcm_frames)
+            if out is not None:
+                return out
+        return self._decoded[start_frame : start_frame + pcm_frames]
+
+    @property
+    def manifest(self):
+        """Resume manifest for MLP tracks (None for PCM / host-only paths):
+        the frames where decode can start bit-exactly (major sync + clean
+        restart), with byte and PCM offsets."""
+        if self.codec != "MLP":
+            return None
+        from .codecs.mlp.track import track_manifest
+
+        return track_manifest(self.aob, self.track.span)
+
     # -- random access (beyond the reference API) ---------------------------
     # The reference supports only track-granularity seeks (aob_reader_seek
     # + re-probe, dvd-audio.c:616, TODO:63-79).  Batched decode makes

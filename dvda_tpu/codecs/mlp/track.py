@@ -30,7 +30,7 @@ from ..params import StreamParameters
 from .probe import find_major_sync, iter_mlp_payloads
 from .spec import MlpDecoder
 
-__all__ = ["decode_mlp_track"]
+__all__ = ["decode_mlp_track", "decode_mlp_track_range", "track_manifest"]
 
 
 def decode_mlp_track(
@@ -70,6 +70,70 @@ def _try_native(aob: AOBReader, span, parameters,
         return np.zeros((0, parameters.channel_count), dtype=np.int32)
     return decode_native(stream, boundaries, probe_end, parameters,
                          want_packed=want_packed)
+
+
+def _parse_with_manifest(aob: AOBReader, span):
+    """Assemble + parse + build the resume manifest; ``None`` if the native
+    path is unavailable.  Returns (stream, boundaries, probe_end, manifest)."""
+    from ... import host
+    from .manifest import build_manifest
+    from .native_engine import _frame_cut
+
+    if not host.available():
+        return None
+    assembled = _assemble_stream(aob, span)
+    if assembled is None:
+        return None
+    stream, boundaries, probe_end = assembled
+    if not stream:
+        return None
+    parse = host.parse_mlp_stream(stream)
+    if parse is None or parse.status != 0:
+        return None
+    try:
+        F = _frame_cut(parse.frame_end,
+                       np.asarray(boundaries, dtype=np.int64), probe_end)
+        manifest = build_manifest(stream, parse, F)
+    finally:
+        parse.close()
+    return stream, boundaries, probe_end, manifest
+
+
+def track_manifest(aob: AOBReader, span):
+    """The track's resume manifest (codecs/mlp/manifest.py), or ``None``
+    when the native path is unavailable."""
+    got = _parse_with_manifest(aob, span)
+    return got[3] if got is not None else None
+
+
+def decode_mlp_track_range(
+    aob: AOBReader,
+    span,
+    parameters: StreamParameters,
+    start_pcm: int,
+    n_pcm: int,
+) -> np.ndarray | None:
+    """Decode only PCM frames [start_pcm, start_pcm + n_pcm) by resuming at
+    the nearest manifest point — the prefix is never decoded (SURVEY §5
+    checkpoint/resume; the reference can only re-decode from the track
+    start).  ``None`` falls back to a full decode + slice."""
+    got = _parse_with_manifest(aob, span)
+    if got is None:
+        return None
+    stream, boundaries, probe_end, manifest = got
+    rp = manifest.resume_for_pcm_frame(start_pcm)
+    from .native_engine import decode_native
+
+    if rp.byte_offset:
+        boundaries = np.asarray(boundaries, dtype=np.int64)
+        boundaries = boundaries[boundaries > rp.byte_offset] - rp.byte_offset
+        probe_end = max(0, probe_end - rp.byte_offset)
+        stream = stream[rp.byte_offset:]
+    out = decode_native(stream, boundaries, probe_end, parameters)
+    if out is None:
+        return None
+    lo = start_pcm - rp.pcm_frame
+    return out[lo : lo + n_pcm]
 
 
 def _assemble_stream(aob: AOBReader, span):

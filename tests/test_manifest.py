@@ -1,0 +1,88 @@
+"""Resume manifest + mid-track partial decode (SURVEY §5 checkpoint/resume).
+
+The reference can only re-decode a track from its start; the rebuild's
+manifest marks every frame where decode can resume bit-exactly (major sync
++ clean restart, no FIR coupling) and `read_range` decodes from the nearest
+one — asserted equal to slices of the full decode."""
+
+import numpy as np
+import pytest
+
+from dvda_tpu import host
+from dvda_tpu.api import DVDA
+from dvda_tpu.testutil.mlp_synth import MlpSynthConfig, synth_mlp_stream
+from dvda_tpu.testutil.synth import MlpTrackSpec, build_disc
+
+pytestmark = pytest.mark.skipif(not host.available(),
+                                reason="native host library unavailable")
+
+
+def _disc(tmp_path, **kw):
+    cfg = MlpSynthConfig(channel_assignment=17, substream_count=2,
+                         bits_per_sample=24, sample_rate=96000,
+                         n_frames=32, major_sync_every=4, restart_every=4,
+                         seed=13, **kw)
+    spec = MlpTrackSpec(mlp_stream=synth_mlp_stream(cfg),
+                        pcm_frames=cfg.total_pcm_frames,
+                        sample_rate=96000, channel_assignment=17)
+    layout = build_disc(str(tmp_path / "AUDIO_TS"), [[spec]])
+    return (DVDA(layout.path).open_titleset(1).open_title(1).open_track(1),
+            cfg)
+
+
+def test_manifest_structure(tmp_path):
+    track, cfg = _disc(tmp_path, fir_across_restart=False,
+                       params_update_prob=0.0)
+    reader = track.open_reader(use_device=True)
+    m = reader.manifest
+    assert m is not None
+    assert m.total_frames == cfg.n_frames
+    # aligned major syncs + restarts every 4 frames → a point every 4 frames
+    frames = [p.frame for p in m.points]
+    assert frames == list(range(0, cfg.n_frames, 4))
+    assert m.points[0].byte_offset == 0 and m.points[0].pcm_frame == 0
+    per = cfg.frames_per_mlp_frame
+    for p in m.points:
+        assert p.pcm_frame == p.frame * per
+    # lookup picks the latest point at or before the target
+    assert m.resume_for_pcm_frame(0).frame == 0
+    assert m.resume_for_pcm_frame(9 * per).frame == 8
+    assert m.resume_for_pcm_frame(10**9).frame == frames[-1]
+
+
+def test_read_range_matches_full_decode(tmp_path):
+    track, cfg = _disc(tmp_path, fir_across_restart=False,
+                       params_update_prob=0.0)
+    full = track.open_reader(use_device=True).read_all()
+    reader = track.open_reader(use_device=True)
+    per = cfg.frames_per_mlp_frame
+    for start, n in [(0, per), (5 * per, 3 * per), (4 * per + 7, 10),
+                     (cfg.total_pcm_frames - 5, 99)]:
+        got = reader.read_range(start, n)
+        assert np.array_equal(got, full[start : start + n]), (start, n)
+    # read_range must not disturb the pull cursor
+    assert reader.tell() == 0
+
+
+def test_fir_coupling_blocks_resume(tmp_path):
+    """With FIR state crossing restarts only frame 0 is a resume point —
+    and partial reads still decode correctly (full-prefix fallback)."""
+    track, cfg = _disc(tmp_path, fir_across_restart=True)
+    reader = track.open_reader(use_device=True)
+    m = reader.manifest
+    assert [p.frame for p in m.points] == [0]
+    full = track.open_reader(use_device=True).read_all()
+    got = reader.read_range(200, 50)
+    assert np.array_equal(got, full[200:250])
+
+
+def test_pcm_track_has_no_manifest(tmp_path):
+    from dvda_tpu.testutil.synth import PcmTrackSpec
+
+    layout = build_disc(str(tmp_path / "AUDIO_TS"),
+                        [[PcmTrackSpec(pcm_frames=960, seed=1)]])
+    reader = (DVDA(layout.path).open_titleset(1).open_title(1)
+              .open_track(1).open_reader(use_device=False))
+    assert reader.manifest is None
+    assert np.array_equal(reader.read_range(10, 20),
+                          reader.read_all()[10:30])
