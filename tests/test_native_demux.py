@@ -160,3 +160,33 @@ def test_pcm_native_walk_corrupt_matches_python(tmp_path):
     finally:
         del os.environ["DVDA_TPU_DISABLE_NATIVE_DEMUX"]
     assert np.array_equal(a, b)
+
+
+def test_fuzz_corruption_equality(tmp_path):
+    """Seeded random corruption sweep: native assembly/PCM walk must agree
+    with the Python specification on arbitrarily damaged discs."""
+    rng = np.random.default_rng(2026)
+    cfg = MlpSynthConfig(channel_assignment=17, substream_count=2,
+                         n_frames=24, seed=1)
+    specs = [[PcmTrackSpec(pcm_frames=960, seed=3), _mlp_spec(cfg)]]
+    base = str(tmp_path / "AUDIO_TS")
+    layout = build_disc(base, specs)
+    aobs = sorted(f for f in os.listdir(base) if f.endswith(".AOB"))
+    clean = {f: open(os.path.join(base, f), "rb").read() for f in aobs}
+    title = DVDA(base).open_titleset(1).open_title(1)
+    pcm_tr, mlp_tr = title.open_track(1), title.open_track(2)
+    for trial in range(8):
+        f = aobs[rng.integers(len(aobs))]
+        data = bytearray(clean[f])
+        for _ in range(int(rng.integers(1, 5))):
+            data[int(rng.integers(len(data)))] ^= int(rng.integers(1, 256))
+        open(os.path.join(base, f), "wb").write(bytes(data))
+        _assert_equal(base, mlp_tr)
+        a = pcm_tr.open_reader(use_device=False).read_all()
+        os.environ["DVDA_TPU_DISABLE_NATIVE_DEMUX"] = "1"
+        try:
+            b = pcm_tr.open_reader(use_device=False).read_all()
+        finally:
+            del os.environ["DVDA_TPU_DISABLE_NATIVE_DEMUX"]
+        assert np.array_equal(a, b), trial
+        open(os.path.join(base, f), "wb").write(clean[f])
