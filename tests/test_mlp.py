@@ -84,6 +84,7 @@ CONFIGS = [
     (12, 2, 24, 192000),
     (0, 1, 16, 44100),    # mono
     (6, 1, 24, 88200),    # 5ch single substream
+    (1, 1, 20, 96000),    # 20-bit output path
 ]
 
 
