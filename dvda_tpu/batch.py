@@ -48,6 +48,7 @@ def decode_disc(
     titleset: int | None = None,
     use_device: bool | None = None,
     packed: bool = False,
+    prefetch: bool = True,
 ) -> Iterator[TrackResult]:
     """Decode every track of a disc (or one titleset), yielding results.
 
@@ -56,9 +57,18 @@ def decode_disc(
     in flight.  With ``packed`` each result carries ready-to-write WAV
     data bytes (``data``/``pcm_frames``; ``samples`` is None) — on the
     native 24-bit MLP path the device packs those bytes directly.
+
+    ``prefetch`` pipelines the disc at track granularity (SURVEY §2
+    parallelism table: host stage overlapped with device stage): a single
+    worker thread decodes track N+1 — its host demux/parse/staging and
+    device dispatch — while the caller consumes track N (e.g. writes the
+    WAV).  Blocking device readback releases the GIL, so the stages
+    genuinely overlap on one host core; at most one decoded track is
+    buffered ahead.
     """
     dvda = DVDA(audio_ts_path, device)
     titlesets = [titleset] if titleset else range(1, dvda.titleset_count + 1)
+    entries: list[tuple[int, int, int, object]] = []
     for ts_num in titlesets:
         try:
             ts = dvda.open_titleset(ts_num)
@@ -70,27 +80,47 @@ def decode_disc(
             except DvdaError:
                 continue
             for track_num in range(1, title.track_count + 1):
-                track = title.open_track(track_num)
-                with global_timer.stage("track-decode"):
-                    reader = track.open_reader(use_device=use_device)
-                    if packed:
-                        data = reader.read_all_packed()
-                        samples = None
-                        frame_bits = (reader.channel_count
-                                      * reader.bits_per_sample)
-                        frames = len(data) * 8 // max(1, frame_bits)
-                    else:
-                        samples = reader.read_all()
-                        data, frames = None, samples.shape[0]
-                yield TrackResult(
-                    titleset=ts_num, title=title_num, track=track_num,
-                    codec=reader.codec, sample_rate=reader.sample_rate,
-                    bits_per_sample=reader.bits_per_sample,
-                    channel_count=reader.channel_count,
-                    channel_mask=reader.channel_mask, samples=samples,
-                    data=data, pcm_frames=frames,
-                )
-                reader.close()
+                entries.append((ts_num, title_num, track_num,
+                                title.open_track(track_num)))
+
+    def decode_one(entry) -> TrackResult:
+        ts_num, title_num, track_num, track = entry
+        with global_timer.stage("track-decode"):
+            reader = track.open_reader(use_device=use_device)
+            if packed:
+                data = reader.read_all_packed()
+                samples = None
+                frame_bits = reader.channel_count * reader.bits_per_sample
+                frames = len(data) * 8 // max(1, frame_bits)
+            else:
+                samples = reader.read_all()
+                data, frames = None, samples.shape[0]
+        result = TrackResult(
+            titleset=ts_num, title=title_num, track=track_num,
+            codec=reader.codec, sample_rate=reader.sample_rate,
+            bits_per_sample=reader.bits_per_sample,
+            channel_count=reader.channel_count,
+            channel_mask=reader.channel_mask, samples=samples,
+            data=data, pcm_frames=frames,
+        )
+        reader.close()
+        return result
+
+    if prefetch and len(entries) > 1:
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(1) as ex:
+            pending = deque([ex.submit(decode_one, entries[0])])
+            for i in range(len(entries)):
+                if i + 1 < len(entries):
+                    # queued now: the worker starts it the moment track i
+                    # finishes, even while the caller is still writing i
+                    pending.append(ex.submit(decode_one, entries[i + 1]))
+                yield pending.popleft().result()
+    else:
+        for entry in entries:
+            yield decode_one(entry)
 
 
 def disc_to_wavs(
