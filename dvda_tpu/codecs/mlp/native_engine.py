@@ -484,12 +484,15 @@ def _try_uniform(parse, F: int, frame_len: np.ndarray, T: int,
     # large enough that per-chunk dispatch round-trips stay negligible
     CHUNK = 512
     pack24 = bits_per_sample == 24
+    devices = _decode_devices()
     pending = []
     with global_timer.stage("mlp/stage+dispatch"):
-        for c0 in range(0, n_chains, CHUNK):
+        for ci, c0 in enumerate(range(0, n_chains, CHUNK)):
             c1 = min(c0 + CHUNK, n_chains)
             dev = _dispatch_uniform_chunk(parse, subs_info, c0, c1, CHUNK,
-                                          period, L0, out_ch, pack24=pack24)
+                                          period, L0, out_ch, pack24=pack24,
+                                          device=(devices[ci % len(devices)]
+                                                  if devices else None))
             try:
                 dev.copy_to_host_async()  # overlap d2h with later chunks
             except (AttributeError, NotImplementedError):
@@ -509,8 +512,25 @@ def _try_uniform(parse, F: int, frame_len: np.ndarray, T: int,
         return ((v ^ 0x800000) - 0x800000).astype(np.int32)
 
 
+def _decode_devices():
+    """Device list for chunk round-robin, or None for default placement.
+
+    Chain chunks are fully independent (no cross-chunk state, no
+    collectives), so multi-chip decode is data parallelism over chunks:
+    each chunk's arenas are placed on the next device and the shared
+    program runs there.  Enabled with ``DVDA_TPU_MULTI_DEVICE=1``
+    (exercised on the virtual CPU mesh by __graft_entry__.dryrun_multichip
+    — real multi-chip hardware is not available in this environment)."""
+    import os
+
+    if os.environ.get("DVDA_TPU_MULTI_DEVICE", "0") != "1":
+        return None
+    devs = jax.local_devices()
+    return devs if len(devs) > 1 else None
+
+
 def _dispatch_uniform_chunk(parse, subs_info, c0, c1, CHUNK, period, L0,
-                            out_ch, pack24=False):
+                            out_ch, pack24=False, device=None):
     """Build arenas for chains [c0, c1) and dispatch the pipeline (async);
     returns the device array ([CHUNK*period, C_out], valid rows first)."""
     from ...ops.lfsr import _jump_columns
@@ -608,6 +628,9 @@ def _dispatch_uniform_chunk(parse, subs_info, c0, c1, CHUNK, period, L0,
     # 24-bit streams return device-packed 3-byte samples (25% less d2h)
     spec = spec + (("__pack24__", 0, 0, (), "flag"),) if pack24 else spec
     with global_timer.stage("mlp/jit-call"):
+        if device is not None:
+            # committed inputs pin the chunk's program to this device
+            a4, a2, a1 = (jax.device_put(a, device) for a in (a4, a2, a1))
         return _uniform_arena_pipeline(a4, a2, a1, spec)
 
 

@@ -107,9 +107,10 @@ def test_native_api_multitrack_parity(tmp_path, ref_oracle):
 
 
 def test_native_multichunk_streams():
-    """>128 restart chains exercises the chunked arena path (each chunk a
-    separate async device dispatch sharing one compiled program)."""
-    for nfr, re_ in [(300, 1), (180, 1)]:
+    """>512 restart chains exercises the chunked arena path (each chunk a
+    separate async device dispatch sharing one compiled program); the
+    1100-chain case spans 3 chunks."""
+    for nfr, re_ in [(1100, 1), (180, 1)]:
         cfg = MlpSynthConfig(channel_assignment=17, substream_count=2,
                              n_frames=nfr, restart_every=re_,
                              major_sync_every=re_, seed=3,
@@ -148,3 +149,28 @@ def test_read_all_packed_parity(tmp_path):
     a = tr.open_reader(use_device=True).read_all_packed()
     b = pack_samples_le(tr.open_reader(use_device=True).read_all(), 16)
     assert a == b
+
+
+def test_multi_device_chunk_round_robin():
+    """DVDA_TPU_MULTI_DEVICE=1 round-robins chain chunks over all local
+    devices (8 virtual CPU devices under conftest) — bit-equal output."""
+    import os
+
+    import jax
+
+    if len(jax.local_devices()) < 2:
+        pytest.skip("needs multiple devices")
+    cfg = MlpSynthConfig(channel_assignment=17, substream_count=2,
+                         n_frames=1100, restart_every=1, major_sync_every=1,
+                         seed=3, fir_across_restart=False,
+                         params_update_prob=0.0)
+    stream = synth_mlp_stream(cfg)
+    params = stream_params(cfg)
+    single = decode_native(stream, np.zeros(0, np.int64), len(stream), params)
+    os.environ["DVDA_TPU_MULTI_DEVICE"] = "1"
+    try:
+        multi = decode_native(stream, np.zeros(0, np.int64), len(stream),
+                              params)
+    finally:
+        del os.environ["DVDA_TPU_MULTI_DEVICE"]
+    assert np.array_equal(single, multi)
