@@ -160,3 +160,37 @@ def test_mock_drive_rejects_bad_key2():
     drive.report_key1(0)
     with pytest.raises(IOError):
         drive.send_key2(0, b"wrong")
+
+
+def test_encrypted_mlp_disc_native_path(tmp_path):
+    """Encrypted MLP disc through the production path: the AOBReader
+    decrypt hook feeds plaintext sectors to the native demux + parser +
+    device pipeline; output equals the plaintext decode."""
+    import os
+
+    from dvda_tpu.api import DVDA, TrackReader
+    from dvda_tpu.testutil.mlp_synth import MlpSynthConfig, synth_mlp_stream
+    from dvda_tpu.testutil.synth import MlpTrackSpec
+
+    media_key = 0x00DEADBEEF001122
+    album = 0x0F0E0D0C0B0A0908
+    cfg = MlpSynthConfig(channel_assignment=17, substream_count=2,
+                         n_frames=20, seed=6, fir_across_restart=False)
+    layout = build_disc(str(tmp_path / "AUDIO_TS"),
+                        [[MlpTrackSpec(mlp_stream=synth_mlp_stream(cfg),
+                                       pcm_frames=cfg.total_pcm_frames,
+                                       sample_rate=cfg.sample_rate,
+                                       channel_assignment=17)]])
+    plain = (DVDA(layout.path).open_titleset(1).open_title(1)
+             .open_track(1).open_reader(use_device=True)).read_all()
+
+    aob_path = os.path.join(layout.path, "ATS_01_1.AOB")
+    raw = np.fromfile(aob_path, dtype=np.uint8).reshape(-1, 2048)
+    encrypt_sectors(raw, media_key, album).tofile(aob_path)
+
+    dec = CppmDecryptor(media_key, album)
+    aob = AOBReader(layout.path, 1, decrypt=dec.decrypt_sectors)
+    track = DVDA(layout.path).open_titleset(1).open_title(1).open_track(1)
+    reader = TrackReader(aob, track, use_device=True)
+    assert reader.codec == "MLP"
+    assert np.array_equal(reader.read_all(), plain)
