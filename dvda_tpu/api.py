@@ -372,6 +372,7 @@ class TrackReader:
                                    want_packed=True)
             if out.dtype == np.uint8:
                 self._cursor = out.shape[0]
+                self._packed_frames = out.shape[0]
                 return out.tobytes()
             self.__dict__["_decoded"] = out  # fallback decoded int32: keep
         return pack_samples_le(self.read_all(), bps)
@@ -423,6 +424,9 @@ class TrackReader:
 
     @property
     def total_pcm_frames(self) -> int:
+        if "_decoded" not in self.__dict__ and \
+                getattr(self, "_packed_frames", None) is not None:
+            return self._packed_frames  # known from read_all_packed
         return self._decoded.shape[0]
 
     def close(self) -> None:
