@@ -14,6 +14,8 @@ Two API styles are provided:
 """
 
 from .api import DVDA, Titleset, Title, Track, TrackReader, open_disc
+import enum as _enum
+
 from .codecs.params import PTS_PER_SECOND
 
 __version__ = "0.1.0"
@@ -29,7 +31,8 @@ __all__ = [
     "dvda_close_track", "dvda_track_number", "dvda_track_pts_index",
     "dvda_track_pts_length", "dvda_track_first_sector",
     "dvda_track_last_sector", "dvda_open_track_reader",
-    "dvda_close_track_reader", "dvda_codec", "dvda_bits_per_sample",
+    "dvda_close_track_reader", "dvda_codec", "dvda_codec_t",
+    "DVDA_PCM", "DVDA_MLP", "dvda_bits_per_sample",
     "dvda_sample_rate", "dvda_channel_count", "dvda_riff_wave_channel_mask",
     "dvda_read",
 ]
@@ -136,8 +139,22 @@ def dvda_close_track_reader(reader):
     reader.close()
 
 
+class dvda_codec_t(_enum.IntEnum):
+    """Codec enum (dvd-audio.h:52: typedef enum {DVDA_PCM, DVDA_MLP})."""
+
+    DVDA_PCM = 0
+    DVDA_MLP = 1
+
+
+DVDA_PCM = dvda_codec_t.DVDA_PCM
+DVDA_MLP = dvda_codec_t.DVDA_MLP
+
+
 def dvda_codec(reader):
-    return reader.codec
+    """Returns the track's codec as :class:`dvda_codec_t`
+    (dvda_codec, dvd-audio.h:165-166)."""
+    return (dvda_codec_t.DVDA_PCM if reader.codec == "PCM"
+            else dvda_codec_t.DVDA_MLP)
 
 
 def dvda_bits_per_sample(reader):
