@@ -99,7 +99,8 @@ def process_mkb(mkb: bytes,
     i_dev = 0
     media_key = 0
     verification = 0
-    while i_dev < len(device_keys):
+    no_more_keys = False
+    while not no_more_keys:
         pos = 0
         advanced = False
         while pos + 4 <= len(mkb):
@@ -111,32 +112,34 @@ def process_mkb(mkb: bytes,
             if length >= 12 and pos + 12 <= len(mkb):
                 buffer = int.from_bytes(mkb[pos + 4 : pos + 12], "big")
             if rtype in (0x01, 0x82):
-                ok = True
+                ok = buffer is not None
                 column = None
-                if rtype == 0x82:
-                    if buffer is None:
-                        ok = False
-                    else:
-                        dec = c2_dec(buffer, media_key)
-                        ok = (dec & 0xFFFFFFFF00000000) == _VERIFY
-                        # the reference re-byteswaps the decrypted value and
-                        # reads its 5th little-endian byte (cppm.c:384-386)
-                        column = (dec >> 32) & 0xFF
-                else:
-                    # byte 4 of the raw little-endian buffer view = the
-                    # 5th payload byte (cppm.c:386)
+                if rtype == 0x82 and ok:
+                    dec = c2_dec(buffer, media_key)
+                    ok = (dec & 0xFFFFFFFF00000000) == _VERIFY
+                    # the reference byteswaps the decrypted value back to
+                    # storage order and reads payload byte 4 (cppm.c:384-391):
+                    # byte 4 of bswap64(dec) = bits 24..31 of dec
+                    column = (dec >> 24) & 0xFF
+                elif rtype == 0x01:
+                    # byte 4 of the raw big-endian payload (cppm.c:386)
                     column = mkb[pos + 8] if pos + 8 < len(mkb) else None
-                if ok and buffer is not None and column is not None:
+                if ok and column is not None:
+                    # look up a device key for this column starting at the
+                    # current key index; a miss marks no_more_keys but only
+                    # skips THIS record — the walk continues, and a later
+                    # record may still derive the key (cppm.c:392-403)
                     dk = None
+                    no_more_keys = True
                     for j in range(i_dev, len(device_keys)):
                         if device_keys[j].col == column:
                             dk = device_keys[j]
                             i_dev = j
+                            no_more_keys = False
                             break
-                    if dk is None:
-                        return None  # no more keys for this column
-                    row_off = pos + 12 + dk.row * 8
-                    if row_off + 8 <= pos + length and row_off + 8 <= len(mkb):
+                    row_off = pos + 12 + (dk.row * 8 if dk else 0)
+                    if (dk is not None and row_off + 8 <= pos + length
+                            and row_off + 8 <= len(mkb)):
                         kd = int.from_bytes(mkb[row_off : row_off + 8], "big")
                         if rtype == 0x82:
                             kd = c2_dec(kd, media_key)
@@ -154,4 +157,8 @@ def process_mkb(mkb: bytes,
         if not advanced:
             return None
         i_dev += 1
+        if i_dev > len(device_keys):
+            # no 0x01/0x82 record performed a lookup this pass (the
+            # reference would spin forever on such an MKB) — give up
+            return None
     return None

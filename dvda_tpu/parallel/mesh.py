@@ -26,14 +26,18 @@ AXIS_CHANNEL = "tp"
 def make_mesh(n_devices: int | None = None, tp: int | None = None) -> Mesh:
     """Build a 2D (dp × tp) mesh over the first ``n_devices`` devices.
 
-    ``tp`` defaults to 2 when it divides the device count (channels pair
-    naturally), else 1.
+    ``n_devices`` is clamped to the number of devices actually visible
+    (fewer may exist than requested — e.g. one real chip when a virtual
+    CPU mesh was intended), and the dp×tp grid is derived from the
+    clamped count.  ``tp`` defaults to 2 when it divides that count
+    (channels pair naturally), else 1.
     """
     devices = jax.devices()
     if n_devices is None:
         n_devices = len(devices)
+    n_devices = min(n_devices, len(devices))
     devices = devices[:n_devices]
-    if tp is None:
+    if tp is None or n_devices % tp != 0:
         tp = 2 if n_devices % 2 == 0 and n_devices > 1 else 1
     dp = n_devices // tp
     grid = np.array(devices).reshape(dp, tp)

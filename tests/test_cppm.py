@@ -61,6 +61,45 @@ def test_process_mkb_rejects_garbage():
     assert process_mkb(b"") is None
 
 
+def _record(rtype: int, payload: bytes) -> bytes:
+    length = 4 + len(payload)
+    return bytes([rtype]) + length.to_bytes(3, "big") + payload
+
+
+def test_process_mkb_conditional_0x82_record():
+    """0x82 conditionally-calculate records: header and row entry are
+    encrypted with the running media key (zero here), and the column is
+    byte 4 of the byteswapped decrypted header = bits 24..31 of the
+    decrypted value (cppm.c:380-391)."""
+    dk = next(k for k in DEVICE_KEYS if k.col == 0x01)
+    media_key = 0x0055AA55AA55AA55
+    f = (dk.col << 32) | dk.row
+    # row entry is doubly wrapped: c2_dec(file_bytes, running_mk=0) then
+    # c2_dec(., dk.key) must yield media_key ^ f
+    inner = c2_enc((media_key ^ f) & 0x00FFFFFFFFFFFFFF, dk.key)
+    entry = c2_enc(inner, 0)
+    table = bytearray((dk.row + 1) * 8)
+    table[dk.row * 8 : dk.row * 8 + 8] = entry.to_bytes(8, "big")
+    # header decrypts (with running mk = 0) to DEADBEEF-prefixed data with
+    # the column in bits 24..31
+    header = c2_enc((0xDEADBEEF << 32) | (dk.col << 24) | 0x01, 0)
+    verification = c2_enc(0xDEADBEEF00000000 | 0xCAFEF00D, media_key)
+    mkb = (_record(0x81, verification.to_bytes(8, "big"))
+           + _record(0x82, header.to_bytes(8, "big") + bytes(table))
+           + _record(0x02, b""))
+    assert process_mkb(mkb) == media_key
+
+
+def test_process_mkb_skips_unknown_column_record():
+    """A 0x01 record whose column matches no device key is skipped — the
+    walk continues and a later record may still derive the media key
+    (cppm.c:392-403: no_more_keys only ends the walk after a full pass)."""
+    media_key = 0x00A1B2C3D4E5F607
+    good = _build_mkb(media_key)
+    bogus_payload = bytes([0, 0, 0, 0, 0xEE, 0, 0, 1]) + bytes(16)
+    assert process_mkb(_record(0x01, bogus_payload) + good) == media_key
+
+
 def _synthetic_sectors(n=6, seed=3):
     import os
     import tempfile
