@@ -22,6 +22,7 @@ from functools import cached_property
 import numpy as np
 
 from .bitstream import BitReader, BitstreamError
+from .config import DecodeConfig, default_config
 from .container.aob import AOBReader
 from .container.audio_ts import find_audio_ts_file
 from .container import ifo as ifo_mod
@@ -56,7 +57,9 @@ def _make_decrypt(audio_ts_path: str, device: str | None):
 class DVDA:
     """A DVD-Audio disc (reference: dvda_open, dvd-audio.c:324-353)."""
 
-    def __init__(self, audio_ts_path: str | os.PathLike, device: str | None = None):
+    def __init__(self, audio_ts_path: str | os.PathLike,
+                 device: str | None = None,
+                 config: DecodeConfig | None = None):
         audio_ts_path = os.fspath(audio_ts_path)
         ifo_path = find_audio_ts_file(audio_ts_path, "audio_ts.ifo")
         if ifo_path is None:
@@ -67,6 +70,8 @@ class DVDA:
             raise DvdaError("invalid AUDIO_TS.IFO")
         self.audio_ts_path = audio_ts_path
         self.device = device
+        #: explicit config, or None = environment-derived at decode time
+        self.config = config
 
     @property
     def titleset_count(self) -> int:
@@ -159,15 +164,16 @@ class Track:
     def last_sector(self) -> int:
         return self.span.last_sector
 
-    def open_reader(self, use_device: bool | None = None) -> "TrackReader":
+    def open_reader(self, use_device: bool | None = None,
+                    config: DecodeConfig | None = None) -> "TrackReader":
         ts = self.title.titleset
         dvda = ts.dvda
-        aob = AOBReader(
-            dvda.audio_ts_path,
-            ts.number,
-            decrypt=_make_decrypt(dvda.audio_ts_path, dvda.device),
-        )
-        return TrackReader(aob, self, use_device=use_device)
+        config = config if config is not None else dvda.config
+        decrypt = None
+        if config is None or config.decrypt:
+            decrypt = _make_decrypt(dvda.audio_ts_path, dvda.device)
+        aob = AOBReader(dvda.audio_ts_path, ts.number, decrypt=decrypt)
+        return TrackReader(aob, self, use_device=use_device, config=config)
 
     def close(self) -> None:
         pass
@@ -183,12 +189,18 @@ class TrackReader:
     as ``dvda_read`` (short final read, 0 at end of stream).
     """
 
-    def __init__(self, aob: AOBReader, track: Track, use_device: bool | None = None):
+    def __init__(self, aob: AOBReader, track: Track,
+                 use_device: bool | None = None,
+                 config: DecodeConfig | None = None):
         self.aob = aob
         self.track = track
         self.use_device = use_device
+        self.config = config
         self._cursor = 0
         self._probe()
+
+    def _cfg(self) -> DecodeConfig:
+        return self.config if self.config is not None else default_config()
 
     # -- probing (dvda_open_track_reader, dvd-audio.c:597-657) -------------
 
@@ -247,7 +259,8 @@ class TrackReader:
         from .codecs.mlp.track import decode_mlp_track
 
         return decode_mlp_track(self.aob, self.track.span, self.parameters,
-                                use_device=self.use_device)
+                                use_device=self.use_device,
+                                config=self.config)
 
     def _decode_pcm(self) -> np.ndarray:
         """Batch PCM decode.
@@ -265,7 +278,8 @@ class TrackReader:
         bps = self.parameters.bits_per_sample
         ch = self.parameters.channel_count
         csize = pcm_codec.chunk_size(bps, ch)
-        if os.environ.get("DVDA_TPU_DISABLE_NATIVE_DEMUX", "0") != "1":
+        cfg = self._cfg()
+        if cfg.use_native_demux:
             # native packet walk (host/src/demux.cc); the loop below is its
             # executable specification and differential-test oracle
             from . import host
@@ -279,7 +293,7 @@ class TrackReader:
         chunk_arrays: list[np.ndarray] = []
         remaining = total
         sector = span.first_sector
-        BATCH = 4096  # sectors per host I/O batch
+        BATCH = cfg.io_batch_sectors  # sectors per host I/O batch
         done = False
         while not done:
             sectors = self.aob.read_sectors(sector, BATCH)
@@ -334,7 +348,7 @@ class TrackReader:
     def _device_enabled(self) -> bool:
         if self.use_device is not None:
             return self.use_device
-        return os.environ.get("DVDA_TPU_DISABLE_DEVICE", "0") != "1"
+        return self._cfg().use_device
 
     # -- pull API (dvda_read, dvd-audio.c:751-795) --------------------------
 
@@ -369,7 +383,8 @@ class TrackReader:
             out = decode_mlp_track(self.aob, self.track.span,
                                    self.parameters,
                                    use_device=self.use_device,
-                                   want_packed=True)
+                                   want_packed=True,
+                                   config=self.config)
             if out.dtype == np.uint8:
                 self._cursor = out.shape[0]
                 self._packed_frames = out.shape[0]
@@ -385,13 +400,12 @@ class TrackReader:
         reads of long tracks skip most of the work.  Everywhere else it
         slices the cached full decode.  Does not move the cursor."""
         if (self.codec == "MLP" and "_decoded" not in self.__dict__
-                and self._device_enabled()
-                and os.environ.get("DVDA_TPU_DISABLE_NATIVE", "0") != "1"):
+                and self._device_enabled() and self._cfg().use_native):
             from .codecs.mlp.track import decode_mlp_track_range
 
             out = decode_mlp_track_range(self.aob, self.track.span,
                                          self.parameters, start_frame,
-                                         pcm_frames)
+                                         pcm_frames, config=self.config)
             if out is not None:
                 return out
         return self._decoded[start_frame : start_frame + pcm_frames]
@@ -433,5 +447,6 @@ class TrackReader:
         self.aob.close()
 
 
-def open_disc(audio_ts_path: str | os.PathLike, device: str | None = None) -> DVDA:
-    return DVDA(audio_ts_path, device)
+def open_disc(audio_ts_path: str | os.PathLike, device: str | None = None,
+              config: DecodeConfig | None = None) -> DVDA:
+    return DVDA(audio_ts_path, device, config=config)

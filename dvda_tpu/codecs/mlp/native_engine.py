@@ -37,6 +37,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ... import host
+from ...config import DecodeConfig, default_config
 from ..params import WAVE_CHANNEL, StreamParameters
 from ...utils.profiling import global_timer
 
@@ -291,7 +292,8 @@ def _pipeline(subs, frame_idx, flat_idx, noise01, bypassed_t,
 
 def decode_native(stream: bytes, boundaries: np.ndarray, probe_end: int,
                   parameters: StreamParameters,
-                  want_packed: bool = False) -> np.ndarray | None:
+                  want_packed: bool = False,
+                  config: DecodeConfig | None = None) -> np.ndarray | None:
     """Decode a complete MLP stream.  Returns int32 [T, C] samples, or —
     with ``want_packed`` on a uniform 24-bit stream — uint8 [T, C*3]
     little-endian WAV data bytes (callers distinguish by dtype)."""
@@ -303,13 +305,13 @@ def decode_native(stream: bytes, boundaries: np.ndarray, probe_end: int,
         return None
     try:
         return _decode_parsed(parse, boundaries, probe_end, parameters,
-                              want_packed)
+                              want_packed, config)
     finally:
         parse.close()  # frees the zero-copy parse buffers
 
 
 def _decode_parsed(parse, boundaries, probe_end, parameters,
-                   want_packed) -> np.ndarray | None:
+                   want_packed, config=None) -> np.ndarray | None:
     out_ch = parameters.channel_count
     if parse.F == 0:
         return np.zeros((0, out_ch), dtype=np.int32)
@@ -324,7 +326,7 @@ def _decode_parsed(parse, boundaries, probe_end, parameters,
 
     uniform = _try_uniform(parse, F, frame_len, T, out_ch,
                            parameters.bits_per_sample,
-                           want_packed=want_packed)
+                           want_packed=want_packed, config=config)
     if uniform is not None:
         return uniform
 
@@ -430,7 +432,8 @@ def _wave_perm(parse, out_ch: int) -> np.ndarray:
 
 def _try_uniform(parse, F: int, frame_len: np.ndarray, T: int,
                  out_ch: int, bits_per_sample: int = 24,
-                 want_packed: bool = False) -> np.ndarray | None:
+                 want_packed: bool = False,
+                 config: DecodeConfig | None = None) -> np.ndarray | None:
     """Attempt the gather-free arena pipeline; None if the stream is not
     uniform (varying block/frame sizes or uneven restart chains).
 
@@ -484,7 +487,7 @@ def _try_uniform(parse, F: int, frame_len: np.ndarray, T: int,
     # large enough that per-chunk dispatch round-trips stay negligible
     CHUNK = 512
     pack24 = bits_per_sample == 24
-    devices = _decode_devices()
+    devices = _decode_devices(config)
     pending = []
     with global_timer.stage("mlp/stage+dispatch"):
         for ci, c0 in enumerate(range(0, n_chains, CHUNK)):
@@ -512,7 +515,7 @@ def _try_uniform(parse, F: int, frame_len: np.ndarray, T: int,
         return ((v ^ 0x800000) - 0x800000).astype(np.int32)
 
 
-def _decode_devices():
+def _decode_devices(config: DecodeConfig | None = None):
     """Device list for chunk round-robin, or None for default placement.
 
     Chain chunks are fully independent (no cross-chunk state, no
@@ -521,9 +524,8 @@ def _decode_devices():
     program runs there.  Enabled with ``DVDA_TPU_MULTI_DEVICE=1``
     (exercised on the virtual CPU mesh by __graft_entry__.dryrun_multichip
     — real multi-chip hardware is not available in this environment)."""
-    import os
-
-    if os.environ.get("DVDA_TPU_MULTI_DEVICE", "0") != "1":
+    cfg = config if config is not None else default_config()
+    if not cfg.multi_device:
         return None
     devs = jax.local_devices()
     return devs if len(devs) > 1 else None

@@ -21,10 +21,9 @@ Termination rules, replicated exactly:
 
 from __future__ import annotations
 
-import os
-
 import numpy as np
 
+from ...config import DecodeConfig, default_config
 from ...container.aob import AOBReader
 from ..params import StreamParameters
 from .probe import find_major_sync, iter_mlp_payloads
@@ -39,40 +38,44 @@ def decode_mlp_track(
     parameters: StreamParameters,
     use_device: bool | None = None,
     want_packed: bool = False,
+    config: DecodeConfig | None = None,
 ) -> np.ndarray:
     """Decode a whole MLP track to int32 [frames, channels] (WAVE order).
 
     With ``want_packed`` the native 24-bit path may instead return uint8
     [frames, channels*3] little-endian WAV data bytes (the device packs
     them); callers must check the dtype — every fallback returns int32."""
+    cfg = config if config is not None else default_config()
     if use_device is None:
-        use_device = os.environ.get("DVDA_TPU_DISABLE_DEVICE", "0") != "1"
-    if use_device and os.environ.get("DVDA_TPU_DISABLE_NATIVE", "0") != "1":
-        out = _try_native(aob, span, parameters, want_packed)
+        use_device = cfg.use_device
+    if use_device and cfg.use_native:
+        out = _try_native(aob, span, parameters, want_packed, cfg)
         if out is not None:
             return out
     return _decode_python(aob, span, parameters, use_device)
 
 
 def _try_native(aob: AOBReader, span, parameters,
-                want_packed: bool = False) -> np.ndarray | None:
+                want_packed: bool = False,
+                config: DecodeConfig | None = None) -> np.ndarray | None:
     """Single-pass assembly + native parse + device pipeline; ``None`` to
     fall back to the Python engines."""
     from ...utils.profiling import global_timer
     from .native_engine import decode_native
 
     with global_timer.stage("mlp/assemble"):
-        assembled = _assemble_stream(aob, span)
+        assembled = _assemble_stream(aob, span, config)
     if assembled is None:
         return None
     stream, boundaries, probe_end = assembled
     if not stream:
         return np.zeros((0, parameters.channel_count), dtype=np.int32)
     return decode_native(stream, boundaries, probe_end, parameters,
-                         want_packed=want_packed)
+                         want_packed=want_packed, config=config)
 
 
-def _parse_with_manifest(aob: AOBReader, span):
+def _parse_with_manifest(aob: AOBReader, span,
+                         config: DecodeConfig | None = None):
     """Assemble + parse + build the resume manifest; ``None`` if the native
     path is unavailable.  Returns (stream, boundaries, probe_end, manifest)."""
     from ... import host
@@ -81,7 +84,7 @@ def _parse_with_manifest(aob: AOBReader, span):
 
     if not host.available():
         return None
-    assembled = _assemble_stream(aob, span)
+    assembled = _assemble_stream(aob, span, config)
     if assembled is None:
         return None
     stream, boundaries, probe_end = assembled
@@ -99,10 +102,10 @@ def _parse_with_manifest(aob: AOBReader, span):
     return stream, boundaries, probe_end, manifest
 
 
-def track_manifest(aob: AOBReader, span):
+def track_manifest(aob: AOBReader, span, config: DecodeConfig | None = None):
     """The track's resume manifest (codecs/mlp/manifest.py), or ``None``
     when the native path is unavailable."""
-    got = _parse_with_manifest(aob, span)
+    got = _parse_with_manifest(aob, span, config)
     return got[3] if got is not None else None
 
 
@@ -112,12 +115,13 @@ def decode_mlp_track_range(
     parameters: StreamParameters,
     start_pcm: int,
     n_pcm: int,
+    config: DecodeConfig | None = None,
 ) -> np.ndarray | None:
     """Decode only PCM frames [start_pcm, start_pcm + n_pcm) by resuming at
     the nearest manifest point — the prefix is never decoded (SURVEY §5
     checkpoint/resume; the reference can only re-decode from the track
     start).  ``None`` falls back to a full decode + slice."""
-    got = _parse_with_manifest(aob, span)
+    got = _parse_with_manifest(aob, span, config)
     if got is None:
         return None
     stream, boundaries, probe_end, manifest = got
@@ -129,14 +133,15 @@ def decode_mlp_track_range(
         boundaries = boundaries[boundaries > rp.byte_offset] - rp.byte_offset
         probe_end = max(0, probe_end - rp.byte_offset)
         stream = stream[rp.byte_offset:]
-    out = decode_native(stream, boundaries, probe_end, parameters)
+    out = decode_native(stream, boundaries, probe_end, parameters,
+                        config=config)
     if out is None:
         return None
     lo = start_pcm - rp.pcm_frame
     return out[lo : lo + n_pcm]
 
 
-def _assemble_stream(aob: AOBReader, span):
+def _assemble_stream(aob: AOBReader, span, config: DecodeConfig | None = None):
     """Collect the exact byte stream the pull decoder would feed, plus the
     post-probe packet boundaries (for the zero-frame-packet cut) and the
     probe-prefix length.  Mirrors the loop in :func:`_decode_python`.
@@ -145,7 +150,8 @@ def _assemble_stream(aob: AOBReader, span):
     — the Python loop below is its executable specification and the
     fallback when no toolchain is available (or via
     ``DVDA_TPU_DISABLE_NATIVE_DEMUX=1`` for differential testing)."""
-    if os.environ.get("DVDA_TPU_DISABLE_NATIVE_DEMUX", "0") != "1":
+    cfg = config if config is not None else default_config()
+    if cfg.use_native_demux:
         from ... import host
 
         native = host.assemble_mlp_stream(aob, span.first_sector,
@@ -269,7 +275,7 @@ def _feed_tail(decoder, first_payload, payloads) -> None:
 def _make_decoder(parameters: StreamParameters, use_device: bool | None):
     """Choose the decode engine: batched device engine or sequential spec."""
     if use_device is None:
-        use_device = os.environ.get("DVDA_TPU_DISABLE_DEVICE", "0") != "1"
+        use_device = default_config().use_device
     if use_device:
         try:
             from .engine import BatchedMlpDecoder

@@ -1,16 +1,26 @@
-"""Pipeline configuration.
+"""Pipeline configuration — the single place environment flags are parsed.
 
 The reference's configuration is compile-time Makefile flags plus CLI
 getopt options (SURVEY §5).  The rebuild uses one dataclass covering the
-whole pipeline, overridable from the environment:
+whole pipeline.  A :class:`DecodeConfig` can be passed explicitly to
+``DVDA(...)`` / ``Track.open_reader`` / ``decode_mlp_track`` /
+``decode_native``; where none is given, :func:`default_config` builds one
+from the environment **at use time**, so env toggles keep working for
+CLIs and benchmarks:
 
-    =============================  =====================================
-    env var                        effect
-    =============================  =====================================
-    ``DVDA_TPU_DISABLE_DEVICE=1``  host-only decode (numpy/Python spec)
-    ``DVDA_TPU_DISABLE_NATIVE=1``  skip the C++ parser (Python planner)
-    ``DVDA_TPU_LOG=<level>``       log level (utils/log.py)
-    =============================  =====================================
+    ==============================  =====================================
+    env var                         effect
+    ==============================  =====================================
+    ``DVDA_TPU_DISABLE_DEVICE=1``   host-only decode (numpy/Python spec)
+    ``DVDA_TPU_DISABLE_NATIVE=1``   skip the C++ parser (Python planner)
+    ``DVDA_TPU_DISABLE_NATIVE_DEMUX=1``  Python packet walk (differential
+                                    testing of host/src/demux.cc)
+    ``DVDA_TPU_MULTI_DEVICE=1``     round-robin chain chunks over all
+                                    local devices (data parallelism)
+    ``DVDA_TPU_LOG=<level>``        log level (utils/log.py)
+    ==============================  =====================================
+
+No other module reads ``DVDA_TPU_*`` variables directly (VERDICT r1 #7).
 """
 
 from __future__ import annotations
@@ -18,7 +28,11 @@ from __future__ import annotations
 import os
 from dataclasses import dataclass
 
-__all__ = ["DecodeConfig", "default_config"]
+__all__ = ["DecodeConfig", "default_config", "env_log_level"]
+
+
+def _env_off(name: str) -> bool:
+    return os.environ.get(name, "0") != "1"
 
 
 @dataclass
@@ -27,6 +41,10 @@ class DecodeConfig:
     use_device: bool = True
     #: use the native C++ host parser when available
     use_native: bool = True
+    #: use the native C++ packet demux/assembler when available
+    use_native_demux: bool = True
+    #: round-robin independent chain chunks over all local devices
+    multi_device: bool = False
     #: sectors per host I/O batch when walking a track
     io_batch_sectors: int = 4096
     #: decrypt CPPM-protected sectors when a device/MKB is available
@@ -37,10 +55,18 @@ class DecodeConfig:
     @classmethod
     def from_env(cls) -> "DecodeConfig":
         return cls(
-            use_device=os.environ.get("DVDA_TPU_DISABLE_DEVICE", "0") != "1",
-            use_native=os.environ.get("DVDA_TPU_DISABLE_NATIVE", "0") != "1",
+            use_device=_env_off("DVDA_TPU_DISABLE_DEVICE"),
+            use_native=_env_off("DVDA_TPU_DISABLE_NATIVE"),
+            use_native_demux=_env_off("DVDA_TPU_DISABLE_NATIVE_DEMUX"),
+            multi_device=not _env_off("DVDA_TPU_MULTI_DEVICE"),
         )
 
 
 def default_config() -> DecodeConfig:
+    """The environment-derived config, evaluated at call time (cheap)."""
     return DecodeConfig.from_env()
+
+
+def env_log_level(default: str = "WARNING") -> str:
+    """Log level from ``DVDA_TPU_LOG`` (consumed by utils/log.py)."""
+    return os.environ.get("DVDA_TPU_LOG", default)

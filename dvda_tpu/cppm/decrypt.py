@@ -166,11 +166,11 @@ class CppmDecryptor:
         return sectors
 
     def _device_enabled(self, n: int) -> bool:
-        import os
+        from ..config import default_config
 
         if self.use_device is False:
             return False
-        if os.environ.get("DVDA_TPU_DISABLE_DEVICE", "0") == "1":
+        if not default_config().use_device:
             return False
         return self.use_device is True or n >= self.device_batch_threshold
 

@@ -10,7 +10,6 @@ log at WARNING to mirror the reference's stderr messages.
 from __future__ import annotations
 
 import logging
-import os
 
 __all__ = ["logger", "configure"]
 
@@ -20,7 +19,9 @@ logger = logging.getLogger("dvda_tpu")
 def configure(level: str | int | None = None) -> None:
     """Attach a stderr handler; level from arg or ``DVDA_TPU_LOG``."""
     if level is None:
-        level = os.environ.get("DVDA_TPU_LOG", "WARNING")
+        from ..config import env_log_level
+
+        level = env_log_level()
     if isinstance(level, str):
         level = getattr(logging, level.upper(), logging.WARNING)
     if not logger.handlers:

@@ -92,8 +92,39 @@ def test_byte_counter():
 def test_config_env(monkeypatch):
     monkeypatch.setenv("DVDA_TPU_DISABLE_DEVICE", "1")
     monkeypatch.setenv("DVDA_TPU_DISABLE_NATIVE", "1")
+    monkeypatch.setenv("DVDA_TPU_DISABLE_NATIVE_DEMUX", "1")
+    monkeypatch.setenv("DVDA_TPU_MULTI_DEVICE", "1")
     cfg = DecodeConfig.from_env()
     assert not cfg.use_device and not cfg.use_native
+    assert not cfg.use_native_demux and cfg.multi_device
+
+
+def test_config_object_toggles_decode_paths(tmp_path):
+    """An explicit DecodeConfig threaded from open_disc selects the decode
+    path — all three engine tiers must agree bit-exactly."""
+    import numpy as np
+
+    import dvda_tpu
+    from dvda_tpu.testutil.mlp_synth import MlpSynthConfig, synth_mlp_stream
+    from dvda_tpu.testutil.synth import MlpTrackSpec, build_disc
+
+    mlp = MlpSynthConfig(channel_assignment=1, n_frames=32, seed=5)
+    build_disc(str(tmp_path / "AUDIO_TS"),
+               [[MlpTrackSpec(mlp_stream=synth_mlp_stream(mlp),
+                              pcm_frames=mlp.total_pcm_frames)]])
+
+    def decode(cfg):
+        disc = dvda_tpu.open_disc(str(tmp_path / "AUDIO_TS"), config=cfg)
+        r = disc.open_titleset(1).open_title(1).open_track(1).open_reader()
+        assert r.config is cfg
+        return r.read_all()
+
+    native = decode(DecodeConfig())
+    py_dev = decode(DecodeConfig(use_native=False))
+    host_only = decode(DecodeConfig(use_device=False, use_native=False,
+                                    use_native_demux=False))
+    assert np.array_equal(native, py_dev)
+    assert np.array_equal(native, host_only)
 
 
 def test_logging_configure():
