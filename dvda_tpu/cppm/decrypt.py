@@ -30,8 +30,8 @@ ENCRYPTED_WORDS = ENCRYPTED_SIZE // 8
 _M56 = 0x00FFFFFFFFFFFFFF
 _M32 = 0xFFFFFFFF
 
-COPYRIGHT_NONE = 0
-COPYRIGHT_CPPM = 3  # COPYRIGHT_PROTECTION_CPPM
+COPYRIGHT_NONE = 0  # COPYRIGHT_PROTECTION_NONE (cppm.h:43)
+COPYRIGHT_CPPM = 1  # COPYRIGHT_PROTECTION_CPPM (cppm.h:44)
 
 
 def _be64(sectors: np.ndarray, offset: int) -> np.ndarray:
@@ -97,26 +97,38 @@ class CppmDecryptor:
         return cls(media_key, id_album_media, **kw)
 
     @classmethod
+    def from_drive(cls, drive, mkb_path: str,
+                   **kw) -> "CppmDecryptor | None":
+        """Probe + derive from an open :class:`css.DriveBackend`
+        (cppm_init, cppm.c:193-239): the copyright flag decides whether the
+        disc is protected at all (``ioctl_ReadCopyright``, ioctl.c:142 —
+        NOT inferred from MKB file presence), then the album ID is read
+        over the authenticated handshake (ASF-verified, ``GetASF``
+        dvd_css.c:344) and the MKB file yields the media key."""
+        from .css import read_album_id
+
+        try:
+            if drive.read_copyright() != COPYRIGHT_CPPM:
+                return None  # unprotected (or unsupported scheme)
+            album = read_album_id(drive)
+        except OSError:
+            return None
+        return cls.from_mkb_file(mkb_path, album, **kw)
+
+    @classmethod
     def from_device(cls, device: str, mkb_path: str,
                     **kw) -> "CppmDecryptor | None":
-        """Full reference path (cppm_init, cppm.c:193-239): read the
-        copyright flag and album ID over authenticated drive ioctls, then
-        process the MKB file."""
-        from .css import LinuxDrive, read_album_id
+        """Full reference path against a real drive node (Linux ioctls)."""
+        from .css import LinuxDrive
 
         try:
             drive = LinuxDrive(device)
         except OSError:
             return None
         try:
-            if drive.read_copyright() != COPYRIGHT_CPPM:
-                return None
-            album = read_album_id(drive)
-        except OSError:
-            return None
+            return cls.from_drive(drive, mkb_path, **kw)
         finally:
             drive.close()
-        return cls.from_mkb_file(mkb_path, album, **kw)
 
     # -- decryption ---------------------------------------------------------
 

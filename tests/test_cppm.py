@@ -201,6 +201,40 @@ def test_mock_drive_rejects_bad_key2():
         drive.send_key2(0, b"wrong")
 
 
+def test_from_drive_probe_path(tmp_path):
+    """Encrypted-disc detection through the drive probe (cppm_init,
+    cppm.c:193-239): the copyright flag (ioctl_ReadCopyright analog)
+    gates everything; the ASF-verified handshake yields the album ID;
+    the MKB file yields the media key."""
+    from dvda_tpu.cppm.css import MockDrive
+    from dvda_tpu.cppm.decrypt import COPYRIGHT_CPPM, CppmDecryptor
+
+    media_key = 0x00A1B2C3D4E5F607
+    album = 0x1122334455667788
+    block = bytearray(2048)
+    block[80:88] = album.to_bytes(8, "big")
+    mkb_path = str(tmp_path / "DVDAUDIO.MKB")
+    body = _build_mkb(media_key)
+    with open(mkb_path, "wb") as f:
+        f.write(b"DVDAUDIO.MKB" + len(body).to_bytes(4, "big") + body)
+
+    # reference parity: COPYRIGHT_PROTECTION_CPPM == 1 (cppm.h:43-44)
+    assert COPYRIGHT_CPPM == 1
+
+    drive = MockDrive(variant=9, disc_key_block=bytes(block),
+                      copyright_protection=COPYRIGHT_CPPM)
+    dec = CppmDecryptor.from_drive(drive, mkb_path)
+    assert dec is not None
+    assert dec.media_key == media_key
+    assert dec.id_album_media == album
+
+    # an unprotected disc (copyright 0) yields no decryptor even though
+    # an MKB file exists — detection follows the drive, not the file
+    plain = MockDrive(variant=9, disc_key_block=bytes(block),
+                      copyright_protection=0)
+    assert CppmDecryptor.from_drive(plain, mkb_path) is None
+
+
 def test_encrypted_mlp_disc_native_path(tmp_path):
     """Encrypted MLP disc through the production path: the AOBReader
     decrypt hook feeds plaintext sectors to the native demux + parser +
