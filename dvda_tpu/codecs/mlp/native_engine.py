@@ -290,24 +290,229 @@ def _pipeline(subs, frame_idx, flat_idx, noise01, bypassed_t,
     return jnp.take(flat_out, flat_idx, axis=0)      # [Tb, C_out]
 
 
+#: sentinel: the pipelined path hit a structure it does not handle — run
+#: the monolithic path on the (finished) parse instead
+_ABANDON = object()
+
+
 def decode_native(stream: bytes, boundaries: np.ndarray, probe_end: int,
                   parameters: StreamParameters,
                   want_packed: bool = False,
                   config: DecodeConfig | None = None) -> np.ndarray | None:
     """Decode a complete MLP stream.  Returns int32 [T, C] samples, or —
     with ``want_packed`` on a uniform 24-bit stream — uint8 [T, C*3]
-    little-endian WAV data bytes (callers distinguish by dtype)."""
+    little-endian WAV data bytes (callers distinguish by dtype).
+
+    The production path is *pipelined*: the native parser runs in frame
+    batches interleaved with chunk dispatch, so parsing of chunk N+1
+    overlaps chunk N's device compute and d2h drain (through this
+    environment's narrow tunnel the readback is the critical path — every
+    host millisecond hidden behind it is a millisecond off the total).
+    Streams the pipelined driver cannot handle fall back to the monolithic
+    parse-then-dispatch path, reusing the same parser handle (no re-parse).
+    """
     if not host.available():
         return None
-    with global_timer.stage("mlp/native-parse"):
-        parse = host.parse_mlp_stream(stream)
-    if parse is None or parse.status != 0:
+    inc = host.parse_mlp_stream_begin(stream)
+    if inc is None:
         return None
     try:
+        res = _decode_pipelined(inc, boundaries, probe_end, parameters,
+                                want_packed, config)
+        if res is not _ABANDON:
+            return res
+        with global_timer.stage("mlp/native-parse"):
+            inc.step(0)  # finish the walk; no bytes are re-parsed
+        parse = inc.view()
+        if parse.status != 0:
+            return None
         return _decode_parsed(parse, boundaries, probe_end, parameters,
                               want_packed, config)
     finally:
-        parse.close()  # frees the zero-copy parse buffers
+        inc.close()  # frees the zero-copy parse buffers
+
+
+def _decode_pipelined(inc, boundaries, probe_end, parameters,
+                      want_packed, config):
+    """Interleaved parse/dispatch over uniform streams (see decode_native).
+
+    Returns the decoded array, ``None`` (parser bailed → Python engines),
+    or ``_ABANDON`` (non-uniform or otherwise unhandled → monolithic path;
+    any already-dispatched device work is simply discarded)."""
+    out_ch = parameters.channel_count
+    pack24 = parameters.bits_per_sample == 24
+
+    more = True
+    with global_timer.stage("mlp/native-parse"):
+        more = inc.step(64)
+    v = inc.view()
+    if v.status != 0:
+        return None
+    while more and v.F == 0:  # leading frames may all drop
+        with global_timer.stage("mlp/native-parse"):
+            more = inc.step(64)
+        v = inc.view()
+        if v.status != 0:
+            return None
+    if v.F == 0:
+        return _ABANDON  # empty/degenerate: monolithic handles it
+
+    # ---- structure discovery on the primed prefix -------------------------
+    L0 = int(v.frame_len[0])
+    if L0 <= 0:
+        return _ABANDON
+    struct = []  # (s, S0, NB0)
+    for s in range(v.substream_count):
+        sub = v.sub[s]
+        if sub["len"].shape[0] == 0:
+            return _ABANDON
+        S0 = int(sub["len"][0])
+        NB0 = None
+        while NB0 is None:
+            sub = v.sub[s]
+            restarts = np.nonzero(sub["restart"][1:])[0] + 1
+            for r in restarts:
+                if not sub["rc_fir"][r].any():  # uncoupled → chain start
+                    NB0 = int(r)
+                    break
+            if NB0 is not None or not more:
+                break
+            with global_timer.stage("mlp/native-parse"):
+                more = inc.step(v.F)  # double the coverage
+            v = inc.view()
+            if v.status != 0:
+                return None
+        if NB0 is None or NB0 <= 0:
+            return _ABANDON  # single-chain stream: nothing to pipeline
+        struct.append((s, S0, NB0))
+    periods = {S0 * NB0 for _, S0, NB0 in struct}
+    if len(periods) != 1:
+        return _ABANDON
+    period = periods.pop()
+    if period % L0:
+        return _ABANDON
+    fpc = period // L0  # frames per chain
+
+    def parse_until(nframes):
+        nonlocal more, v
+        while more and v.F < nframes:
+            with global_timer.stage("mlp/native-parse"):
+                more = inc.step(max(64, nframes - v.F))
+            v = inc.view()
+
+    CHUNK = 512
+    devices = _decode_devices(config)
+    pending = []
+    c0 = 0
+    ci = 0
+    while True:
+        parse_until((c0 + CHUNK) * fpc + 1)
+        if v.status != 0:
+            return None
+        done = not more
+        avail = min(v.sub[s]["len"].shape[0] // NB0 for s, _, NB0 in struct)
+        if done:
+            # the tail must end on whole chains that cover whole frames
+            for s, _, NB0 in struct:
+                if v.sub[s]["len"].shape[0] % NB0:
+                    return _ABANDON
+            if v.F * L0 != avail * period:
+                return _ABANDON
+            c1 = avail
+            if c1 == c0:
+                break
+        else:
+            c1 = c0 + CHUNK
+            if avail < c1:
+                return _ABANDON  # parse outpaced by frames/blocks mismatch
+        if not _verify_uniform_segment(v, struct, L0, fpc, c0, c1, done):
+            return _ABANDON
+        with global_timer.stage("mlp/stage+dispatch"):
+            subs_info = [(v.sub[s], c1 * NB0, S0, NB0)
+                         for s, S0, NB0 in struct]
+            dev = _dispatch_uniform_chunk(
+                v, subs_info, c0, c1, CHUNK, period, L0, out_ch,
+                pack24=pack24,
+                device=(devices[ci % len(devices)] if devices else None))
+            try:
+                dev.copy_to_host_async()
+            except (AttributeError, NotImplementedError):
+                pass
+            pending.append((dev, (c1 - c0) * period))
+        c0 = c1
+        ci += 1
+        if done:
+            break
+
+    # ---- finish: packet-boundary frame cut + drain ------------------------
+    F = _frame_cut(v.frame_end, np.asarray(boundaries, dtype=np.int64),
+                   probe_end)
+    if F == 0 or c0 == 0:
+        return np.zeros((0, out_ch), dtype=np.int32)
+    T = F * L0
+    return _finish_uniform(pending, T, out_ch, pack24, want_packed)
+
+
+def _verify_uniform_segment(v, struct, L0, fpc, c0, c1, done_tail) -> bool:
+    """Chains [c0, c1) are uniform and self-contained: constant block/frame
+    sizes, uncoupled restarts exactly at chain starts, and a fresh chain
+    beginning at the segment end (unless the stream ends there)."""
+    f0, f1 = c0 * fpc, c1 * fpc
+    if v.frame_len.shape[0] < f1 or not (v.frame_len[f0:f1] == L0).all():
+        return False
+    for s, S0, NB0 in struct:
+        sub = v.sub[s]
+        blk0, blk1 = c0 * NB0, c1 * NB0
+        nbk = sub["len"].shape[0]
+        if nbk < blk1:
+            return False
+        if not (sub["len"][blk0:blk1] == S0).all():
+            return False
+        restart = sub["restart"][blk0:blk1]
+        coupled = sub["rc_fir"][blk0:blk1].reshape(blk1 - blk0, -1).any(axis=1)
+        uncoupled = restart & ~coupled
+        pos = np.arange(blk0, blk1)
+        is_mult = (pos % NB0) == 0
+        req = is_mult.copy()
+        if blk0 == 0:
+            req[0] = False  # block 0 starts a chain coupled or not
+        if (req & ~uncoupled).any():
+            return False  # a chain start is missing (merge) → non-uniform
+        if (uncoupled & ~is_mult).any():
+            return False  # an extra chain split → non-uniform
+        if nbk > blk1:
+            if not (sub["restart"][blk1]
+                    and not sub["rc_fir"][blk1].any()):
+                return False  # next chunk's first chain must start fresh
+        elif not done_tail:
+            return False
+    return True
+
+
+def _finish_uniform(pending, T, out_ch, pack24, want_packed):
+    """Drain dispatched chunks and assemble the final [T, ...] output.
+
+    Chunks copy straight into one preallocated array (a concatenate here
+    double-copied 52 MB per 30 s track)."""
+    with global_timer.stage("mlp/device+d2h"):
+        width = out_ch * 3 if pack24 else out_ch
+        raw = np.empty((T, width), dtype=np.uint8 if pack24 else np.int32)
+        row = 0
+        for dev, n in pending:
+            take = min(n, T - row)
+            if take > 0:
+                raw[row : row + take] = np.asarray(dev)[:take]
+            row += take
+            if row >= T:
+                break
+    if not pack24:
+        return raw
+    if want_packed:
+        return raw  # uint8 [T, C_out*3], exactly the WAV data layout
+    with global_timer.stage("mlp/unpack24"):
+        b = raw.reshape(T, out_ch, 3).astype(np.int32)
+        v = b[..., 0] | (b[..., 1] << 8) | (b[..., 2] << 16)
+        return ((v ^ 0x800000) - 0x800000).astype(np.int32)
 
 
 def _decode_parsed(parse, boundaries, probe_end, parameters,
@@ -501,18 +706,7 @@ def _try_uniform(parse, F: int, frame_len: np.ndarray, T: int,
             except (AttributeError, NotImplementedError):
                 pass
             pending.append((dev, (c1 - c0) * period))
-    with global_timer.stage("mlp/device+d2h"):
-        host_chunks = [np.asarray(dev)[:n] for dev, n in pending]
-        raw = (host_chunks[0] if len(host_chunks) == 1
-               else np.concatenate(host_chunks, axis=0))[:T]
-    if not pack24:
-        return raw
-    if want_packed:
-        return np.ascontiguousarray(raw)  # uint8 [T, C_out*3], WAV layout
-    with global_timer.stage("mlp/unpack24"):
-        b = raw.reshape(T, out_ch, 3).astype(np.int32)
-        v = b[..., 0] | (b[..., 1] << 8) | (b[..., 2] << 16)
-        return ((v ^ 0x800000) - 0x800000).astype(np.int32)
+    return _finish_uniform(pending, T, out_ch, pack24, want_packed)
 
 
 def _decode_devices(config: DecodeConfig | None = None):

@@ -28,7 +28,8 @@ import subprocess
 
 import numpy as np
 
-__all__ = ["available", "parse_mlp_stream", "NativeParse",
+__all__ = ["available", "parse_mlp_stream", "parse_mlp_stream_begin",
+           "NativeParse", "IncrementalParse",
            "c2_decrypt_sectors", "assemble_mlp_stream"]
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
@@ -77,6 +78,11 @@ def _load():
     c = ctypes
     lib.mlp_parse.restype = c.c_void_p
     lib.mlp_parse.argtypes = [c.c_char_p, c.c_int64, c.c_void_p, c.c_void_p]
+    lib.mlp_parse_begin.restype = c.c_void_p
+    lib.mlp_parse_begin.argtypes = [c.c_char_p, c.c_int64, c.c_void_p,
+                                    c.c_void_p]
+    lib.mlp_parse_step.restype = c.c_int32
+    lib.mlp_parse_step.argtypes = [c.c_void_p, c.c_int64]
     lib.mlp_parse_free.argtypes = [c.c_void_p]
     for name, res in [
         ("mp_status", c.c_int32), ("mp_substream_count", c.c_int32),
@@ -170,11 +176,13 @@ class NativeParse:
     which dominated the parse stage.  Small semantically-boolean arrays
     are converted (copied) for engine ergonomics."""
 
-    def __init__(self, lib, h):
+    def __init__(self, lib, h, owns: bool = True):
+        self._owns = owns
         self._lib, self._h = lib, (h if lib.mp_status(h) == 0 else None)
         self.status = lib.mp_status(h)
         if self.status != 0:
-            lib.mlp_parse_free(h)
+            if owns:
+                lib.mlp_parse_free(h)
             return
         self.substream_count = lib.mp_substream_count(h)
         self.mmc = lib.mp_mmc(h)
@@ -219,6 +227,42 @@ class NativeParse:
 
     def close(self) -> None:
         if self._h is not None:
+            if self._owns:
+                self._lib.mlp_parse_free(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+class IncrementalParse:
+    """Stepped MLP parse: interleave parsing with downstream work.
+
+    ``step(n)`` parses up to ``n`` more frames and returns True while more
+    input remains; ``view()`` builds a fresh :class:`NativeParse` snapshot
+    over the arrays parsed so far.  The parser's buffers may REALLOC on
+    every step, so a snapshot (and every numpy view hanging off it) is
+    invalidated by the next ``step`` — re-call ``view()`` after stepping.
+    The handle is owned here; snapshots are non-owning."""
+
+    def __init__(self, lib, h):
+        self._lib, self._h = lib, h
+
+    def step(self, max_frames: int) -> bool:
+        return bool(self._lib.mlp_parse_step(self._h, max_frames))
+
+    @property
+    def status(self) -> int:
+        return int(self._lib.mp_status(self._h))
+
+    def view(self) -> "NativeParse":
+        return NativeParse(self._lib, self._h, owns=False)
+
+    def close(self) -> None:
+        if self._h is not None:
             self._lib.mlp_parse_free(self._h)
             self._h = None
 
@@ -258,6 +302,19 @@ def parse_mlp_stream(data: bytes) -> NativeParse | None:
                       lens.ctypes.data_as(ctypes.c_void_p))
     # NativeParse owns the handle (zero-copy views); freed on close/GC
     return NativeParse(lib, h)
+
+
+def parse_mlp_stream_begin(data: bytes) -> IncrementalParse | None:
+    """Begin an incremental MLP parse (see :class:`IncrementalParse`);
+    ``None`` if the native library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    vals, lens = _luts()
+    h = lib.mlp_parse_begin(data, len(data),
+                            vals.ctypes.data_as(ctypes.c_void_p),
+                            lens.ctypes.data_as(ctypes.c_void_p))
+    return IncrementalParse(lib, h)
 
 
 def assemble_mlp_stream(aob, first_sector: int, last_sector: int,

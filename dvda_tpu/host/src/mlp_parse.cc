@@ -229,23 +229,36 @@ struct Parser {
     stream = padded.data();
   }
 
-  void run() {
-    int64_t off = 0;
-    while (size - off >= 4) {
-      int32_t total = ((int32_t(stream[off] & 0x0F) << 8) | stream[off + 1]) * 2;
-      if (total < 4 || off + total > size) break;
+  int64_t off_ = 0;   // resume offset for incremental parsing
+  bool done_ = false;
+
+  // Parse up to max_frames more frames (<= 0 means all remaining).
+  // Returns 1 while more input remains, 0 once the walk is complete (or
+  // the parser bailed — check out.status).  Output vectors may REALLOC
+  // between calls: callers must re-fetch data pointers after every step.
+  int32_t run_some(int64_t max_frames) {
+    int64_t parsed = 0;
+    while (!done_ && (max_frames <= 0 || parsed < max_frames)) {
+      if (size - off_ < 4) { done_ = true; break; }
+      int32_t total =
+          ((int32_t(stream[off_] & 0x0F) << 8) | stream[off_ + 1]) * 2;
+      if (total < 4 || off_ + total > size) { done_ = true; break; }
       mark_frame();
       try {
-        decode_frame(stream + off + 4, total - 4, off + total);
+        decode_frame(stream + off_ + 4, total - 4, off_ + total);
       } catch (ParseError&) {
         // frame dropped; sticky state keeps whatever was parsed, but its
         // partially-written tensors are rolled back
         rollback_frame();
       }
-      if (out.status) return;
-      off += total;
+      if (out.status) { done_ = true; break; }
+      off_ += total;
+      parsed += 1;  // attempted frames (dropped ones count: bounded work)
     }
+    return done_ ? 0 : 1;
   }
+
+  void run() { run_some(0); }
 
   void decode_frame(const uint8_t* body, int64_t len, int64_t end_off) {
     BitReader r(body, len);
@@ -706,6 +719,17 @@ void* mlp_parse(const uint8_t* data, int64_t size, const int32_t* lut_val,
 }
 
 void mlp_parse_free(void* h) { delete static_cast<Parser*>(h); }
+
+// Incremental variant: begin without parsing, then step frame batches so
+// callers can interleave parsing with downstream work (device dispatch).
+void* mlp_parse_begin(const uint8_t* data, int64_t size,
+                      const int32_t* lut_val, const int32_t* lut_len) {
+  return new Parser(data, size, lut_val, lut_len);
+}
+
+int32_t mlp_parse_step(void* h, int64_t max_frames) {
+  return static_cast<Parser*>(h)->run_some(max_frames);
+}
 
 #define R(h) (static_cast<Parser*>(h)->out)
 

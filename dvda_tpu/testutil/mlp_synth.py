@@ -383,3 +383,18 @@ def synth_mlp_stream(cfg: MlpSynthConfig) -> bytes:
         hdr.write(16, rng.randrange(1 << 16))
         out += hdr.getvalue() + body
     return bytes(out)
+
+
+def synth_two_section_stream():
+    """A stream whose block size changes mid-way: two concatenated uniform
+    sections (the second begins with a fresh major sync + restart, which
+    is a legal continuation since the major-sync parameters match).  Used
+    to exercise the non-uniform fallback of the pipelined native decoder.
+    Returns (stream, first_section_config)."""
+    base = dict(channel_assignment=17, substream_count=2, sample_rate=48000,
+                bits_per_sample=24, n_frames=12, restart_every=2,
+                major_sync_every=2, fir_across_restart=False,
+                params_update_prob=0.0)
+    c1 = MlpSynthConfig(block_size=16, seed=3, **base)
+    c2 = MlpSynthConfig(block_size=32, seed=4, **base)
+    return synth_mlp_stream(c1) + synth_mlp_stream(c2), c1

@@ -174,3 +174,76 @@ def test_multi_device_chunk_round_robin():
     finally:
         del os.environ["DVDA_TPU_MULTI_DEVICE"]
     assert np.array_equal(single, multi)
+
+
+def test_incremental_parse_matches_monolithic():
+    """Stepped parse (mlp_parse_begin/step) commits exactly the arrays the
+    one-shot parse produces, regardless of step granularity."""
+    cfg = MlpSynthConfig(channel_assignment=17, substream_count=2,
+                         n_frames=60, seed=11)
+    stream = synth_mlp_stream(cfg)
+    mono = host.parse_mlp_stream(stream)
+    assert mono is not None and mono.status == 0
+    for step in (1, 7, 1000):
+        inc = host.parse_mlp_stream_begin(stream)
+        assert inc is not None
+        while inc.step(step):
+            pass
+        v = inc.view()
+        assert v.status == 0
+        assert v.F == mono.F and v.T == mono.T
+        assert np.array_equal(v.frame_len, mono.frame_len)
+        assert np.array_equal(v.frame_end, mono.frame_end)
+        assert np.array_equal(v.mat_coeff, mono.mat_coeff)
+        assert np.array_equal(v.noise0, mono.noise0)
+        assert np.array_equal(v.bypassed_packed, mono.bypassed_packed)
+        for s in range(v.substream_count):
+            for key in ("len", "restart", "shift", "quant", "rc_fir",
+                        "rc_iir", "iir_init", "iir_reset", "residuals"):
+                assert np.array_equal(v.sub[s][key], mono.sub[s][key]), \
+                    (step, s, key)
+        inc.close()
+    mono.close()
+
+
+def test_pipelined_packet_boundary_cut():
+    """The pipelined path applies the zero-frame-packet cut: a boundary
+    interval with no frame end truncates the decode exactly like the
+    pull decoder (dvd-audio.c:766-775)."""
+    cfg = MlpSynthConfig(channel_assignment=17, substream_count=2,
+                         n_frames=48, restart_every=2, major_sync_every=2,
+                         seed=5, fir_across_restart=False,
+                         params_update_prob=0.0)
+    stream = synth_mlp_stream(cfg)
+    params = stream_params(cfg)
+    spec = MlpDecoder(params)
+    spec.decode_bytes(stream)
+    full = spec.take_frames()
+    L0 = cfg.frames_per_mlp_frame
+
+    # frame byte ends, to place a cut boundary mid-stream
+    mono = host.parse_mlp_stream(stream)
+    ends = np.asarray(mono.frame_end)
+    mono.close()
+    keep = 10
+    # an interval (ends[keep-1], ends[keep-1]+1] contains no frame end
+    bnd = np.array([ends[keep - 1], ends[keep - 1] + 1, len(stream)],
+                   dtype=np.int64)
+    out = decode_native(stream, bnd, int(ends[0]), params)
+    assert out is not None
+    assert out.shape[0] == keep * L0
+    assert np.array_equal(out, full[: keep * L0])
+
+
+def test_pipelined_nonuniform_falls_back_bit_exact():
+    """A stream whose block size changes mid-way abandons the pipelined
+    driver and still decodes bit-exactly via the general path."""
+    from dvda_tpu.testutil.mlp_synth import synth_two_section_stream
+
+    stream, cfg = synth_two_section_stream()
+    params = stream_params(cfg)
+    spec = MlpDecoder(params)
+    spec.decode_bytes(stream)
+    a = spec.take_frames()
+    b = decode_native(stream, np.zeros(0, np.int64), len(stream), params)
+    assert b is not None and np.array_equal(a, b)
