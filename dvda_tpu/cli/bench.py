@@ -108,10 +108,10 @@ def _mlp_disc(tmp, name, seconds, assignment, nsub, seed=7):
     return layout, cfg.total_pcm_frames / RATE
 
 
-def _decode_track_packed(path, use_device=None):
+def _decode_track_packed(path, use_device=None, config=None):
     from ..api import DVDA
 
-    reader = (DVDA(path).open_titleset(1).open_title(1)
+    reader = (DVDA(path, config=config).open_titleset(1).open_title(1)
               .open_track(1).open_reader(use_device=use_device))
     data = reader.read_all_packed()
     reader.close()
@@ -189,6 +189,17 @@ def bench_mlp_51(tmp, results):
     log(f"mlp_51 runs: {[f'{t:.2f}' for t in times]}")
     log("mlp_51 stage breakdown (timed runs only):\n" + global_timer.summary())
     _record(results, "mlp_51_96k", audio, best, ref)
+
+    # same track with on-device Huffman residual decode (host parses
+    # length-only; see ops/huffman_decode.py) for the measured comparison
+    from ..config import DecodeConfig
+
+    hc = DecodeConfig(device_huffman=True)
+    _decode_track_packed(layout.path, True, hc)  # warm (compile)
+    best_h, times_h = _best(
+        lambda: _decode_track_packed(layout.path, True, hc), 3)
+    log(f"mlp_51_devhuff runs: {[f'{t:.2f}' for t in times_h]}")
+    _record(results, "mlp_51_devhuff", audio, best_h, ref)
     return audio, best
 
 

@@ -98,13 +98,16 @@ def _uniform_arena_pipeline(a4, a2, a1, spec):
     Every data-movement step is a reshape/transpose — no gathers: TPU
     gathers at stream size were the dominant device cost.
     """
+    from ...ops.huffman_decode import decode_residuals_device
     from ...ops.mlp_filter import mlp_filter_blocks
     from ...ops.rematrix import apply_output_stage, rematrix_frames
 
     arenas = {4: a4, 2: a2, 1: a1}
     arrs = {}
+    flags = {}
     for name, width, off, shape, dtype in spec:
-        if dtype == "flag":  # static marker entries carry no data
+        if dtype == "flag":  # static markers: value rides in the offset
+            flags[name] = off
             continue
         n = int(np.prod(shape)) if shape else 1
         x = jax.lax.slice(arenas[width], (off,), (off + n,)).reshape(shape)
@@ -119,8 +122,36 @@ def _uniform_arena_pipeline(a4, a2, a1, spec):
 
     n_sub = max(int(name[1]) for name in arrs if name.startswith("s")) + 1
     series_rows = []
+    byp6 = None
     for i in range(n_sub):
-        res = i32(f"s{i}_res")
+        if f"s{i}_bitpos" in arrs:
+            # device-Huffman: re-decode this substream's residuals from the
+            # chunk's bitstream window (ops/huffman_decode.py)
+            S0 = flags[f"s{i}_S"]
+            J = flags[f"s{i}_J"]
+            cb = i32(f"s{i}_cb")
+            Bc, NB0, n_ch = cb.shape
+            Lc = Bc * NB0
+            if f"s{i}_quant_c" in arrs:
+                quantb = jnp.broadcast_to(
+                    i32(f"s{i}_quant_c")[:, None], (Bc, NB0, n_ch))
+            else:
+                quantb = i32(f"s{i}_quant")
+            res_k, byp_k = decode_residuals_device(
+                arrs["words"], i32(f"s{i}_bitpos").reshape(Lc),
+                cb.reshape(Lc, n_ch), i32(f"s{i}_lsbb").reshape(Lc, n_ch),
+                i32(f"s{i}_off").reshape(Lc, n_ch),
+                quantb.reshape(Lc, n_ch), i32(f"s{i}_nbyp").reshape(Lc),
+                i32("lut_vals"), i32("lut_lens"), S0, J)
+            res = res_k.reshape(Bc, NB0, n_ch, S0)
+            if f"s{i}_bypk" in arrs:
+                kidx = jnp.broadcast_to(
+                    i32(f"s{i}_bypk").reshape(Lc, 1, 6), (Lc, S0, 6))
+                vld = i32(f"s{i}_bypv").reshape(Lc, 1, 6)
+                slot = jnp.take_along_axis(byp_k, kidx, axis=2) * vld
+                byp6 = slot.reshape(Bc * NB0 * S0, 6)  # chain-major [T, 6]
+        else:
+            res = i32(f"s{i}_res")
         Bc, NB0, n_ch, S0 = res.shape
 
         def pack(x):  # [Bc, NB0, n_ch, ...] -> [Bc*n_ch, NB0, ...]
@@ -150,11 +181,19 @@ def _uniform_arena_pipeline(a4, a2, a1, spec):
             quant_b = i32(f"s{i}_quant")
             iir_init = i32(f"s{i}_iir_init")
             iir_reset = arrs[f"s{i}_iir_reset"] != 0
-        out, _, _ = mlp_filter_blocks(
-            pack(res), pack(rc_fir), pack(rc_iir),
-            pack(shift_b), pack(quant_b), pack(iir_reset),
-            pack(iir_init), block_len, state0, state0,
-        )
+        if "__pallas__" in flags:
+            from ...ops.pallas_filter import mlp_filter_blocks_pallas
+
+            out = mlp_filter_blocks_pallas(
+                pack(res), pack(rc_fir), pack(rc_iir), pack(shift_b),
+                pack(quant_b), pack(iir_reset), pack(iir_init), block_len,
+                interpret=bool(flags["__pallas__"]))
+        else:
+            out, _, _ = mlp_filter_blocks(
+                pack(res), pack(rc_fir), pack(rc_iir),
+                pack(shift_b), pack(quant_b), pack(iir_reset),
+                pack(iir_init), block_len, state0, state0,
+            )
         out = out.reshape(Bc, n_ch, NB0 * S0)
         series_rows.append(out.transpose(1, 0, 2).reshape(n_ch, -1))
 
@@ -189,9 +228,13 @@ def _uniform_arena_pipeline(a4, a2, a1, spec):
     n1 = (((b1 ^ 0x80) - 0x80) << nshift)
     noise = jnp.stack([n0, n1], axis=-1)                # [F_pad, L0, 2]
 
-    byp_bits = i32("byp")                               # [T_pad]
-    byp = ((byp_bits[:, None] >> jnp.arange(6, dtype=jnp.int32)) & 1)
-    byp = byp.reshape(F_pad, L0, 6).transpose(0, 2, 1)  # [F_pad, 6, L0]
+    if "byp" in arrs:
+        byp_bits = i32("byp")                           # [T_pad]
+        byp = ((byp_bits[:, None] >> jnp.arange(6, dtype=jnp.int32)) & 1)
+        byp = byp.reshape(F_pad, L0, 6)
+    else:  # device-Huffman mode: bits decoded on device (final substream)
+        byp = byp6.reshape(F_pad, L0, 6)
+    byp = byp.transpose(0, 2, 1)                        # [F_pad, 6, L0]
 
     channels = rematrix_frames(channels, noise, i32("mat_coeff"),
                                i32("mat_noise"), i32("mat_out"),
@@ -223,6 +266,11 @@ class _ArenaBuilder:
         self._parts[width].append(np.ascontiguousarray(arr).view(base).ravel())
         self._spec.append((name, width, off, tuple(arr.shape),
                            str(arr.dtype)))
+
+    def mark(self, name: str, value: int = 0) -> None:
+        """A static marker entry (no data; ``value`` rides in the offset
+        slot) — used for per-substream kernel constants like S0/J."""
+        self._spec.append((name, 0, int(value), (), "flag"))
 
     def finish(self):
         arenas = tuple(
@@ -313,14 +361,25 @@ def decode_native(stream: bytes, boundaries: np.ndarray, probe_end: int,
     """
     if not host.available():
         return None
-    inc = host.parse_mlp_stream_begin(stream)
+    cfg = config if config is not None else default_config()
+    # device-Huffman mode: residual bits walked length-only on the host,
+    # values re-decoded on device from the raw stream (ops/huffman_decode)
+    skip_values = bool(cfg.device_huffman and cfg.use_device)
+    inc = host.parse_mlp_stream_begin(stream, skip_values=skip_values)
     if inc is None:
         return None
     try:
-        res = _decode_pipelined(inc, boundaries, probe_end, parameters,
-                                want_packed, config)
+        res = _decode_pipelined(inc, stream, boundaries, probe_end,
+                                parameters, want_packed, config,
+                                device_huffman=skip_values)
         if res is not _ABANDON:
             return res
+        if skip_values:
+            # the general path needs residual values: re-parse normally
+            inc.close()
+            inc = host.parse_mlp_stream_begin(stream)
+            if inc is None:
+                return None
         with global_timer.stage("mlp/native-parse"):
             inc.step(0)  # finish the walk; no bytes are re-parsed
         parse = inc.view()
@@ -332,8 +391,8 @@ def decode_native(stream: bytes, boundaries: np.ndarray, probe_end: int,
         inc.close()  # frees the zero-copy parse buffers
 
 
-def _decode_pipelined(inc, boundaries, probe_end, parameters,
-                      want_packed, config):
+def _decode_pipelined(inc, stream, boundaries, probe_end, parameters,
+                      want_packed, config, device_huffman=False):
     """Interleaved parse/dispatch over uniform streams (see decode_native).
 
     Returns the decoded array, ``None`` (parser bailed → Python engines),
@@ -341,6 +400,13 @@ def _decode_pipelined(inc, boundaries, probe_end, parameters,
     any already-dispatched device work is simply discarded)."""
     out_ch = parameters.channel_count
     pack24 = parameters.bits_per_sample == 24
+    words_all = None
+    if device_huffman:
+        # the raw stream as big-endian 32-bit words; per-chunk windows are
+        # sliced from this and shipped in the chunk's arena
+        pad = (-len(stream)) % 4 + 8
+        words_all = np.frombuffer(bytes(stream) + b"\0" * pad,
+                                  dtype=">u4").astype(np.uint32)
 
     more = True
     with global_timer.stage("mlp/native-parse"):
@@ -402,6 +468,10 @@ def _decode_pipelined(inc, boundaries, probe_end, parameters,
 
     CHUNK = 512
     devices = _decode_devices(config)
+    cfg = config if config is not None else default_config()
+    # Pallas AR-filter variant: measured equal to the scan on v5e (see
+    # docs/performance.md); flag-routable, interpreted off-TPU
+    use_pallas = cfg.filter_kernel == "pallas"
     pending = []
     c0 = 0
     ci = 0
@@ -433,7 +503,8 @@ def _decode_pipelined(inc, boundaries, probe_end, parameters,
             dev = _dispatch_uniform_chunk(
                 v, subs_info, c0, c1, CHUNK, period, L0, out_ch,
                 pack24=pack24,
-                device=(devices[ci % len(devices)] if devices else None))
+                device=(devices[ci % len(devices)] if devices else None),
+                words_all=words_all, use_pallas=use_pallas)
             try:
                 dev.copy_to_host_async()
             except (AttributeError, NotImplementedError):
@@ -726,9 +797,15 @@ def _decode_devices(config: DecodeConfig | None = None):
 
 
 def _dispatch_uniform_chunk(parse, subs_info, c0, c1, CHUNK, period, L0,
-                            out_ch, pack24=False, device=None):
+                            out_ch, pack24=False, device=None,
+                            words_all=None, use_pallas=False):
     """Build arenas for chains [c0, c1) and dispatch the pipeline (async);
-    returns the device array ([CHUNK*period, C_out], valid rows first)."""
+    returns the device array ([CHUNK*period, C_out], valid rows first).
+
+    With ``words_all`` (device-Huffman mode) the chunk ships its window of
+    the raw bitstream plus per-block decode tables instead of residual
+    values; the residual kernel (ops/huffman_decode.py) re-decodes them on
+    device, fused ahead of the filter."""
     from ...ops.lfsr import _jump_columns
 
     import time as _time
@@ -736,6 +813,25 @@ def _dispatch_uniform_chunk(parse, subs_info, c0, c1, CHUNK, period, L0,
     b = _ArenaBuilder()
     nc = c1 - c0
     _t_build = _time.perf_counter()
+    base_bit = 0
+    if words_all is not None:
+        # stream window covering every residual bit this chunk reads:
+        # from the first block's bit position to the end of the chunk's
+        # last frame (+ guard for the 64-bit window loads)
+        bit0 = min(int(si[0]["res_bitpos"][c0 * si[3]]) for si in subs_info)
+        w0 = bit0 >> 5
+        f1 = c1 * period // L0
+        end_byte = int(parse.frame_end[f1 - 1]) + 8
+        w1 = min(words_all.shape[0], (end_byte + 3) // 4 + 1)
+        wlen = _bucket(max(w1 - w0, 1), lo=1024)
+        win = np.zeros(wlen, np.uint32)
+        seg = words_all[w0 : min(w1, w0 + wlen)]
+        win[: seg.shape[0]] = seg
+        b.add("words", win)
+        base_bit = w0 * 32
+        lv, ll = host._luts()
+        b.add("lut_vals", np.ascontiguousarray(lv).reshape(-1))
+        b.add("lut_lens", np.ascontiguousarray(ll).reshape(-1))
     for s_idx, (sub, nb_keep, S0, NB0) in enumerate(subs_info):
         blk0, blk1 = c0 * NB0, c1 * NB0
 
@@ -747,16 +843,38 @@ def _dispatch_uniform_chunk(parse, subs_info, c0, c1, CHUNK, period, L0,
             out[: x.shape[0] // NB0] = x.reshape((-1, NB0) + x.shape[1:])
             return out
 
-        res = _padded_residuals_range(sub, blk0, blk1, S0)
-        # the parser tracks max |residual| — no host scan needed
-        amax = sub.get("res_amax")
-        res_dtype = np.int16 if (
-            amax <= 32767 if amax is not None
-            else (np.abs(res) < 32768).all()) else np.int32
-        res_c = np.zeros((CHUNK, NB0) + res.shape[1:], dtype=res_dtype)
-        res_c[: (blk1 - blk0) // NB0] = res.reshape(
-            (-1, NB0) + res.shape[1:])
-        b.add(f"s{s_idx}_res", res_c)
+        if words_all is not None:
+            n_ch = sub["codebook"].shape[1]
+            bp = (sub["res_bitpos"][blk0:blk1] - base_bit).astype(np.int32)
+            b.add(f"s{s_idx}_bitpos", chainview(bp))
+            b.add(f"s{s_idx}_cb",
+                  chainview(sub["codebook"][blk0:blk1], np.int8))
+            b.add(f"s{s_idx}_lsbb",
+                  chainview(sub["lsb_bits"][blk0:blk1], np.int8))
+            b.add(f"s{s_idx}_off", chainview(sub["res_offset"][blk0:blk1]))
+            nbyp = sub["nbyp"][blk0:blk1]
+            b.add(f"s{s_idx}_nbyp", chainview(nbyp.view(np.int8)))
+            b.mark(f"s{s_idx}_S", S0)
+            b.mark(f"s{s_idx}_J", n_ch + (6 if nbyp.any() else 0))
+            if s_idx == len(subs_info) - 1:
+                # bypassed-LSB slot map for the final substream: slot m's
+                # bit is the k-th bypass symbol, k = popcount of lower mask
+                bits = ((sub["byp_mask"][blk0:blk1][:, None].astype(np.int32)
+                         >> np.arange(6)) & 1)
+                kidx = (np.cumsum(bits, axis=1) - bits).astype(np.int8)
+                b.add(f"s{s_idx}_bypk", chainview(kidx))
+                b.add(f"s{s_idx}_bypv", chainview(bits.astype(np.int8)))
+        else:
+            res = _padded_residuals_range(sub, blk0, blk1, S0)
+            # the parser tracks max |residual| — no host scan needed
+            amax = sub.get("res_amax")
+            res_dtype = np.int16 if (
+                amax <= 32767 if amax is not None
+                else (np.abs(res) < 32768).all()) else np.int32
+            res_c = np.zeros((CHUNK, NB0) + res.shape[1:], dtype=res_dtype)
+            res_c[: (blk1 - blk0) // NB0] = res.reshape(
+                (-1, NB0) + res.shape[1:])
+            b.add(f"s{s_idx}_res", res_c)
 
         rcF = chainview(sub["rc_fir"][blk0:blk1], np.int16)
         rcI = chainview(sub["rc_iir"][blk0:blk1], np.int16)
@@ -811,13 +929,17 @@ def _dispatch_uniform_chunk(parse, subs_info, c0, c1, CHUNK, period, L0,
     b.add("wave_perm", _wave_perm(parse, out_ch).astype(np.int8))
     b.add("frame_seed", padF(parse.frame_seed))
     b.add("frame_nshift", padF(parse.frame_nshift, np.int8))
-    byp = np.zeros(T_pad, dtype=np.int8)
-    byp[: t1 - t0] = parse.bypassed_packed[t0:t1].view(np.int8)
-    b.add("byp", byp)
+    if words_all is None:
+        byp = np.zeros(T_pad, dtype=np.int8)
+        byp[: t1 - t0] = parse.bypassed_packed[t0:t1].view(np.int8)
+        b.add("byp", byp)  # device-Huffman mode decodes these on device
     K = max(1, int(np.ceil(np.log2(max(L0, 2)))))
     jumps = np.array([_jump_columns(k) for k in range(K)], dtype=np.uint32)
     b.add("jumps", jumps)
 
+    if use_pallas:
+        # the kernel tiles 128 lanes; Bc·n_ch is 128-aligned for CHUNK=512
+        b.mark("__pallas__", 0 if jax.default_backend() == "tpu" else 1)
     global_timer.add("mlp/arena-build", _time.perf_counter() - _t_build)
     with global_timer.stage("mlp/arena-finish"):
         (a4, a2, a1), spec = b.finish()

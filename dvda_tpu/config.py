@@ -17,6 +17,10 @@ CLIs and benchmarks:
                                     testing of host/src/demux.cc)
     ``DVDA_TPU_MULTI_DEVICE=1``     round-robin chain chunks over all
                                     local devices (data parallelism)
+    ``DVDA_TPU_DEVICE_HUFFMAN=1``   decode Huffman residuals on device
+                                    from the raw bitstream
+    ``DVDA_TPU_FILTER_KERNEL=pallas``  Pallas AR-filter kernel instead of
+                                    the lax.scan variant
     ``DVDA_TPU_LOG=<level>``        log level (utils/log.py)
     ==============================  =====================================
 
@@ -45,6 +49,12 @@ class DecodeConfig:
     use_native_demux: bool = True
     #: round-robin independent chain chunks over all local devices
     multi_device: bool = False
+    #: decode Huffman residuals on device from the raw bitstream (the host
+    #: parse then walks residual bits length-only — see ops/huffman_decode)
+    device_huffman: bool = False
+    #: AR-filter kernel: "scan" (lax.scan; default) or "pallas"
+    #: (ops/pallas_filter.py) — measured equal on v5e, see performance.md
+    filter_kernel: str = "scan"
     #: sectors per host I/O batch when walking a track
     io_batch_sectors: int = 4096
     #: decrypt CPPM-protected sectors when a device/MKB is available
@@ -59,6 +69,8 @@ class DecodeConfig:
             use_native=_env_off("DVDA_TPU_DISABLE_NATIVE"),
             use_native_demux=_env_off("DVDA_TPU_DISABLE_NATIVE_DEMUX"),
             multi_device=not _env_off("DVDA_TPU_MULTI_DEVICE"),
+            device_huffman=not _env_off("DVDA_TPU_DEVICE_HUFFMAN"),
+            filter_kernel=os.environ.get("DVDA_TPU_FILTER_KERNEL", "scan"),
         )
 
 

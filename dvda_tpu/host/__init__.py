@@ -81,8 +81,23 @@ def _load():
     lib.mlp_parse_begin.restype = c.c_void_p
     lib.mlp_parse_begin.argtypes = [c.c_char_p, c.c_int64, c.c_void_p,
                                     c.c_void_p]
+    lib.mlp_parse_begin2.restype = c.c_void_p
+    lib.mlp_parse_begin2.argtypes = [c.c_char_p, c.c_int64, c.c_void_p,
+                                     c.c_void_p, c.c_int32]
     lib.mlp_parse_step.restype = c.c_int32
     lib.mlp_parse_step.argtypes = [c.c_void_p, c.c_int64]
+    lib.mp_skip_values.restype = c.c_int32
+    lib.mp_skip_values.argtypes = [c.c_void_p]
+    lib.mp_blk_res_bitpos.restype = c.POINTER(c.c_int64)
+    lib.mp_blk_res_bitpos.argtypes = [c.c_void_p, c.c_int32]
+    for name in ("mp_blk_codebook", "mp_blk_lsb_bits", "mp_blk_res_offset"):
+        fn = getattr(lib, name)
+        fn.restype = c.POINTER(c.c_int32)
+        fn.argtypes = [c.c_void_p, c.c_int32]
+    for name in ("mp_blk_nbyp", "mp_blk_byp_mask"):
+        fn = getattr(lib, name)
+        fn.restype = c.POINTER(c.c_uint8)
+        fn.argtypes = [c.c_void_p, c.c_int32]
     lib.mlp_parse_free.argtypes = [c.c_void_p]
     for name, res in [
         ("mp_status", c.c_int32), ("mp_substream_count", c.c_int32),
@@ -203,6 +218,7 @@ class NativeParse:
         self.frame_seed = _as_view(lib.mp_frame_seed(h), (F,))
         self.frame_nshift = _as_view(lib.mp_frame_nshift(h), (F,))
         self.bypassed_packed = _as_view(lib.mp_bypassed(h), (T,))
+        self.skip_values = bool(lib.mp_skip_values(h))
         self.sub = []
         for s in range(self.substream_count):
             NB = int(lib.mp_nblocks(h, s))
@@ -210,7 +226,7 @@ class NativeParse:
             hi = lib.mp_max_ch(h, s)
             n_ch = hi - lo + 1
             rs = int(lib.mp_residuals_size(h, s))
-            self.sub.append({
+            sub = {
                 "min_ch": lo, "max_ch": hi, "NB": NB,
                 "res_amax": int(lib.mp_res_amax(h, s)),
                 "fr_nblocks": _as_view(lib.mp_fr_nblocks(h, s), (F,)),
@@ -223,7 +239,18 @@ class NativeParse:
                 "rc_iir": _as_view(lib.mp_blk_rc_iir(h, s), (NB, n_ch, 8)),
                 "iir_init": _as_view(lib.mp_blk_iir_init(h, s), (NB, n_ch, 8)),
                 "residuals": _as_view(lib.mp_residuals(h, s), (rs,)),
-            })
+            }
+            if self.skip_values:
+                sub.update({
+                    "res_bitpos": _as_view(lib.mp_blk_res_bitpos(h, s), (NB,)),
+                    "codebook": _as_view(lib.mp_blk_codebook(h, s), (NB, n_ch)),
+                    "lsb_bits": _as_view(lib.mp_blk_lsb_bits(h, s), (NB, n_ch)),
+                    "res_offset": _as_view(lib.mp_blk_res_offset(h, s),
+                                           (NB, n_ch)),
+                    "nbyp": _as_view(lib.mp_blk_nbyp(h, s), (NB,)),
+                    "byp_mask": _as_view(lib.mp_blk_byp_mask(h, s), (NB,)),
+                })
+            self.sub.append(sub)
 
     def close(self) -> None:
         if self._h is not None:
@@ -304,16 +331,23 @@ def parse_mlp_stream(data: bytes) -> NativeParse | None:
     return NativeParse(lib, h)
 
 
-def parse_mlp_stream_begin(data: bytes) -> IncrementalParse | None:
+def parse_mlp_stream_begin(data: bytes,
+                           skip_values: bool = False) -> IncrementalParse | None:
     """Begin an incremental MLP parse (see :class:`IncrementalParse`);
-    ``None`` if the native library is unavailable."""
+    ``None`` if the native library is unavailable.
+
+    With ``skip_values`` the residual bits are walked length-only and the
+    parse emits per-block decode tables (``res_bitpos``/``codebook``/
+    ``lsb_bits``/``res_offset``/``nbyp``/``byp_mask``) for the on-device
+    residual kernel instead of decoded residual values."""
     lib = _load()
     if lib is None:
         return None
     vals, lens = _luts()
-    h = lib.mlp_parse_begin(data, len(data),
-                            vals.ctypes.data_as(ctypes.c_void_p),
-                            lens.ctypes.data_as(ctypes.c_void_p))
+    h = lib.mlp_parse_begin2(data, len(data),
+                             vals.ctypes.data_as(ctypes.c_void_p),
+                             lens.ctypes.data_as(ctypes.c_void_p),
+                             1 if skip_values else 0)
     return IncrementalParse(lib, h)
 
 

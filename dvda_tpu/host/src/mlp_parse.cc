@@ -174,6 +174,16 @@ struct Result {
   int32_t res_amax[2] = {0, 0};  // max |residual| seen (monotone; includes
                                  // rolled-back frames — only used to pick a
                                  // safe transfer dtype, so overcount is fine)
+
+  // skip-values mode (device Huffman decode): instead of residual values,
+  // per-block decode tables for the on-device residual kernel
+  std::vector<int64_t> blk_res_bitpos[2];  // [NB] absolute bit offset of the
+                                           // block's residual data in stream
+  std::vector<int32_t> blk_codebook[2];    // [NB*n_ch]
+  std::vector<int32_t> blk_lsb_bits[2];    // [NB*n_ch]
+  std::vector<int32_t> blk_res_offset[2];  // [NB*n_ch] signed huffman offset
+  std::vector<uint8_t> blk_nbyp[2];        // [NB] bypass bits per sample
+  std::vector<uint8_t> blk_byp_mask[2];    // [NB] bit m = slot m has bypass
 };
 
 struct Parser {
@@ -182,6 +192,10 @@ struct Parser {
   int64_t size;
   const int32_t* lut_val;  // [4][512]: codebooks 0(unused),1,2,3
   const int32_t* lut_len;
+  // skip-values mode: walk residual bits length-only and emit per-block
+  // decode tables (bit offsets, codebooks, LSB widths, offsets) so the
+  // residual values can be re-decoded on the device from the raw stream
+  int skip_values = 0;
 
   bool have_sync = false;
   int substream_count = 0;
@@ -220,6 +234,14 @@ struct Parser {
       out.blk_rc_iir[s].resize(marks.tap[s]);
       out.blk_iir_init[s].resize(marks.tap[s]);
       out.residuals[s].resize(marks.res[s]);
+      if (skip_values) {
+        out.blk_res_bitpos[s].resize(marks.nblk[s]);
+        out.blk_nbyp[s].resize(marks.nblk[s]);
+        out.blk_byp_mask[s].resize(marks.nblk[s]);
+        out.blk_codebook[s].resize(marks.chan[s]);
+        out.blk_lsb_bits[s].resize(marks.chan[s]);
+        out.blk_res_offset[s].resize(marks.chan[s]);
+      }
     }
   }
 
@@ -385,7 +407,8 @@ struct Parser {
     out.blk_rc_iir[s].resize(tap0 + size_t(n_ch) * 8, 0);
     out.blk_iir_init[s].resize(tap0 + size_t(n_ch) * 8, 0);
     size_t res0 = out.residuals[s].size();
-    out.residuals[s].resize(res0 + size_t(n_ch) * u.block_size);
+    if (!skip_values)
+      out.residuals[s].resize(res0 + size_t(n_ch) * u.block_size);
 
     int32_t* p_shift = out.blk_shift[s].data() + chan0;
     int32_t* p_quant = out.blk_quant[s].data() + chan0;
@@ -419,7 +442,12 @@ struct Parser {
               cp.iir.state[j];
       }
     }
-    read_residuals(u, r, out.residuals[s].data() + res0, n_ch, &out.res_amax[s]);
+    if (skip_values) {
+      skip_residuals(s, u, r, n_ch);
+    } else {
+      read_residuals(u, r, out.residuals[s].data() + res0, n_ch,
+                     &out.res_amax[s]);
+    }
     marks.samples[s] += u.block_size;
     marks.blocks[s] += 1;
     return u.block_size;
@@ -636,6 +664,59 @@ struct Parser {
     }
   }
 
+  // Length-only residual walk (skip-values mode): consume exactly the bits
+  // read_residuals would, validating the same failure conditions, and emit
+  // the per-block decode tables the device residual kernel needs.
+  void skip_residuals(int s, Substream& u, BitReader& r, int n_ch) {
+    out.blk_res_bitpos[s].push_back((r.data - stream) * 8 + r.pos);
+    int nbyp = 0;
+    uint8_t mask = 0;
+    for (int m = 0; m < u.matrix_len; m++) {
+      if (u.mats[m].lsb_bypass) {
+        nbyp++;
+        mask |= uint8_t(1) << m;
+      }
+    }
+    out.blk_nbyp[s].push_back(uint8_t(nbyp));
+    out.blk_byp_mask[s].push_back(mask);
+
+    int32_t lsb_bits[kMaxChannels];
+    int32_t codebooks[kMaxChannels];
+    for (int i = 0; i < n_ch; i++) {
+      ChannelParams& cp = u.ch[u.min_ch + i];
+      int lb = cp.huffman_lsbs - int(u.quant[u.min_ch + i]);
+      if (lb < 0) throw ParseError{};
+      lsb_bits[i] = lb;
+      codebooks[i] = cp.codebook;
+      int64_t off;
+      if (cp.codebook) {
+        int sign_shift = lb + 2 - cp.codebook;
+        off = int64_t(cp.huffman_offset) - (int64_t(7) << lb);
+        if (sign_shift >= 0) off -= int64_t(1) << sign_shift;
+      } else {
+        int sign_shift = lb - 1;
+        off = cp.huffman_offset;
+        if (sign_shift >= 0) off -= int64_t(1) << sign_shift;
+      }
+      out.blk_codebook[s].push_back(cp.codebook);
+      out.blk_lsb_bits[s].push_back(lb);
+      out.blk_res_offset[s].push_back(int32_t(off));
+    }
+    int bs = u.block_size;
+    for (int i = 0; i < bs; i++) {
+      if (nbyp) r.skip(nbyp);
+      for (int ci = 0; ci < n_ch; ci++) {
+        if (codebooks[ci]) {
+          uint32_t peek = r.peek9();
+          int32_t n = lut_len[codebooks[ci] * 512 + peek];
+          if (n == 0 || r.pos + n > r.nbits) throw ParseError{};
+          r.pos += n;
+        }
+        if (lsb_bits[ci]) r.skip(lsb_bits[ci]);
+      }
+    }
+  }
+
   void commit_frame(int final_s, int32_t frames0, int64_t end_off) {
     Substream& fu = ss[final_s];
     if (out.mmc < 0) {
@@ -722,9 +803,18 @@ void mlp_parse_free(void* h) { delete static_cast<Parser*>(h); }
 
 // Incremental variant: begin without parsing, then step frame batches so
 // callers can interleave parsing with downstream work (device dispatch).
+// flags bit 0 = skip residual values (emit device-decode tables instead).
 void* mlp_parse_begin(const uint8_t* data, int64_t size,
                       const int32_t* lut_val, const int32_t* lut_len) {
   return new Parser(data, size, lut_val, lut_len);
+}
+
+void* mlp_parse_begin2(const uint8_t* data, int64_t size,
+                       const int32_t* lut_val, const int32_t* lut_len,
+                       int32_t flags) {
+  Parser* p = new Parser(data, size, lut_val, lut_len);
+  p->skip_values = flags & 1;
+  return p;
 }
 
 int32_t mlp_parse_step(void* h, int64_t max_frames) {
@@ -768,5 +858,13 @@ const int32_t* mp_blk_iir_init(void* h, int s) { return R(h).blk_iir_init[s].dat
 const int32_t* mp_residuals(void* h, int s) { return R(h).residuals[s].data(); }
 int32_t mp_res_amax(void* h, int s) { return R(h).res_amax[s]; }
 int64_t mp_residuals_size(void* h, int s) { return int64_t(R(h).residuals[s].size()); }
+
+int32_t mp_skip_values(void* h) { return static_cast<Parser*>(h)->skip_values; }
+const int64_t* mp_blk_res_bitpos(void* h, int s) { return R(h).blk_res_bitpos[s].data(); }
+const int32_t* mp_blk_codebook(void* h, int s) { return R(h).blk_codebook[s].data(); }
+const int32_t* mp_blk_lsb_bits(void* h, int s) { return R(h).blk_lsb_bits[s].data(); }
+const int32_t* mp_blk_res_offset(void* h, int s) { return R(h).blk_res_offset[s].data(); }
+const uint8_t* mp_blk_nbyp(void* h, int s) { return R(h).blk_nbyp[s].data(); }
+const uint8_t* mp_blk_byp_mask(void* h, int s) { return R(h).blk_byp_mask[s].data(); }
 
 }  // extern "C"

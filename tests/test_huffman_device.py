@@ -1,0 +1,137 @@
+"""On-device Huffman residual decode (ops/huffman_decode.py) tests."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dvda_tpu import host
+from dvda_tpu.codecs.mlp.codebooks import peek_lut
+from dvda_tpu.ops.huffman_decode import (
+    decode_residuals_device,
+    decode_residuals_numpy,
+)
+from dvda_tpu.testutil.mlp_synth import MlpSynthConfig, synth_mlp_stream
+
+pytestmark = pytest.mark.skipif(not host.available(),
+                                reason="native host library unavailable")
+
+
+def _luts():
+    vals = np.zeros(2048, np.int32)
+    lens = np.zeros(2048, np.int32)
+    for k in (1, 2, 3):
+        v, l = peek_lut(k)
+        vals[k * 512 : (k + 1) * 512] = v
+        lens[k * 512 : (k + 1) * 512] = l
+    return vals, lens
+
+
+def _stream_words(stream: bytes) -> np.ndarray:
+    pad = (-len(stream)) % 4 + 8
+    return np.frombuffer(bytes(stream) + b"\0" * pad, dtype=">u4").astype(np.uint32)
+
+
+@pytest.mark.parametrize("assign,nsub", [(1, 1), (17, 2)])
+def test_kernel_matches_numpy_and_host(assign, nsub):
+    cfg = MlpSynthConfig(channel_assignment=assign, substream_count=nsub,
+                         n_frames=16, seed=4, restart_every=2,
+                         major_sync_every=2, fir_across_restart=False,
+                         params_update_prob=0.0)
+    stream = synth_mlp_stream(cfg)
+    full = host.parse_mlp_stream(stream)
+    assert full is not None and full.status == 0
+    inc = host.parse_mlp_stream_begin(stream, skip_values=True)
+    while inc.step(5):
+        pass
+    v = inc.view()
+    assert v.status == 0
+    vals, lens = _luts()
+    words = _stream_words(stream)
+    for s in range(v.substream_count):
+        sub = v.sub[s]
+        NB = sub["NB"]
+        n_ch = sub["codebook"].shape[1]
+        S0 = int(sub["len"][0])
+        assert (sub["len"] == S0).all()
+        res_np, byp_np = decode_residuals_numpy(stream, sub, vals, lens)
+
+        J = n_ch + 6
+        res_d, byp_d = decode_residuals_device(
+            jnp.asarray(words),
+            jnp.asarray(sub["res_bitpos"].astype(np.int32)),
+            jnp.asarray(sub["codebook"].astype(np.int32)),
+            jnp.asarray(sub["lsb_bits"].astype(np.int32)),
+            jnp.asarray(sub["res_offset"].astype(np.int32)),
+            jnp.asarray(sub["quant"].astype(np.int32)),
+            jnp.asarray(sub["nbyp"].astype(np.int32)),
+            jnp.asarray(vals), jnp.asarray(lens), S0, J)
+        res_d = np.asarray(res_d)
+        byp_d = np.asarray(byp_d)
+        assert np.array_equal(res_d, res_np), s
+
+        # kernel byp is bypass-order-k; map to slot m via byp_mask
+        byp_slots = np.zeros((NB, S0, 6), np.int32)
+        for b in range(NB):
+            k = 0
+            for m in range(6):
+                if (int(sub["byp_mask"][b]) >> m) & 1:
+                    byp_slots[b, :, m] = byp_d[b, :, k]
+                    k += 1
+        assert np.array_equal(byp_slots, byp_np), s
+
+        # and the host's value-mode residuals agree (ragged → [NB, ch, S0])
+        fsub = full.sub[s]
+        ragged = fsub["residuals"].reshape(NB, n_ch, S0)
+        assert np.array_equal(res_np, ragged), s
+    inc.close()
+    full.close()
+
+
+def test_device_huffman_pipeline_bit_exact():
+    """Full decode with device_huffman: the uniform pipeline re-decodes
+    residuals + bypassed LSBs on device and must match the spec decoder
+    bit-exactly (incl. rematrix bypass add)."""
+    from dvda_tpu.codecs.mlp.native_engine import decode_native
+    from dvda_tpu.codecs.mlp.spec import MlpDecoder
+    from dvda_tpu.codecs.params import StreamParameters
+    from dvda_tpu.config import DecodeConfig
+    from dvda_tpu.testutil.synth import BPS_CODE, RATE_CODE
+
+    for assign, nsub, nfr in [(17, 2, 48), (1, 1, 32), (17, 2, 1100)]:
+        cfg = MlpSynthConfig(channel_assignment=assign,
+                             substream_count=nsub, n_frames=nfr,
+                             restart_every=2, major_sync_every=2, seed=6,
+                             fir_across_restart=False,
+                             params_update_prob=0.0)
+        stream = synth_mlp_stream(cfg)
+        from dvda_tpu.codecs.params import StreamParameters as SP
+
+        params = SP(BPS_CODE[cfg.bits_per_sample], 0xF,
+                    RATE_CODE[cfg.sample_rate], 0xF, assign)
+        spec = MlpDecoder(params)
+        spec.decode_bytes(stream)
+        a = spec.take_frames()
+        b = decode_native(stream, np.zeros(0, np.int64), len(stream),
+                          params, config=DecodeConfig(device_huffman=True))
+        assert b is not None and np.array_equal(a, b), (assign, nsub, nfr)
+
+
+def test_device_huffman_nonuniform_falls_back():
+    """Non-uniform streams under device_huffman re-parse in value mode and
+    still decode bit-exactly through the general path."""
+    from dvda_tpu.codecs.mlp.native_engine import decode_native
+    from dvda_tpu.codecs.mlp.spec import MlpDecoder
+    from dvda_tpu.config import DecodeConfig
+    from dvda_tpu.testutil.mlp_synth import synth_two_section_stream
+    from dvda_tpu.testutil.synth import BPS_CODE, RATE_CODE
+    from dvda_tpu.codecs.params import StreamParameters as SP
+
+    stream, cfg = synth_two_section_stream()
+    params = SP(BPS_CODE[cfg.bits_per_sample], 0xF,
+                RATE_CODE[cfg.sample_rate], 0xF, cfg.channel_assignment)
+    spec = MlpDecoder(params)
+    spec.decode_bytes(stream)
+    a = spec.take_frames()
+    b = decode_native(stream, np.zeros(0, np.int64), len(stream), params,
+                      config=DecodeConfig(device_huffman=True))
+    assert b is not None and np.array_equal(a, b)

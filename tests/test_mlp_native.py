@@ -247,3 +247,77 @@ def test_pipelined_nonuniform_falls_back_bit_exact():
     a = spec.take_frames()
     b = decode_native(stream, np.zeros(0, np.int64), len(stream), params)
     assert b is not None and np.array_equal(a, b)
+
+
+def test_skip_values_tables_reconstruct_residuals():
+    """skip-values parse (device-Huffman mode) emits per-block decode
+    tables; re-decoding the raw bitstream with them must reproduce the
+    normal parse's residual values and bypassed-LSB bits exactly."""
+    from dvda_tpu.codecs.mlp.codebooks import peek_lut
+
+    cfg = MlpSynthConfig(channel_assignment=17, substream_count=2,
+                         n_frames=24, seed=3)
+    stream = synth_mlp_stream(cfg)
+    full = host.parse_mlp_stream(stream)
+    assert full is not None and full.status == 0
+    inc = host.parse_mlp_stream_begin(stream, skip_values=True)
+    assert inc is not None
+    while inc.step(7):
+        pass
+    v = inc.view()
+    assert v.status == 0 and v.skip_values
+    assert v.F == full.F and v.T == full.T
+
+    data = np.frombuffer(bytes(stream) + b"\0" * 8, np.uint8)
+
+    def bits(pos, n):
+        if n == 0:
+            return 0
+        w = int.from_bytes(bytes(data[pos >> 3 : (pos >> 3) + 8]), "big")
+        return (w >> (64 - (pos & 7) - n)) & ((1 << n) - 1)
+
+    luts = {k: peek_lut(k) for k in (1, 2, 3)}
+    byp = np.zeros((full.T, 6), np.uint8)
+    final = v.substream_count - 1
+    for s in range(v.substream_count):
+        sub, fsub = v.sub[s], full.sub[s]
+        NB = sub["NB"]
+        assert NB == fsub["NB"]
+        n_ch = sub["codebook"].shape[1]
+        seg = np.concatenate([[0], np.cumsum(sub["len"])]) * n_ch
+        t = 0
+        for b in range(NB):
+            pos = int(sub["res_bitpos"][b])
+            bs = int(sub["len"][b])
+            slots = [m for m in range(6) if (int(sub["byp_mask"][b]) >> m) & 1]
+            assert len(slots) == int(sub["nbyp"][b])
+            for i in range(bs):
+                for m in slots:
+                    if s == final:
+                        byp[t + i, m] = bits(pos, 1)
+                    pos += 1
+                for ci in range(n_ch):
+                    cb = int(sub["codebook"][b, ci])
+                    lb = int(sub["lsb_bits"][b, ci])
+                    off = int(sub["res_offset"][b, ci])
+                    q = int(sub["quant"][b, ci])
+                    msb = 0
+                    if cb:
+                        vals, lens = luts[cb]
+                        p9 = bits(pos, 9)
+                        msb, n = int(vals[p9]), int(lens[p9])
+                        assert n > 0
+                        pos += n
+                    lsb = bits(pos, lb)
+                    pos += lb
+                    vv = (((msb << lb) + lsb + off) << q) & 0xFFFFFFFF
+                    vv = vv - (1 << 32) if vv >= (1 << 31) else vv
+                    exp = int(fsub["residuals"][seg[b] + ci * bs + i])
+                    assert vv == exp, (s, b, i, ci)
+            t += bs
+    packed = np.zeros(full.T, np.uint8)
+    for m in range(6):
+        packed |= (byp[:, m] << m).astype(np.uint8)
+    assert np.array_equal(packed, np.asarray(full.bypassed_packed).view(np.uint8))
+    inc.close()
+    full.close()

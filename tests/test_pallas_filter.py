@@ -48,3 +48,34 @@ def test_pallas_extreme_values():
                                   jnp.zeros((B, 8), jnp.int32))
     got = mlp_filter_blocks_pallas(*args, interpret=True)
     assert np.array_equal(np.asarray(ref), np.asarray(got))
+
+
+def test_pipeline_with_pallas_filter_bit_exact():
+    """filter_kernel="pallas" routes the uniform pipeline through the
+    Pallas kernel (interpreted off-TPU) with identical output."""
+    import numpy as np
+
+    from dvda_tpu.codecs.mlp.native_engine import decode_native
+    from dvda_tpu.config import DecodeConfig
+    from dvda_tpu.codecs.params import StreamParameters
+    from dvda_tpu.testutil.mlp_synth import MlpSynthConfig, synth_mlp_stream
+    from dvda_tpu.testutil.synth import BPS_CODE, RATE_CODE
+    from dvda_tpu import host
+
+    if not host.available():
+        pytest.skip("native host library unavailable")
+    cfg = MlpSynthConfig(channel_assignment=17, substream_count=2,
+                         n_frames=32, restart_every=2, major_sync_every=2,
+                         seed=8, fir_across_restart=False,
+                         params_update_prob=0.0)
+    stream = synth_mlp_stream(cfg)
+    params = StreamParameters(BPS_CODE[cfg.bits_per_sample], 0xF,
+                              RATE_CODE[cfg.sample_rate], 0xF,
+                              cfg.channel_assignment)
+    bnd = np.zeros(0, np.int64)
+    a = decode_native(stream, bnd, len(stream), params,
+                      config=DecodeConfig())
+    b = decode_native(stream, bnd, len(stream), params,
+                      config=DecodeConfig(filter_kernel="pallas"))
+    assert a is not None and b is not None
+    assert np.array_equal(a, b)
