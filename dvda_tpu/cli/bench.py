@@ -336,7 +336,7 @@ def bench_device_compute(reps=10):
             starts = [0] + [int(r) for i, r in enumerate(restarts)
                             if r != 0 and not coupled[i]]
             NB0 = int(np.diff(starts + [nb_keep])[0])
-            subs_info.append((sub, nb_keep, S0, NB0))
+            subs_info.append((sub, 0, S0, NB0))
         period = subs_info[0][3] * subs_info[0][2]
         CHUNK = 512
 

@@ -393,11 +393,19 @@ def decode_native(stream: bytes, boundaries: np.ndarray, probe_end: int,
 
 def _decode_pipelined(inc, stream, boundaries, probe_end, parameters,
                       want_packed, config, device_huffman=False):
-    """Interleaved parse/dispatch over uniform streams (see decode_native).
+    """Interleaved parse/dispatch over *piecewise-uniform* streams
+    (see decode_native).
+
+    The stream is decoded as a run of uniform **sections**: within a
+    section, frame length, block size and chain length are constant, and
+    geometry may change at any clean chain boundary (a fresh restart) —
+    block-size switches, restart-cadence changes and partial tail chains
+    each simply open a new section with freshly discovered geometry.
+    Chunks inside a section share one compiled program.
 
     Returns the decoded array, ``None`` (parser bailed → Python engines),
-    or ``_ABANDON`` (non-uniform or otherwise unhandled → monolithic path;
-    any already-dispatched device work is simply discarded)."""
+    or ``_ABANDON`` (geometry churn or unhandled structure → monolithic
+    path; already-dispatched device work is simply discarded)."""
     out_ch = parameters.channel_count
     pack24 = parameters.bits_per_sample == 24
     words_all = None
@@ -408,63 +416,21 @@ def _decode_pipelined(inc, stream, boundaries, probe_end, parameters,
         words_all = np.frombuffer(bytes(stream) + b"\0" * pad,
                                   dtype=">u4").astype(np.uint32)
 
-    more = True
-    with global_timer.stage("mlp/native-parse"):
-        more = inc.step(64)
-    v = inc.view()
-    if v.status != 0:
-        return None
-    while more and v.F == 0:  # leading frames may all drop
+    st = {"more": True}
+
+    def parse_step(n) -> bool:
         with global_timer.stage("mlp/native-parse"):
-            more = inc.step(64)
-        v = inc.view()
-        if v.status != 0:
+            st["more"] = inc.step(n)
+        st["v"] = inc.view()
+        return st["v"].status == 0
+
+    if not parse_step(64):
+        return None
+    while st["more"] and st["v"].F == 0:  # leading frames may all drop
+        if not parse_step(64):
             return None
-    if v.F == 0:
+    if st["v"].F == 0:
         return _ABANDON  # empty/degenerate: monolithic handles it
-
-    # ---- structure discovery on the primed prefix -------------------------
-    L0 = int(v.frame_len[0])
-    if L0 <= 0:
-        return _ABANDON
-    struct = []  # (s, S0, NB0)
-    for s in range(v.substream_count):
-        sub = v.sub[s]
-        if sub["len"].shape[0] == 0:
-            return _ABANDON
-        S0 = int(sub["len"][0])
-        NB0 = None
-        while NB0 is None:
-            sub = v.sub[s]
-            restarts = np.nonzero(sub["restart"][1:])[0] + 1
-            for r in restarts:
-                if not sub["rc_fir"][r].any():  # uncoupled → chain start
-                    NB0 = int(r)
-                    break
-            if NB0 is not None or not more:
-                break
-            with global_timer.stage("mlp/native-parse"):
-                more = inc.step(v.F)  # double the coverage
-            v = inc.view()
-            if v.status != 0:
-                return None
-        if NB0 is None or NB0 <= 0:
-            return _ABANDON  # single-chain stream: nothing to pipeline
-        struct.append((s, S0, NB0))
-    periods = {S0 * NB0 for _, S0, NB0 in struct}
-    if len(periods) != 1:
-        return _ABANDON
-    period = periods.pop()
-    if period % L0:
-        return _ABANDON
-    fpc = period // L0  # frames per chain
-
-    def parse_until(nframes):
-        nonlocal more, v
-        while more and v.F < nframes:
-            with global_timer.stage("mlp/native-parse"):
-                more = inc.step(max(64, nframes - v.F))
-            v = inc.view()
 
     CHUNK = 512
     devices = _decode_devices(config)
@@ -472,92 +438,180 @@ def _decode_pipelined(inc, stream, boundaries, probe_end, parameters,
     # Pallas AR-filter variant: measured equal to the scan on v5e (see
     # docs/performance.md); flag-routable, interpreted off-TPU
     use_pallas = cfg.filter_kernel == "pallas"
+
     pending = []
-    c0 = 0
     ci = 0
+    f0 = 0                                   # frame base of the section
+    blk0s = [0] * st["v"].substream_count    # per-substream block bases
+    t_base = 0                               # absolute sample base
+    n_sections = 0
+    prev_key = None
     while True:
-        parse_until((c0 + CHUNK) * fpc + 1)
-        if v.status != 0:
-            return None
-        done = not more
-        avail = min(v.sub[s]["len"].shape[0] // NB0 for s, _, NB0 in struct)
-        if done:
-            # the tail must end on whole chains that cover whole frames
-            for s, _, NB0 in struct:
-                if v.sub[s]["len"].shape[0] % NB0:
-                    return _ABANDON
-            if v.F * L0 != avail * period:
-                return _ABANDON
-            c1 = avail
-            if c1 == c0:
+        while st["more"] and st["v"].F <= f0:
+            if not parse_step(64):
+                return None
+        v = st["v"]
+        if v.F <= f0:
+            break  # every parsed frame is covered
+        key = (f0, tuple(blk0s))
+        if key == prev_key:
+            return _ABANDON  # no progress: truly non-uniform
+        prev_key = key
+        n_sections += 1
+        if n_sections > 8:
+            return _ABANDON  # geometry churn: the gather path handles it
+
+        geo = _discover_geometry(st, parse_step, f0, blk0s)
+        if geo is None:
+            return None if st["v"].status != 0 else _ABANDON
+        L0, period, fpc, struct = geo  # struct: (s, S0, NB0)
+
+        c0 = 0
+        while True:
+            need_f = f0 + (c0 + CHUNK) * fpc + 1
+            while st["more"] and st["v"].F < need_f:
+                if not parse_step(max(64, need_f - st["v"].F)):
+                    return None
+            v = st["v"]
+            done = not st["more"]
+            avail = min((v.F - f0) // fpc,
+                        *((v.sub[s]["len"].shape[0] - blk0s[s]) // NB0
+                          for s, _, NB0 in struct))
+            want = min(c0 + CHUNK, avail)
+            if want <= c0:
+                break  # section exhausted (tail opens a new section)
+            n_ok = _verified_chains(v, struct, L0, fpc, f0, blk0s,
+                                    c0, want, done)
+            if n_ok == 0:
+                break  # geometry broke at c0: close the section here
+            c1 = c0 + n_ok
+            with global_timer.stage("mlp/stage+dispatch"):
+                subs_info = [(v.sub[s], blk0s[s], S0, NB0)
+                             for s, S0, NB0 in struct]
+                dev = _dispatch_uniform_chunk(
+                    v, subs_info, c0, c1, CHUNK, period, L0, out_ch,
+                    pack24=pack24,
+                    device=(devices[ci % len(devices)] if devices else None),
+                    words_all=words_all, use_pallas=use_pallas,
+                    f_base=f0, t_base=t_base)
+                try:
+                    dev.copy_to_host_async()
+                except (AttributeError, NotImplementedError):
+                    pass
+                pending.append((dev, n_ok * period))
+            ci += 1
+            if n_ok < want - c0:  # verification truncated: geometry broke
+                c0 = c1
                 break
-        else:
-            c1 = c0 + CHUNK
-            if avail < c1:
-                return _ABANDON  # parse outpaced by frames/blocks mismatch
-        if not _verify_uniform_segment(v, struct, L0, fpc, c0, c1, done):
-            return _ABANDON
-        with global_timer.stage("mlp/stage+dispatch"):
-            subs_info = [(v.sub[s], c1 * NB0, S0, NB0)
-                         for s, S0, NB0 in struct]
-            dev = _dispatch_uniform_chunk(
-                v, subs_info, c0, c1, CHUNK, period, L0, out_ch,
-                pack24=pack24,
-                device=(devices[ci % len(devices)] if devices else None),
-                words_all=words_all, use_pallas=use_pallas)
-            try:
-                dev.copy_to_host_async()
-            except (AttributeError, NotImplementedError):
-                pass
-            pending.append((dev, (c1 - c0) * period))
-        c0 = c1
-        ci += 1
-        if done:
+            c0 = c1
+        # close the section: advance every base past its verified chains
+        f0 += c0 * fpc
+        t_base += c0 * period
+        for s, _, NB0 in struct:
+            blk0s[s] += c0 * NB0
+        if not st["more"] and st["v"].F <= f0:
             break
 
     # ---- finish: packet-boundary frame cut + drain ------------------------
+    global _LAST_PIPELINE_INFO
+    _LAST_PIPELINE_INFO = {"sections": n_sections, "chunks": ci}
+    v = st["v"]
     F = _frame_cut(v.frame_end, np.asarray(boundaries, dtype=np.int64),
                    probe_end)
-    if F == 0 or c0 == 0:
+    if F == 0 or not pending:
         return np.zeros((0, out_ch), dtype=np.int32)
-    T = F * L0
+    T = int(v.frame_len[:F].sum())
     return _finish_uniform(pending, T, out_ch, pack24, want_packed)
 
 
-def _verify_uniform_segment(v, struct, L0, fpc, c0, c1, done_tail) -> bool:
-    """Chains [c0, c1) are uniform and self-contained: constant block/frame
-    sizes, uncoupled restarts exactly at chain starts, and a fresh chain
-    beginning at the segment end (unless the stream ends there)."""
-    f0, f1 = c0 * fpc, c1 * fpc
-    if v.frame_len.shape[0] < f1 or not (v.frame_len[f0:f1] == L0).all():
-        return False
+#: diagnostics from the last completed pipelined decode (tests/bench)
+_LAST_PIPELINE_INFO: dict = {}
+
+
+def _discover_geometry(st, parse_step, f0, blk0s):
+    """Geometry of the section starting at frame ``f0`` / blocks ``blk0s``:
+    frame length, per-substream block size and chain length (distance to
+    the next uncoupled restart — or the remaining blocks for a tail
+    section), parsing further as needed.  ``None`` on parser bail or when
+    the substream periods disagree."""
+    v = st["v"]
+    L0 = int(v.frame_len[f0])
+    if L0 <= 0:
+        return None
+    struct = []
+    for s in range(v.substream_count):
+        B = blk0s[s]
+        sub = st["v"].sub[s]
+        if sub["len"].shape[0] <= B:
+            return None
+        S0 = int(sub["len"][B])
+        NB0 = None
+        while NB0 is None:
+            sub = st["v"].sub[s]
+            restart = sub["restart"][B + 1 :]
+            n = restart.shape[0]
+            coupled = sub["rc_fir"][B + 1 : B + 1 + n].reshape(n, -1).any(axis=1)
+            fresh = np.nonzero(restart & ~coupled)[0]
+            if fresh.size:
+                NB0 = int(fresh[0]) + 1
+            elif not st["more"]:
+                NB0 = sub["len"].shape[0] - B  # single-chain tail section
+            elif not parse_step(st["v"].F):  # double the coverage
+                return None
+        if NB0 <= 0:
+            return None
+        struct.append((s, S0, NB0))
+    periods = {S0 * NB0 for _, S0, NB0 in struct}
+    if len(periods) != 1:
+        return None
+    period = periods.pop()
+    if period % L0:
+        return None
+    return L0, period, period // L0, struct
+
+
+def _verified_chains(v, struct, L0, fpc, f0, blk0s, c0, c1, done) -> int:
+    """How many chains of [c0, c1) (section-relative) verify under the
+    section geometry.  A chain verifies when its frames all have length
+    ``L0``, its blocks all have size ``S0``, it starts at an uncoupled
+    restart (except the stream's block 0), contains no internal chain
+    split, and ends at a fresh chain start (or the exact stream end).
+    The count stops at the first failing chain — the caller closes the
+    section there and rediscovers geometry."""
+    nc = c1 - c0
+    ok = np.ones(nc, bool)
+    fa = f0 + c0 * fpc
+    fl = v.frame_len[fa : fa + nc * fpc]
+    ok &= (fl.reshape(nc, fpc) == L0).all(axis=1)
     for s, S0, NB0 in struct:
         sub = v.sub[s]
-        blk0, blk1 = c0 * NB0, c1 * NB0
+        a = blk0s[s] + c0 * NB0
         nbk = sub["len"].shape[0]
-        if nbk < blk1:
-            return False
-        if not (sub["len"][blk0:blk1] == S0).all():
-            return False
-        restart = sub["restart"][blk0:blk1]
-        coupled = sub["rc_fir"][blk0:blk1].reshape(blk1 - blk0, -1).any(axis=1)
-        uncoupled = restart & ~coupled
-        pos = np.arange(blk0, blk1)
-        is_mult = (pos % NB0) == 0
-        req = is_mult.copy()
-        if blk0 == 0:
-            req[0] = False  # block 0 starts a chain coupled or not
-        if (req & ~uncoupled).any():
-            return False  # a chain start is missing (merge) → non-uniform
-        if (uncoupled & ~is_mult).any():
-            return False  # an extra chain split → non-uniform
-        if nbk > blk1:
-            if not (sub["restart"][blk1]
-                    and not sub["rc_fir"][blk1].any()):
-                return False  # next chunk's first chain must start fresh
-        elif not done_tail:
-            return False
-    return True
+        span = nc * NB0
+        lens = sub["len"][a : a + span].reshape(nc, NB0)
+        ok &= (lens == S0).all(axis=1)
+        restart = sub["restart"][a : a + span]
+        coupled = sub["rc_fir"][a : a + span].reshape(span, -1).any(axis=1)
+        unc = (restart & ~coupled).reshape(nc, NB0)
+        start_ok = unc[:, 0].copy()
+        if a == 0:
+            start_ok[0] = True  # the stream's block 0 starts a chain
+        ok &= start_ok
+        if NB0 > 1:
+            ok &= ~unc[:, 1:].any(axis=1)
+        # end boundary: the next block starts a fresh chain, or the stream
+        # ends exactly at the chain's last block
+        nxt = a + (np.arange(nc) + 1) * NB0
+        end_ok = (nxt == nbk) & done
+        inb = nxt < nbk
+        idx = nxt[inb]
+        if idx.size:
+            fresh = (sub["restart"][idx]
+                     & ~sub["rc_fir"][idx].reshape(idx.shape[0], -1).any(axis=1))
+            end_ok[inb] = fresh
+        ok &= end_ok
+    bad = np.nonzero(~ok)[0]
+    return int(bad[0]) if bad.size else nc
 
 
 def _finish_uniform(pending, T, out_ch, pack24, want_packed):
@@ -755,7 +809,7 @@ def _try_uniform(parse, F: int, frame_len: np.ndarray, T: int,
             n_chains, period = nc, per
         elif nc != n_chains or per != period:
             return None
-        subs_info.append((sub, nb_keep, S0, NB0))
+        subs_info.append((sub, 0, S0, NB0))  # whole-stream: base 0
     if period % L0:
         return None
 
@@ -798,9 +852,13 @@ def _decode_devices(config: DecodeConfig | None = None):
 
 def _dispatch_uniform_chunk(parse, subs_info, c0, c1, CHUNK, period, L0,
                             out_ch, pack24=False, device=None,
-                            words_all=None, use_pallas=False):
-    """Build arenas for chains [c0, c1) and dispatch the pipeline (async);
-    returns the device array ([CHUNK*period, C_out], valid rows first).
+                            words_all=None, use_pallas=False,
+                            f_base=0, t_base=0):
+    """Build arenas for section-relative chains [c0, c1) and dispatch the
+    pipeline (async); returns the device array ([CHUNK*period, C_out],
+    valid rows first).  ``subs_info`` carries (sub, block_base, S0, NB0)
+    per substream; ``f_base``/``t_base`` are the section's absolute frame
+    and sample offsets (nonzero for piecewise-uniform streams).
 
     With ``words_all`` (device-Huffman mode) the chunk ships its window of
     the raw bitstream plus per-block decode tables instead of residual
@@ -812,16 +870,20 @@ def _dispatch_uniform_chunk(parse, subs_info, c0, c1, CHUNK, period, L0,
 
     b = _ArenaBuilder()
     nc = c1 - c0
+    fpc = period // L0
+    f0 = f_base + c0 * fpc
+    f1 = f_base + c1 * fpc
+    t0, t1 = t_base + c0 * period, t_base + c1 * period
     _t_build = _time.perf_counter()
     base_bit = 0
     if words_all is not None:
         # stream window covering every residual bit this chunk reads:
         # from the first block's bit position to the end of the chunk's
         # last frame (+ guard for the 64-bit window loads)
-        bit0 = min(int(si[0]["res_bitpos"][c0 * si[3]]) for si in subs_info)
+        bit0 = min(int(si[0]["res_bitpos"][si[1] + c0 * si[3]])
+                   for si in subs_info)
         w0 = bit0 >> 5
-        f1 = c1 * period // L0
-        end_byte = int(parse.frame_end[f1 - 1]) + 8
+        end_byte = int(parse.frame_end[f_base + c1 * fpc - 1]) + 8
         w1 = min(words_all.shape[0], (end_byte + 3) // 4 + 1)
         wlen = _bucket(max(w1 - w0, 1), lo=1024)
         win = np.zeros(wlen, np.uint32)
@@ -832,8 +894,8 @@ def _dispatch_uniform_chunk(parse, subs_info, c0, c1, CHUNK, period, L0,
         lv, ll = host._luts()
         b.add("lut_vals", np.ascontiguousarray(lv).reshape(-1))
         b.add("lut_lens", np.ascontiguousarray(ll).reshape(-1))
-    for s_idx, (sub, nb_keep, S0, NB0) in enumerate(subs_info):
-        blk0, blk1 = c0 * NB0, c1 * NB0
+    for s_idx, (sub, blk_base, S0, NB0) in enumerate(subs_info):
+        blk0, blk1 = blk_base + c0 * NB0, blk_base + c1 * NB0
 
         def chainview(x, dtype=None, NB0=NB0):
             """Pre-sliced block-range array [(blk1-blk0), …] → chain view
@@ -865,7 +927,8 @@ def _dispatch_uniform_chunk(parse, subs_info, c0, c1, CHUNK, period, L0,
                 b.add(f"s{s_idx}_bypk", chainview(kidx))
                 b.add(f"s{s_idx}_bypv", chainview(bits.astype(np.int8)))
         else:
-            res = _padded_residuals_range(sub, blk0, blk1, S0)
+            res = _padded_residuals_range(
+                sub, t0, t1, blk1 - blk0, S0)
             # the parser tracks max |residual| — no host scan needed
             amax = sub.get("res_amax")
             res_dtype = np.int16 if (
@@ -908,9 +971,6 @@ def _dispatch_uniform_chunk(parse, subs_info, c0, c1, CHUNK, period, L0,
 
     T_pad = CHUNK * period
     F_pad = T_pad // L0
-    f0 = c0 * period // L0
-    f1 = c1 * period // L0
-    t0, t1 = f0 * L0, f1 * L0
 
     def padF(x, dtype=None):
         seg = x[f0:f1]
@@ -952,10 +1012,11 @@ def _dispatch_uniform_chunk(parse, subs_info, c0, c1, CHUNK, period, L0,
         return _uniform_arena_pipeline(a4, a2, a1, spec)
 
 
-def _padded_residuals_range(sub, blk0: int, blk1: int, S0: int) -> np.ndarray:
-    """Residuals for a block range → [nb, n_ch, S0] (uniform lengths)."""
+def _padded_residuals_range(sub, t_lo: int, t_hi: int, n_blocks: int,
+                            S0: int) -> np.ndarray:
+    """Residuals for a block range → [n_blocks, n_ch, S0].  The flat array
+    is ragged per block, so the range is addressed by absolute *sample*
+    offsets (valid across sections with different block sizes)."""
     n_ch = sub["shift"].shape[1]
     flat = sub["residuals"]
-    lo = blk0 * n_ch * S0
-    hi = blk1 * n_ch * S0
-    return flat[lo:hi].reshape(blk1 - blk0, n_ch, S0)
+    return flat[t_lo * n_ch : t_hi * n_ch].reshape(n_blocks, n_ch, S0)

@@ -235,13 +235,35 @@ def test_pipelined_packet_boundary_cut():
     assert np.array_equal(out, full[: keep * L0])
 
 
-def test_pipelined_nonuniform_falls_back_bit_exact():
-    """A stream whose block size changes mid-way abandons the pipelined
-    driver and still decodes bit-exactly via the general path."""
+def test_pipelined_nonuniform_bit_exact():
+    """A stream whose block size changes mid-way decodes bit-exactly
+    (handled by the sectioned pipelined driver since round 2)."""
     from dvda_tpu.testutil.mlp_synth import synth_two_section_stream
 
     stream, cfg = synth_two_section_stream()
     params = stream_params(cfg)
+    spec = MlpDecoder(params)
+    spec.decode_bytes(stream)
+    a = spec.take_frames()
+    b = decode_native(stream, np.zeros(0, np.int64), len(stream), params)
+    assert b is not None and np.array_equal(a, b)
+
+
+def test_geometry_churn_falls_back_bit_exact():
+    """More than 8 geometry changes abandons the sectioned driver (the
+    gather path handles such streams) — output stays bit-exact."""
+    from dvda_tpu.testutil.mlp_synth import MlpSynthConfig, synth_mlp_stream
+
+    base = dict(channel_assignment=17, substream_count=2, sample_rate=48000,
+                bits_per_sample=24, fir_across_restart=False,
+                params_update_prob=0.0, n_frames=2, restart_every=1,
+                major_sync_every=1)
+    stream = b"".join(
+        synth_mlp_stream(MlpSynthConfig(blocks_per_frame=2,
+                                        block_size=16 if i % 2 else 32,
+                                        seed=i, **base))
+        for i in range(12))
+    params = stream_params(MlpSynthConfig(**base))
     spec = MlpDecoder(params)
     spec.decode_bytes(stream)
     a = spec.take_frames()
@@ -321,3 +343,49 @@ def test_skip_values_tables_reconstruct_residuals():
     assert np.array_equal(packed, np.asarray(full.bypassed_packed).view(np.uint8))
     inc.close()
     full.close()
+
+
+def test_sectioned_pipeline_piecewise_uniform():
+    """Piecewise-uniform streams decode through the sectioned pipelined
+    driver (no gather-path fallback): block-size changes, restart-cadence
+    changes and a partial tail chain each open a new uniform section."""
+    from dvda_tpu.codecs.mlp import native_engine as ne
+    from dvda_tpu.testutil.mlp_synth import MlpSynthConfig
+
+    base = dict(channel_assignment=17, substream_count=2, sample_rate=48000,
+                bits_per_sample=24, fir_across_restart=False,
+                params_update_prob=0.0, checkdata=True)
+    # section A: 16-sample blocks; B: 32-sample blocks; C: cadence change
+    cfgs = [
+        MlpSynthConfig(blocks_per_frame=2, block_size=16, seed=3,
+                       n_frames=12, restart_every=2, major_sync_every=2,
+                       **base),
+        MlpSynthConfig(blocks_per_frame=2, block_size=32, seed=4,
+                       n_frames=12, restart_every=2, major_sync_every=2,
+                       **base),
+        MlpSynthConfig(blocks_per_frame=2, block_size=16, seed=5,
+                       n_frames=12, restart_every=4, major_sync_every=4,
+                       **base),
+    ]
+    from dvda_tpu.testutil.mlp_synth import synth_mlp_stream as synth
+
+    stream = b"".join(synth(c) for c in cfgs)
+    params = stream_params(cfgs[0])
+    spec = MlpDecoder(params)
+    spec.decode_bytes(stream)
+    a = spec.take_frames()
+    b = decode_native(stream, np.zeros(0, np.int64), len(stream), params)
+    assert b is not None and np.array_equal(a, b)
+    assert ne._LAST_PIPELINE_INFO.get("sections", 0) >= 3
+
+    # partial tail chain: n_frames not a multiple of the restart cadence
+    cfg = MlpSynthConfig(blocks_per_frame=2, block_size=16, seed=6,
+                         n_frames=10, restart_every=4, major_sync_every=4,
+                         **base)
+    stream = synth(cfg)
+    spec = MlpDecoder(params)
+    spec.decode_bytes(stream)
+    a = spec.take_frames()
+    b = decode_native(stream, np.zeros(0, np.int64), len(stream), params)
+    assert b is not None and np.array_equal(a, b)
+    assert ne._LAST_PIPELINE_INFO.get("sections", 0) >= 2

@@ -121,7 +121,7 @@ def main():
                    if r != 0 and not coupled[i]], dtype=np.int64)
         chain_lens = np.diff(np.concatenate([chain_starts, [nb_keep]]))
         NB0 = int(chain_lens[0])
-        subs_info.append((sub, nb_keep, S0, NB0))
+        subs_info.append((sub, 0, S0, NB0))
         n_chains = nb_keep // NB0
         period = NB0 * S0
     p(f"n_chains={n_chains} period={period} T={T}")
