@@ -77,9 +77,12 @@ class CppmDecryptor:
         self.preserve_cci = preserve_cci
         # k_au is per-disc (cppm.c:540-541)
         self.k_au = c2_g(id_album_media, media_key) & _M56
-        # device (TPU) D-CBC kernel for large batches; numpy otherwise
+        # Decrypted sectors are consumed by the HOST demux, so the device
+        # D-CBC kernel always pays a d2h round trip for its output — the
+        # native host path (~119 MB/s/core) wins in this architecture.
+        # Auto (None) therefore means host; pass use_device=True to force
+        # the device kernel (ops/c2_decrypt.py).
         self.use_device = use_device
-        self.device_batch_threshold = 256
 
     # -- constructors -------------------------------------------------------
 
@@ -178,13 +181,10 @@ class CppmDecryptor:
         return sectors
 
     def _device_enabled(self, n: int) -> bool:
+        del n
         from ..config import default_config
 
-        if self.use_device is False:
-            return False
-        if not default_config().use_device:
-            return False
-        return self.use_device is True or n >= self.device_batch_threshold
+        return bool(self.use_device) and default_config().use_device
 
     def _decrypt_device(self, enc: np.ndarray, hi: np.ndarray,
                         lo: np.ndarray):
