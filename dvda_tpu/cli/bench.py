@@ -400,27 +400,37 @@ def main(argv=None):
             bench_pcm_hires(tmp, results)
         if want("mlp_stereo_96k"):
             bench_mlp_stereo(tmp, results)
+        t_before = probe_tunnel()  # the shared relay swings ~20× hourly:
         audio, best = bench_mlp_51(tmp, results)  # headline, always
+        t_after = probe_tunnel()   # bracket the headline with probes
         if want("disc_batch_cppm"):
             bench_disc_batch_cppm(tmp, results)
         if want("mlp_nonuniform"):
             bench_mlp_nonuniform(tmp, results)
 
-        tunnel = probe_tunnel()
-        ceiling = tunnel["d2h_MBps"] / (AUDIO_BYTES_PER_SEC / 1e6)
+        d2h = max(t_before["d2h_MBps"], t_after["d2h_MBps"])
+        ceiling = d2h / (AUDIO_BYTES_PER_SEC / 1e6)
         devx = bench_device_compute()
-        log(f"tunnel: {tunnel}, e2e ceiling {ceiling:.1f}x, "
-            f"device-compute {devx}x")
+        log(f"tunnel before/after: {t_before} / {t_after}, "
+            f"e2e ceiling {ceiling:.1f}x, device-compute {devx}x")
 
-        head = results["mlp_51_96k"]
+        # headline: the better of the two production modes (both bit-exact;
+        # device_huffman moves residual decode on-chip — see performance.md)
+        head, mode = results["mlp_51_96k"], "standard"
+        dh = results.get("mlp_51_devhuff")
+        if dh and dh["ours_x_realtime"] > head["ours_x_realtime"]:
+            head, mode = dh, "device_huffman"
         print(json.dumps({
             "metric": "MLP 5.1/96kHz end-to-end decode throughput per chip",
             "value": head["ours_x_realtime"],
             "unit": "x-realtime",
             "vs_baseline": head["vs_baseline"],
+            "mode": mode,
             "device_compute_x_realtime": devx,
-            "tunnel_d2h_MBps": tunnel["d2h_MBps"],
+            "tunnel_d2h_MBps": d2h,
             "tunnel_ceiling_x_realtime": round(ceiling, 1),
+            "pipeline_efficiency": round(
+                head["ours_x_realtime"] / ceiling, 2) if ceiling else None,
             "configs": results,
         }))
 
