@@ -15,6 +15,20 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
+# The container's sitecustomize imports jax at interpreter start and forces
+# jax_platforms="axon,cpu" via jax.config — env vars alone are then a no-op.
+# Backends initialise lazily, so overriding the config before the first
+# jax.devices() call still wins.
+if "jax" in sys.modules:
+    import jax
+
+    if not getattr(jax._src.xla_bridge, "_backends", None):
+        jax.config.update("jax_platforms", "cpu")
+    elif jax.default_backend() != "cpu":  # backends already up on axon
+        raise RuntimeError(
+            "jax initialised on a non-CPU backend before conftest ran; "
+            "run pytest with PYTHONPATH= to bypass sitecustomize")
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import pytest  # noqa: E402
