@@ -432,9 +432,9 @@ def _decode_pipelined(inc, stream, boundaries, probe_end, parameters,
     if st["v"].F == 0:
         return _ABANDON  # empty/degenerate: monolithic handles it
 
-    CHUNK = 512
     devices = _decode_devices(config)
     cfg = config if config is not None else default_config()
+    CHUNK = cfg.chunk_chains
     # Pallas AR-filter variant: measured equal to the scan on v5e (see
     # docs/performance.md); flag-routable, interpreted off-TPU
     use_pallas = cfg.filter_kernel == "pallas"
@@ -815,7 +815,8 @@ def _try_uniform(parse, F: int, frame_len: np.ndarray, T: int,
 
     # chains per chunk: fixed so every chunk shares one compiled program;
     # large enough that per-chunk dispatch round-trips stay negligible
-    CHUNK = 512
+    cfg = config if config is not None else default_config()
+    CHUNK = cfg.chunk_chains
     pack24 = bits_per_sample == 24
     devices = _decode_devices(config)
     pending = []

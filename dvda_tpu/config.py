@@ -21,6 +21,8 @@ CLIs and benchmarks:
                                     from the raw bitstream
     ``DVDA_TPU_FILTER_KERNEL=pallas``  Pallas AR-filter kernel instead of
                                     the lax.scan variant
+    ``DVDA_TPU_CHUNK_CHAINS=N``     restart chains per device chunk
+                                    (default 256)
     ``DVDA_TPU_LOG=<level>``        log level (utils/log.py)
     ==============================  =====================================
 
@@ -55,6 +57,10 @@ class DecodeConfig:
     #: AR-filter kernel: "scan" (lax.scan; default) or "pallas"
     #: (ops/pallas_filter.py) — measured equal on v5e, see performance.md
     filter_kernel: str = "scan"
+    #: restart chains per dispatched device chunk; smaller chunks start
+    #: their d2h readback earlier (less un-overlapped tail) at the cost of
+    #: more dispatches — see docs/performance.md for the sizing study
+    chunk_chains: int = 256
     #: sectors per host I/O batch when walking a track
     io_batch_sectors: int = 4096
     #: decrypt CPPM-protected sectors when a device/MKB is available
@@ -71,6 +77,7 @@ class DecodeConfig:
             multi_device=not _env_off("DVDA_TPU_MULTI_DEVICE"),
             device_huffman=not _env_off("DVDA_TPU_DEVICE_HUFFMAN"),
             filter_kernel=os.environ.get("DVDA_TPU_FILTER_KERNEL", "scan"),
+            chunk_chains=int(os.environ.get("DVDA_TPU_CHUNK_CHAINS", "256")),
         )
 
 

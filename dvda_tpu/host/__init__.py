@@ -162,23 +162,34 @@ def available() -> bool:
     return _load() is not None
 
 
-def _as_np(ptr, dtype, shape):
-    n = int(np.prod(shape)) if shape else 0
-    if n == 0:
-        return np.zeros(shape, dtype=dtype)
-    arr = np.ctypeslib.as_array(ptr, shape=(n,)).astype(dtype, copy=True)
-    return arr.reshape(shape)
+# Wrapping C pointers via memoryviews: np.ctypeslib.as_array builds a new
+# ctypes array *type* per distinct length (~0.5 ms each), which made every
+# IncrementalParse.view() snapshot cost ~20 ms — quadratic over a pipelined
+# decode.  PyMemoryView_FromMemory has no such per-shape cost.
+ctypes.pythonapi.PyMemoryView_FromMemory.restype = ctypes.py_object
+ctypes.pythonapi.PyMemoryView_FromMemory.argtypes = [
+    ctypes.c_void_p, ctypes.c_ssize_t, ctypes.c_int]
+_PyBUF_WRITE = 0x200
+_CTYPE_DTYPE = {
+    ctypes.c_int32: np.dtype(np.int32), ctypes.c_int64: np.dtype(np.int64),
+    ctypes.c_uint8: np.dtype(np.uint8), ctypes.c_uint32: np.dtype(np.uint32),
+}
 
 
 def _as_view(ptr, shape):
     """Zero-copy numpy view over the parser's output buffer (dtype is the
     pointer's own ctype).  Valid while the owning NativeParse is alive."""
+    dtype = _CTYPE_DTYPE[ptr._type_]
     n = int(np.prod(shape)) if shape else 0
     if n == 0:
-        dtype = np.ctypeslib.as_array(ptr, shape=(1,)).dtype if ptr \
-            else np.int32
         return np.zeros(shape, dtype=dtype)
-    return np.ctypeslib.as_array(ptr, shape=(n,)).reshape(shape)
+    mv = ctypes.pythonapi.PyMemoryView_FromMemory(
+        ctypes.cast(ptr, ctypes.c_void_p), n * dtype.itemsize, _PyBUF_WRITE)
+    return np.frombuffer(mv, dtype=dtype).reshape(shape)
+
+
+def _as_np(ptr, dtype, shape):
+    return _as_view(ptr, shape).astype(dtype, copy=True)
 
 
 class NativeParse:

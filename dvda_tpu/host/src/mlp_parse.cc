@@ -617,10 +617,12 @@ struct Parser {
                       int32_t* amax) {
     int32_t lsb_bits[kMaxChannels];
     int32_t offsets[kMaxChannels];
+    int32_t codebooks_[kMaxChannels];
     for (int i = 0; i < n_ch; i++) {
       ChannelParams& cp = u.ch[u.min_ch + i];
       int lb = cp.huffman_lsbs - int(u.quant[u.min_ch + i]);
       lsb_bits[i] = lb;
+      codebooks_[i] = cp.codebook;
       if (lb < 0) throw ParseError{};  // reference would request a huge read
       int64_t off;
       if (cp.codebook) {
@@ -634,34 +636,53 @@ struct Parser {
       }
       offsets[i] = int32_t(off);
     }
+    // hot loop: one 64-bit window load covers a channel's whole symbol —
+    // the ≤9-bit Huffman code plus the ≤24-bit LSB field (≤33 bits total),
+    // so each (sample, channel) costs one load + one LUT line + shifts.
+    // Reads validate against nbits only after the fact (the window loads
+    // themselves are always in-bounds thanks to the 8-byte zero pad).
+    int32_t quants[kMaxChannels];
+    for (int i = 0; i < n_ch; i++) quants[i] = u.quant[u.min_ch + i];
     int bs = u.block_size;
+    int64_t pos = r.pos;
+    const int64_t nbits = r.nbits;
+    int32_t am = *amax;
     for (int i = 0; i < bs; i++) {
       for (int m = 0; m < u.matrix_len; m++) {
         MatrixSlot& ms = u.mats[m];
-        ms.bypassed.push_back(ms.lsb_bypass ? uint8_t(r.read(1)) : 0);
+        if (ms.lsb_bypass) {
+          ms.bypassed.push_back(uint8_t(r.window(pos) >> 63));
+          pos += 1;
+        } else {
+          ms.bypassed.push_back(0);
+        }
       }
       for (int ci = 0; ci < n_ch; ci++) {
-        ChannelParams& cp = u.ch[u.min_ch + ci];
+        uint64_t w = r.window(pos);
         int32_t msb = 0;
-        if (cp.codebook) {
-          uint32_t peek = r.peek9();
-          const int32_t* lv = lut_val + cp.codebook * 512;
-          const int32_t* ll = lut_len + cp.codebook * 512;
-          int32_t n = ll[peek];
-          if (n == 0 || r.pos + n > r.nbits) throw ParseError{};
-          msb = lv[peek];
-          r.pos += n;
+        int lb = lsb_bits[ci];
+        int cb = codebooks_[ci];
+        if (cb) {
+          uint32_t peek = uint32_t(w >> 55);
+          int32_t n = lut_len[cb * 512 + peek];
+          if (n == 0) { r.pos = pos; throw ParseError{}; }
+          msb = lut_val[cb * 512 + peek];
+          w <<= n;
+          pos += n;
         }
-        uint32_t lsb = lsb_bits[ci] ? r.read(lsb_bits[ci]) : 0;
-        int32_t q = int32_t(u.quant[u.min_ch + ci]);
-        int32_t v = int32_t(uint32_t(
-            uint32_t((msb << lsb_bits[ci]) + int32_t(lsb) + offsets[ci])
-            << q));
+        uint32_t lsb = lb ? uint32_t(w >> (64 - lb)) : 0;
+        pos += lb;
+        if (pos > nbits) { r.pos = pos; throw ParseError{}; }
+        int32_t v = int32_t(
+            uint32_t(uint32_t((msb << lb) + int32_t(lsb) + offsets[ci]))
+            << quants[ci]);
         dst[size_t(ci) * bs + i] = v;
         int32_t a = v < 0 ? ~v : v;  // |v| with INT32_MIN -> INT32_MAX
-        if (a > *amax) *amax = a;
+        if (a > am) am = a;
       }
     }
+    *amax = am;
+    r.pos = pos;
   }
 
   // Length-only residual walk (skip-values mode): consume exactly the bits
@@ -702,19 +723,25 @@ struct Parser {
       out.blk_lsb_bits[s].push_back(lb);
       out.blk_res_offset[s].push_back(int32_t(off));
     }
+    // same single-window hot loop as read_residuals, length-only
     int bs = u.block_size;
+    int64_t pos = r.pos;
+    const int64_t nbits = r.nbits;
     for (int i = 0; i < bs; i++) {
-      if (nbyp) r.skip(nbyp);
+      pos += nbyp;
       for (int ci = 0; ci < n_ch; ci++) {
-        if (codebooks[ci]) {
-          uint32_t peek = r.peek9();
-          int32_t n = lut_len[codebooks[ci] * 512 + peek];
-          if (n == 0 || r.pos + n > r.nbits) throw ParseError{};
-          r.pos += n;
+        int cb = codebooks[ci];
+        if (cb) {
+          uint32_t peek = uint32_t(r.window(pos) >> 55);
+          int32_t n = lut_len[cb * 512 + peek];
+          if (n == 0) { r.pos = pos; throw ParseError{}; }
+          pos += n;
         }
-        if (lsb_bits[ci]) r.skip(lsb_bits[ci]);
+        pos += lsb_bits[ci];
+        if (pos > nbits) { r.pos = pos; throw ParseError{}; }
       }
     }
+    r.pos = pos;
   }
 
   void commit_frame(int final_s, int32_t frames0, int64_t end_off) {
