@@ -332,7 +332,7 @@ def bench_device_compute(reps=10):
             lens = sub["len"][:nb_keep]
             S0 = int(lens[0])
             restarts = np.nonzero(sub["restart"][:nb_keep])[0]
-            coupled = sub["rc_fir"][restarts].any(axis=(1, 2))
+            coupled = sub["fir_any"][restarts] != 0
             starts = [0] + [int(r) for i, r in enumerate(restarts)
                             if r != 0 and not coupled[i]]
             NB0 = int(np.diff(starts + [nb_keep])[0])

@@ -550,7 +550,7 @@ def _discover_geometry(st, parse_step, f0, blk0s):
             sub = st["v"].sub[s]
             restart = sub["restart"][B + 1 :]
             n = restart.shape[0]
-            coupled = sub["rc_fir"][B + 1 : B + 1 + n].reshape(n, -1).any(axis=1)
+            coupled = sub["fir_any"][B + 1 : B + 1 + n] != 0
             fresh = np.nonzero(restart & ~coupled)[0]
             if fresh.size:
                 NB0 = int(fresh[0]) + 1
@@ -591,7 +591,7 @@ def _verified_chains(v, struct, L0, fpc, f0, blk0s, c0, c1, done) -> int:
         lens = sub["len"][a : a + span].reshape(nc, NB0)
         ok &= (lens == S0).all(axis=1)
         restart = sub["restart"][a : a + span]
-        coupled = sub["rc_fir"][a : a + span].reshape(span, -1).any(axis=1)
+        coupled = sub["fir_any"][a : a + span] != 0
         unc = (restart & ~coupled).reshape(nc, NB0)
         start_ok = unc[:, 0].copy()
         if a == 0:
@@ -606,8 +606,7 @@ def _verified_chains(v, struct, L0, fpc, f0, blk0s, c0, c1, done) -> int:
         inb = nxt < nbk
         idx = nxt[inb]
         if idx.size:
-            fresh = (sub["restart"][idx]
-                     & ~sub["rc_fir"][idx].reshape(idx.shape[0], -1).any(axis=1))
+            fresh = sub["restart"][idx] & (sub["fir_any"][idx] == 0)
             end_ok[inb] = fresh
         ok &= end_ok
     bad = np.nonzero(~ok)[0]
@@ -668,7 +667,7 @@ def _decode_parsed(parse, boundaries, probe_end, parameters,
         lens = sub["len"][:nb_keep]
         n_ch = sub["shift"].shape[1]
         restarts = np.nonzero(sub["restart"][:nb_keep])[0]
-        coupled = sub["rc_fir"][restarts].any(axis=(1, 2))
+        coupled = sub["fir_any"][restarts] != 0
         starts = [0] + [int(r) for i, r in enumerate(restarts)
                         if r != 0 and not coupled[i]] + [nb_keep]
         chain_start = np.asarray(starts[:-1], dtype=np.int64)
@@ -795,7 +794,7 @@ def _try_uniform(parse, F: int, frame_len: np.ndarray, T: int,
             return None
         restart = sub["restart"][:nb_keep]
         restarts = np.nonzero(restart)[0]
-        coupled = sub["rc_fir"][restarts].any(axis=(1, 2))
+        coupled = sub["fir_any"][restarts] != 0
         chain_starts = np.asarray(
             [0] + [int(r) for i, r in enumerate(restarts)
                    if r != 0 and not coupled[i]], dtype=np.int64)
@@ -940,35 +939,37 @@ def _dispatch_uniform_chunk(parse, subs_info, c0, c1, CHUNK, period, L0,
                 (-1, NB0) + res.shape[1:])
             b.add(f"s{s_idx}_res", res_c)
 
-        rcF = chainview(sub["rc_fir"][blk0:blk1], np.int16)
-        rcI = chainview(sub["rc_iir"][blk0:blk1], np.int16)
-        init = chainview(sub["iir_init"][blk0:blk1])
-        shift = chainview(sub["shift"][blk0:blk1], np.int8)
-        quant = chainview(sub["quant"][blk0:blk1], np.int8)
-        irst = chainview(sub["iir_reset"][blk0:blk1], np.int8)
         # real encoders set filter/coding parameters at restarts only; when
-        # every block of a chain repeats block 0's parameters (and IIR
-        # resets only happen at chain starts), ship one row per chain —
+        # no non-head block re-reads decoding parameters (the parser's
+        # per-block param_update flag — a byte scan, not an array compare;
+        # sticky state means "no re-read" implies "identical rows", and IIR
+        # resets only come from parameter reads), ship one row per chain —
         # NB0× less coefficient traffic through the tunnel
-        per_chain = (
-            (rcF == rcF[:, :1]).all() and (rcI == rcI[:, :1]).all()
-            and (shift == shift[:, :1]).all() and (quant == quant[:, :1]).all()
-            and not irst[:, 1:].any()
-        )
+        per_chain = NB0 == 1 or not (
+            sub["param_update"][blk0:blk1].reshape(-1, NB0)[:, 1:].any())
         if per_chain:
-            b.add(f"s{s_idx}_rc_fir_c", rcF[:, 0].copy())
-            b.add(f"s{s_idx}_rc_iir_c", rcI[:, 0].copy())
-            b.add(f"s{s_idx}_iir_init_c", init[:, 0].copy())
-            b.add(f"s{s_idx}_shift_c", shift[:, 0].copy())
-            b.add(f"s{s_idx}_quant_c", quant[:, 0].copy())
-            b.add(f"s{s_idx}_iir_reset_c", irst[:, 0].copy())
+            def headview(x, dtype=None):
+                """Chain-head rows [nc, …] → [CHUNK, …] (zero-padded)."""
+                heads = x[blk0:blk1:NB0]
+                out = np.zeros((CHUNK,) + heads.shape[1:],
+                               dtype=dtype or x.dtype)
+                out[: heads.shape[0]] = heads
+                return out
+
+            b.add(f"s{s_idx}_rc_fir_c", headview(sub["rc_fir"], np.int16))
+            b.add(f"s{s_idx}_rc_iir_c", headview(sub["rc_iir"], np.int16))
+            b.add(f"s{s_idx}_iir_init_c", headview(sub["iir_init"]))
+            b.add(f"s{s_idx}_shift_c", headview(sub["shift"], np.int8))
+            b.add(f"s{s_idx}_quant_c", headview(sub["quant"], np.int8))
+            b.add(f"s{s_idx}_iir_reset_c",
+                  headview(sub["iir_reset"]).view(np.int8))
         else:
-            b.add(f"s{s_idx}_rc_fir", rcF)
-            b.add(f"s{s_idx}_rc_iir", rcI)
-            b.add(f"s{s_idx}_iir_init", init)
-            b.add(f"s{s_idx}_shift", shift)
-            b.add(f"s{s_idx}_quant", quant)
-            b.add(f"s{s_idx}_iir_reset", irst)
+            b.add(f"s{s_idx}_rc_fir", chainview(sub["rc_fir"][blk0:blk1], np.int16))
+            b.add(f"s{s_idx}_rc_iir", chainview(sub["rc_iir"][blk0:blk1], np.int16))
+            b.add(f"s{s_idx}_iir_init", chainview(sub["iir_init"][blk0:blk1]))
+            b.add(f"s{s_idx}_shift", chainview(sub["shift"][blk0:blk1], np.int8))
+            b.add(f"s{s_idx}_quant", chainview(sub["quant"][blk0:blk1], np.int8))
+            b.add(f"s{s_idx}_iir_reset", chainview(sub["iir_reset"][blk0:blk1], np.int8))
 
     T_pad = CHUNK * period
     F_pad = T_pad // L0

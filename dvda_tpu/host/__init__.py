@@ -139,7 +139,8 @@ def _load():
         fn = getattr(lib, name)
         fn.restype = c.POINTER(c.c_int32)
         fn.argtypes = [c.c_void_p, c.c_int32]
-    for name in ("mp_blk_restart", "mp_blk_iir_reset"):
+    for name in ("mp_blk_restart", "mp_blk_iir_reset",
+                 "mp_blk_param_update", "mp_blk_fir_any"):
         fn = getattr(lib, name)
         fn.restype = c.POINTER(c.c_uint8)
         fn.argtypes = [c.c_void_p, c.c_int32]
@@ -242,6 +243,8 @@ class NativeParse:
                 "res_amax": int(lib.mp_res_amax(h, s)),
                 "fr_nblocks": _as_view(lib.mp_fr_nblocks(h, s), (F,)),
                 "restart": _as_np(lib.mp_blk_restart(h, s), bool, (NB,)),
+                "param_update": _as_view(lib.mp_blk_param_update(h, s), (NB,)),
+                "fir_any": _as_view(lib.mp_blk_fir_any(h, s), (NB,)),
                 "len": _as_view(lib.mp_blk_len(h, s), (NB,)),
                 "shift": _as_view(lib.mp_blk_shift(h, s), (NB, n_ch)),
                 "quant": _as_view(lib.mp_blk_quant(h, s), (NB, n_ch)),

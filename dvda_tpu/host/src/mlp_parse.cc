@@ -165,6 +165,8 @@ struct Result {
   // per-substream block-level
   std::vector<int32_t> fr_nblocks[2];  // blocks contributed per frame
   std::vector<uint8_t> blk_restart[2];
+  std::vector<uint8_t> blk_param_update[2];  // block re-read decoding params
+  std::vector<uint8_t> blk_fir_any[2];       // any nonzero FIR tap in block
   std::vector<int32_t> blk_len[2];
   std::vector<int32_t> blk_shift[2], blk_quant[2];   // [NB*n_ch]
   std::vector<uint8_t> blk_iir_reset[2];             // [NB*n_ch]
@@ -226,6 +228,8 @@ struct Parser {
   void rollback_frame() {
     for (int s = 0; s < 2; s++) {
       out.blk_restart[s].resize(marks.nblk[s]);
+      out.blk_param_update[s].resize(marks.nblk[s]);
+      out.blk_fir_any[s].resize(marks.nblk[s]);
       out.blk_len[s].resize(marks.nblk[s]);
       out.blk_shift[s].resize(marks.chan[s]);
       out.blk_quant[s].resize(marks.chan[s]);
@@ -381,8 +385,10 @@ struct Parser {
   int32_t decode_block(int s, BitReader& r) {
     Substream& u = ss[s];
     bool restart = false;
+    bool has_params = false;
     for (int c = 0; c < kMaxChannels; c++) iir_reloaded[c] = false;
     if (r.read(1)) {
+      has_params = true;
       bool has_restart = r.read(1);
       if (has_restart) {
         read_restart_header(u, r);
@@ -397,6 +403,7 @@ struct Parser {
     // write the block's tensors straight into the output arrays
     int n_ch = u.max_ch - u.min_ch + 1;
     out.blk_restart[s].push_back(restart ? 1 : 0);
+    out.blk_param_update[s].push_back(has_params ? 1 : 0);
     out.blk_len[s].push_back(u.block_size);
     size_t chan0 = out.blk_shift[s].size();
     size_t tap0 = out.blk_rc_fir[s].size();
@@ -417,6 +424,7 @@ struct Parser {
     int32_t* p_iir = out.blk_rc_iir[s].data() + tap0;
     int32_t* p_init = out.blk_iir_init[s].data() + tap0;
 
+    uint8_t fir_any = 0;
     for (int i = 0; i < n_ch; i++) {
       ChannelParams& cp = u.ch[u.min_ch + i];
       if (cp.fir.order + cp.iir.order > 8) throw ParseError{};
@@ -431,8 +439,10 @@ struct Parser {
       }
       p_shift[i] = shift;
       p_quant[i] = u.quant[u.min_ch + i];
-      for (int j = 0; j < cp.fir.order; j++)
+      for (int j = 0; j < cp.fir.order; j++) {
         p_fir[size_t(i) * 8 + 7 - j] = cp.fir.coeff[j];
+        if (cp.fir.coeff[j]) fir_any = 1;
+      }
       for (int j = 0; j < cp.iir.order; j++)
         p_iir[size_t(i) * 8 + 7 - j] = cp.iir.coeff[j];
       if (iir_reloaded[u.min_ch + i]) {
@@ -442,6 +452,7 @@ struct Parser {
               cp.iir.state[j];
       }
     }
+    out.blk_fir_any[s].push_back(fir_any);
     if (skip_values) {
       skip_residuals(s, u, r, n_ch);
     } else {
@@ -875,6 +886,8 @@ const uint32_t* mp_frame_seed(void* h) { return R(h).frame_seed.data(); }
 const int32_t* mp_frame_nshift(void* h) { return R(h).frame_nshift.data(); }
 const int32_t* mp_fr_nblocks(void* h, int s) { return R(h).fr_nblocks[s].data(); }
 const uint8_t* mp_blk_restart(void* h, int s) { return R(h).blk_restart[s].data(); }
+const uint8_t* mp_blk_param_update(void* h, int s) { return R(h).blk_param_update[s].data(); }
+const uint8_t* mp_blk_fir_any(void* h, int s) { return R(h).blk_fir_any[s].data(); }
 const int32_t* mp_blk_len(void* h, int s) { return R(h).blk_len[s].data(); }
 const int32_t* mp_blk_shift(void* h, int s) { return R(h).blk_shift[s].data(); }
 const int32_t* mp_blk_quant(void* h, int s) { return R(h).blk_quant[s].data(); }

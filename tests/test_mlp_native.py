@@ -389,3 +389,61 @@ def test_sectioned_pipeline_piecewise_uniform():
     b = decode_native(stream, np.zeros(0, np.int64), len(stream), params)
     assert b is not None and np.array_equal(a, b)
     assert ne._LAST_PIPELINE_INFO.get("sections", 0) >= 2
+
+
+def test_chunk_chains_invariance():
+    """Decode is bit-identical for any chunk size (DecodeConfig.chunk_chains),
+    including sizes that don't divide the chain count, and the parser's
+    param_update flag routes parameter-constant chains to per-chain rows."""
+    from dvda_tpu.config import DecodeConfig
+
+    cfg = MlpSynthConfig(channel_assignment=17, substream_count=2,
+                         n_frames=300, restart_every=2, major_sync_every=2,
+                         seed=11, fir_across_restart=False,
+                         params_update_prob=0.0)
+    stream = synth_mlp_stream(cfg)
+    params = stream_params(cfg)
+    base = decode_native(stream, np.zeros(0, np.int64), len(stream), params)
+    assert base is not None
+    for chains in (7, 32, 1024):
+        got = decode_native(stream, np.zeros(0, np.int64), len(stream),
+                            params, config=DecodeConfig(chunk_chains=chains))
+        assert got is not None and np.array_equal(base, got), chains
+    # mid-stream parameter updates must fall off the per-chain rows but
+    # still decode exactly (per-block parameter path)
+    cfg2 = MlpSynthConfig(channel_assignment=17, substream_count=2,
+                          n_frames=64, restart_every=4, major_sync_every=4,
+                          seed=12, fir_across_restart=False,
+                          params_update_prob=0.4)
+    stream2 = synth_mlp_stream(cfg2)
+    params2 = stream_params(cfg2)
+    spec = MlpDecoder(params2)
+    spec.decode_bytes(stream2)
+    a = spec.take_frames()
+    b = decode_native(stream2, np.zeros(0, np.int64), len(stream2), params2)
+    assert b is not None and np.array_equal(a, b)
+
+
+def test_parser_block_flags():
+    """param_update marks exactly the blocks that re-read decoding params;
+    fir_any equals rc_fir.any per block (the engine's coupling test)."""
+    cfg = MlpSynthConfig(channel_assignment=17, substream_count=2,
+                         n_frames=48, restart_every=4, major_sync_every=4,
+                         seed=5, params_update_prob=0.3)
+    stream = synth_mlp_stream(cfg)
+    parse = host.parse_mlp_stream(stream)
+    assert parse is not None and parse.status == 0
+    try:
+        for s in range(parse.substream_count):
+            sub = parse.sub[s]
+            nb = sub["len"].shape[0]
+            assert sub["param_update"].shape == (nb,)
+            fir_ref = sub["rc_fir"].reshape(nb, -1).any(axis=1)
+            assert np.array_equal(sub["fir_any"] != 0, fir_ref)
+            # restarts always carry a parameter read
+            assert (sub["param_update"][sub["restart"]] == 1).all()
+            # iir resets only happen in blocks that re-read parameters
+            blk_irst = sub["iir_reset"].any(axis=1)
+            assert not (blk_irst & (sub["param_update"] == 0)).any()
+    finally:
+        parse.close()
