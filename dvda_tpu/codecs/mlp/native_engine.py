@@ -365,7 +365,8 @@ def decode_native(stream: bytes, boundaries: np.ndarray, probe_end: int,
     # device-Huffman mode: residual bits walked length-only on the host,
     # values re-decoded on device from the raw stream (ops/huffman_decode)
     skip_values = bool(cfg.device_huffman and cfg.use_device)
-    inc = host.parse_mlp_stream_begin(stream, skip_values=skip_values)
+    inc = host.parse_mlp_stream_begin(stream, skip_values=skip_values,
+                                      threads=cfg.parse_threads)
     if inc is None:
         return None
     try:
@@ -377,7 +378,8 @@ def decode_native(stream: bytes, boundaries: np.ndarray, probe_end: int,
         if skip_values:
             # the general path needs residual values: re-parse normally
             inc.close()
-            inc = host.parse_mlp_stream_begin(stream)
+            inc = host.parse_mlp_stream_begin(stream,
+                                              threads=cfg.parse_threads)
             if inc is None:
                 return None
         with global_timer.stage("mlp/native-parse"):

@@ -47,7 +47,7 @@ def _build() -> bool:
         return False
     try:
         subprocess.run(
-            ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-pthread",
              "-std=c++17", "-o", _SO] + sources,
             check=True, capture_output=True,
         )
@@ -84,6 +84,9 @@ def _load():
     lib.mlp_parse_begin2.restype = c.c_void_p
     lib.mlp_parse_begin2.argtypes = [c.c_char_p, c.c_int64, c.c_void_p,
                                      c.c_void_p, c.c_int32]
+    lib.mlp_parse_begin_mt.restype = c.c_void_p
+    lib.mlp_parse_begin_mt.argtypes = [c.c_char_p, c.c_int64, c.c_void_p,
+                                       c.c_void_p, c.c_int32, c.c_int32]
     lib.mlp_parse_step.restype = c.c_int32
     lib.mlp_parse_step.argtypes = [c.c_void_p, c.c_int64]
     lib.mp_skip_values.restype = c.c_int32
@@ -345,23 +348,30 @@ def parse_mlp_stream(data: bytes) -> NativeParse | None:
     return NativeParse(lib, h)
 
 
-def parse_mlp_stream_begin(data: bytes,
-                           skip_values: bool = False) -> IncrementalParse | None:
+def parse_mlp_stream_begin(data: bytes, skip_values: bool = False,
+                           threads: int = 1) -> IncrementalParse | None:
     """Begin an incremental MLP parse (see :class:`IncrementalParse`);
     ``None`` if the native library is unavailable.
 
     With ``skip_values`` the residual bits are walked length-only and the
     parse emits per-block decode tables (``res_bitpos``/``codebook``/
     ``lsb_bits``/``res_offset``/``nbyp``/``byp_mask``) for the on-device
-    residual kernel instead of decoded residual values."""
+    residual kernel instead of decoded residual values.
+
+    With ``threads > 1`` the stream is split at full-restart frames
+    (parser state-reset points) and parsed by that many worker threads
+    concurrently; each ``step`` then merges the next completed section
+    (``max_frames`` granularity does not apply).  Output is bit-identical
+    to the sequential parse — streams with dropped frames redo
+    sequentially, since drops make sticky parser state order-dependent."""
     lib = _load()
     if lib is None:
         return None
     vals, lens = _luts()
-    h = lib.mlp_parse_begin2(data, len(data),
-                             vals.ctypes.data_as(ctypes.c_void_p),
-                             lens.ctypes.data_as(ctypes.c_void_p),
-                             1 if skip_values else 0)
+    h = lib.mlp_parse_begin_mt(data, len(data),
+                               vals.ctypes.data_as(ctypes.c_void_p),
+                               lens.ctypes.data_as(ctypes.c_void_p),
+                               1 if skip_values else 0, max(1, int(threads)))
     return IncrementalParse(lib, h)
 
 

@@ -16,8 +16,13 @@
 //
 // Build: g++ -O3 -shared -fPIC (no external dependencies).
 
+#include <atomic>
+#include <condition_variable>
 #include <cstdint>
 #include <cstring>
+#include <memory>
+#include <mutex>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -255,14 +260,34 @@ struct Parser {
     stream = padded.data();
   }
 
+  struct Borrow {};  // tag: share another parser's padded buffer
+
+  // Section worker over [off, end) of an already-padded buffer owned by
+  // the parent MT parser (window loads past `end` read real stream bytes;
+  // the 8-byte zero guard lives at the parent buffer's true end).
+  Parser(Borrow, const uint8_t* base, int64_t end, const int32_t* lv,
+         const int32_t* ll)
+      : stream(base), size(end), lut_val(lv), lut_len(ll) {}
+
+  ~Parser() {
+    if (mt) {
+      for (auto& t : mt->pool)
+        if (t.joinable()) t.join();
+    }
+  }
+
   int64_t off_ = 0;   // resume offset for incremental parsing
   bool done_ = false;
+  int64_t dropped = 0;  // frames rolled back (ParseError)
 
   // Parse up to max_frames more frames (<= 0 means all remaining).
   // Returns 1 while more input remains, 0 once the walk is complete (or
   // the parser bailed — check out.status).  Output vectors may REALLOC
   // between calls: callers must re-fetch data pointers after every step.
+  // In multi-threaded mode (mt set) a step merges the next completed
+  // worker section instead (all remaining sections when max_frames <= 0).
   int32_t run_some(int64_t max_frames) {
+    if (mt) return mt_step(max_frames);
     int64_t parsed = 0;
     while (!done_ && (max_frames <= 0 || parsed < max_frames)) {
       if (size - off_ < 4) { done_ = true; break; }
@@ -276,6 +301,7 @@ struct Parser {
         // frame dropped; sticky state keeps whatever was parsed, but its
         // partially-written tensors are rolled back
         rollback_frame();
+        dropped++;
       }
       if (out.status) { done_ = true; break; }
       off_ += total;
@@ -285,6 +311,129 @@ struct Parser {
   }
 
   void run() { run_some(0); }
+
+  // ---- multi-threaded section parse ------------------------------------
+  //
+  // A frame whose every substream begins with a restart header is a full
+  // state-reset point (the restart re-reads the channel range, noise seed
+  // and — via the hp path of read_decoding_parameters — every sticky
+  // decoding parameter), so the stream splits into independently parsable
+  // sections at such frames.  Pass 1 (mlp_parse_begin_mt) finds them with
+  // a cheap header walk; worker threads parse byte-balanced sections
+  // concurrently; run_some/mt_step merges completed sections in stream
+  // order, preserving the incremental-parse API.  Any dropped frame or
+  // bail makes sticky state section-dependent, so those streams redo the
+  // whole parse sequentially (bit-identical semantics, just slower).
+  struct Mt {
+    std::vector<std::unique_ptr<Parser>> secs;
+    std::vector<std::thread> pool;
+    std::mutex mu;
+    std::condition_variable cv;
+    std::vector<char> done;
+    std::atomic<size_t> next{0};
+    size_t merged = 0;
+  };
+  std::unique_ptr<Mt> mt;
+
+  int32_t mt_step(int64_t max_frames) {
+    Mt& m = *mt;
+    while (m.merged < m.secs.size()) {
+      {
+        std::unique_lock<std::mutex> lk(m.mu);
+        m.cv.wait(lk, [&] { return m.done[m.merged] != 0; });
+      }
+      Parser* w = m.secs[m.merged].get();
+      if (w->out.status != 0 || w->dropped > 0 || !merge_section(*w)) {
+        redo_sequential();
+        return 0;
+      }
+      m.secs[m.merged].reset();  // release the section's buffers
+      m.merged++;
+      if (max_frames > 0) break;  // incremental: one section per step
+    }
+    return m.merged < m.secs.size() ? 1 : 0;
+  }
+
+  // Authoritative fallback: reparse the whole stream sequentially (sticky
+  // drop semantics).  Sections already merged are reproduced identically
+  // (they start at state-reset frames), so callers holding views of the
+  // prefix see the same values after the pointer re-fetch they already do
+  // on every step.
+  void redo_sequential() {
+    mt->next.store(mt->secs.size());  // stop workers picking new sections
+    for (auto& t : mt->pool)
+      if (t.joinable()) t.join();
+    Parser seq(Borrow{}, stream, size, lut_val, lut_len);
+    seq.skip_values = skip_values;
+    seq.run();
+    out = std::move(seq.out);
+    dropped = seq.dropped;
+    mt->merged = mt->secs.size();
+  }
+
+  bool merge_section(Parser& w) {
+    Result& a = out;
+    Result& b = w.out;
+    if (b.frame_len.empty()) return true;  // nothing committed
+    if (a.substream_count == 0) {
+      a.substream_count = b.substream_count;
+      a.assignment = b.assignment;
+    } else if (b.substream_count != a.substream_count ||
+               b.assignment != a.assignment) {
+      return false;
+    }
+    if (a.mmc < 0) {
+      a.mmc = b.mmc;
+      for (int s = 0; s < kMaxSubstreams; s++) {
+        a.min_ch[s] = b.min_ch[s];
+        a.max_ch[s] = b.max_ch[s];
+      }
+    } else if (b.mmc != a.mmc) {
+      return false;
+    } else {
+      for (int s = 0; s < a.substream_count; s++)
+        if (b.min_ch[s] != a.min_ch[s] || b.max_ch[s] != a.max_ch[s])
+          return false;
+    }
+    auto app = [](auto& dst, auto& src) {
+      dst.insert(dst.end(), src.begin(), src.end());
+    };
+    app(a.frame_len, b.frame_len);
+    app(a.frame_end, b.frame_end);
+    app(a.out_shift, b.out_shift);
+    app(a.mat_active, b.mat_active);
+    app(a.mat_out, b.mat_out);
+    app(a.mat_quant, b.mat_quant);
+    app(a.mat_coeff, b.mat_coeff);
+    app(a.mat_noise, b.mat_noise);
+    app(a.noise0, b.noise0);
+    app(a.noise1, b.noise1);
+    app(a.frame_seed, b.frame_seed);
+    app(a.frame_nshift, b.frame_nshift);
+    app(a.bypassed, b.bypassed);
+    for (int s = 0; s < kMaxSubstreams; s++) {
+      app(a.fr_nblocks[s], b.fr_nblocks[s]);
+      app(a.blk_restart[s], b.blk_restart[s]);
+      app(a.blk_param_update[s], b.blk_param_update[s]);
+      app(a.blk_fir_any[s], b.blk_fir_any[s]);
+      app(a.blk_len[s], b.blk_len[s]);
+      app(a.blk_shift[s], b.blk_shift[s]);
+      app(a.blk_quant[s], b.blk_quant[s]);
+      app(a.blk_iir_reset[s], b.blk_iir_reset[s]);
+      app(a.blk_rc_fir[s], b.blk_rc_fir[s]);
+      app(a.blk_rc_iir[s], b.blk_rc_iir[s]);
+      app(a.blk_iir_init[s], b.blk_iir_init[s]);
+      app(a.residuals[s], b.residuals[s]);
+      if (b.res_amax[s] > a.res_amax[s]) a.res_amax[s] = b.res_amax[s];
+      app(a.blk_res_bitpos[s], b.blk_res_bitpos[s]);
+      app(a.blk_codebook[s], b.blk_codebook[s]);
+      app(a.blk_lsb_bits[s], b.blk_lsb_bits[s]);
+      app(a.blk_res_offset[s], b.blk_res_offset[s]);
+      app(a.blk_nbyp[s], b.blk_nbyp[s]);
+      app(a.blk_byp_mask[s], b.blk_byp_mask[s]);
+    }
+    return true;
+  }
 
   void decode_frame(const uint8_t* body, int64_t len, int64_t end_off) {
     BitReader r(body, len);
@@ -826,6 +975,89 @@ struct Parser {
   }
 };
 
+// Pass 1 for the multi-threaded parse: cheap header-only walk locating
+// the stream's global major-sync parameters and every *section entry*
+// frame — a frame at which every substream's first block carries a
+// restart header (verified by its 0x18F5 sync pattern), i.e. a full
+// parser-state reset.  A frame whose major sync mismatches the global
+// parameters "contributes nothing" without resetting state, so it is
+// never an entry.  Eligibility here is best-effort: a wrongly-chosen
+// entry merely produces a dropped frame in its worker, which triggers
+// the sequential redo — correctness never depends on this scan.
+static std::vector<int64_t> scan_section_entries(const uint8_t* st,
+                                                 int64_t size,
+                                                 int* out_nsub,
+                                                 int* out_assign,
+                                                 int out_params[4]) {
+  std::vector<int64_t> entries;
+  bool found = false;
+  int g_nsub = 0, g_assign = 0;
+  int g_params[4] = {0, 0, 0, 0};
+  int64_t off = 0;
+  while (size - off >= 4) {
+    int32_t total = ((int32_t(st[off] & 0x0F) << 8) | st[off + 1]) * 2;
+    if (total < 4 || off + total > size) break;
+    const uint8_t* body = st + off + 4;
+    int64_t len = total - 4;
+    bool sync = len >= 28 && body[0] == 0xF8 && body[1] == 0x72 &&
+                body[2] == 0x6F && body[3] == 0xBB;
+    int nsub = 0, g0b = 0, g1b = 0, g0r = 0, g1r = 0, assign = 0;
+    if (sync) {
+      g0b = body[4] >> 4;
+      g1b = body[4] & 0xF;
+      g0r = body[5] >> 4;
+      g1r = body[5] & 0xF;
+      assign = body[7] & 0x1F;
+      nsub = body[16] >> 4;
+      if (nsub != 1 && nsub != 2) sync = false;  // not a committing sync
+    }
+    if (!found) {
+      if (sync) {
+        found = true;
+        g_nsub = nsub;
+        g_assign = assign;
+        g_params[0] = g0b; g_params[1] = g1b;
+        g_params[2] = g0r; g_params[3] = g1r;
+      }
+      off += total;
+      continue;  // frames up to & incl. the first sync stay in section 0
+    }
+    bool ok = true;
+    if (sync) {
+      ok = nsub == g_nsub && assign == g_assign && g0b == g_params[0] &&
+           g1b == g_params[1] && g0r == g_params[2] && g1r == g_params[3];
+    }
+    int64_t bp = sync ? 28 : 0;  // substream-info offset within the body
+    int64_t info_end[2] = {0, 0};
+    for (int s = 0; s < g_nsub && ok; s++) {
+      if (bp + 2 > len) { ok = false; break; }
+      uint32_t w = (uint32_t(body[bp]) << 8) | body[bp + 1];
+      info_end[s] = int64_t(w & 0xFFF) * 2;
+      bp += 2 + ((w >> 15) ? 2 : 0);
+    }
+    if (ok) {
+      const uint8_t* base = body + bp;
+      int64_t avail = len - bp;
+      for (int s = 0; s < g_nsub && ok; s++) {
+        int64_t q = s ? info_end[0] : 0;
+        if (q + 2 > avail || (s && info_end[1] <= info_end[0])) {
+          ok = false;
+          break;
+        }
+        // bits: [has_params=1][has_restart=1][restart sync13=0x18F5]
+        uint32_t w = (uint32_t(base[q]) << 8) | base[q + 1];
+        if ((w >> 14) != 3 || ((w >> 1) & 0x1FFF) != 0x18F5) ok = false;
+      }
+      if (ok) entries.push_back(off);
+    }
+    off += total;
+  }
+  *out_nsub = g_nsub;
+  *out_assign = g_assign;
+  for (int k = 0; k < 4; k++) out_params[k] = g_params[k];
+  return entries;
+}
+
 }  // namespace
 
 extern "C" {
@@ -857,6 +1089,71 @@ void* mlp_parse_begin2(const uint8_t* data, int64_t size,
 
 int32_t mlp_parse_step(void* h, int64_t max_frames) {
   return static_cast<Parser*>(h)->run_some(max_frames);
+}
+
+// Multi-threaded incremental parse: split the stream at state-reset
+// frames (see scan_section_entries), parse byte-balanced sections on
+// `nthreads` worker threads, and have mlp_parse_step merge completed
+// sections in order.  Falls back to plain sequential parsing when the
+// stream offers fewer than two sections.  flags as mlp_parse_begin2.
+void* mlp_parse_begin_mt(const uint8_t* data, int64_t size,
+                         const int32_t* lut_val, const int32_t* lut_len,
+                         int32_t flags, int32_t nthreads) {
+  Parser* p = new Parser(data, size, lut_val, lut_len);
+  p->skip_values = flags & 1;
+  if (nthreads <= 1 || size < (64 << 10)) return p;
+
+  int g_nsub = 0, g_assign = 0, g_params[4];
+  std::vector<int64_t> entries =
+      scan_section_entries(p->stream, size, &g_nsub, &g_assign, g_params);
+  // byte-balanced cuts, ~4 sections per thread for merge granularity
+  std::vector<int64_t> cuts{0};
+  size_t want = size_t(nthreads) * 4;
+  double per = double(size) / double(want);
+  double target = per;
+  for (int64_t e : entries) {
+    if (double(e) >= target) {
+      cuts.push_back(e);
+      target = double(e) + per;
+    }
+  }
+  cuts.push_back(size);
+  if (cuts.size() <= 2) return p;  // one section: plain sequential
+
+  p->mt.reset(new Parser::Mt);
+  Parser::Mt& m = *p->mt;
+  size_t nsec = cuts.size() - 1;
+  m.done.assign(nsec, 0);
+  for (size_t i = 0; i < nsec; i++) {
+    std::unique_ptr<Parser> w(new Parser(
+        Parser::Borrow{}, p->stream, cuts[i + 1], lut_val, lut_len));
+    w->skip_values = p->skip_values;
+    w->off_ = cuts[i];
+    if (i > 0) {  // section 0 discovers the sync itself, like sequential
+      w->have_sync = true;
+      w->substream_count = g_nsub;
+      w->out.substream_count = g_nsub;
+      w->out.assignment = g_assign;
+      for (int k = 0; k < 4; k++) w->sync_params[k] = g_params[k];
+    }
+    m.secs.push_back(std::move(w));
+  }
+  size_t nth = std::min(size_t(nthreads), nsec);
+  for (size_t t = 0; t < nth; t++) {
+    m.pool.emplace_back([pm = p->mt.get()] {
+      while (true) {
+        size_t i = pm->next.fetch_add(1);
+        if (i >= pm->secs.size()) break;
+        pm->secs[i]->run();
+        {
+          std::lock_guard<std::mutex> lk(pm->mu);
+          pm->done[i] = 1;
+        }
+        pm->cv.notify_all();
+      }
+    });
+  }
+  return p;
 }
 
 #define R(h) (static_cast<Parser*>(h)->out)

@@ -447,3 +447,118 @@ def test_parser_block_flags():
             assert not (blk_irst & (sub["param_update"] == 0)).any()
     finally:
         parse.close()
+
+
+def _parse_arrays_equal(a, b):
+    """Every array of two NativeParse results is identical."""
+    assert a.status == 0 and b.status == 0
+    assert (a.F, a.T, a.substream_count, a.mmc, a.assignment) == \
+        (b.F, b.T, b.substream_count, b.mmc, b.assignment)
+    for name in ("frame_len", "frame_end", "out_shift", "mat_active",
+                 "mat_out", "mat_quant", "mat_coeff", "mat_noise",
+                 "noise0", "noise1", "frame_seed", "frame_nshift",
+                 "bypassed_packed"):
+        assert np.array_equal(getattr(a, name), getattr(b, name)), name
+    for s in range(a.substream_count):
+        for k in a.sub[s]:
+            x, y = a.sub[s][k], b.sub[s][k]
+            if isinstance(x, np.ndarray):
+                assert np.array_equal(x, y), (s, k)
+            else:
+                assert x == y, (s, k)
+
+
+MT_STREAMS = {
+    "uniform": dict(channel_assignment=17, substream_count=2, n_frames=600,
+                    seed=7),
+    "param_churn": dict(channel_assignment=17, substream_count=2,
+                        n_frames=600, seed=9, params_update_prob=0.3),
+    "stereo": dict(channel_assignment=1, substream_count=1, n_frames=600,
+                   seed=11),
+    "fir_coupled": dict(channel_assignment=17, substream_count=2,
+                        n_frames=600, seed=15, fir_across_restart=True),
+}
+
+
+@pytest.mark.parametrize("name", sorted(MT_STREAMS))
+def test_mt_parse_bit_identical(name):
+    """Threaded section parse == sequential parse, array for array."""
+    cfg = MlpSynthConfig(major_sync_every=8, restart_every=8,
+                         blocks_per_frame=2, block_size=40,
+                         **MT_STREAMS[name])
+    stream = synth_mlp_stream(cfg)
+    assert len(stream) > 64 << 10  # below this the MT path won't engage
+    seq = host.parse_mlp_stream(stream)
+    inc = host.parse_mlp_stream_begin(stream, threads=4)
+    assert inc.step(0) in (0, False) or True
+    mt = inc.view()
+    _parse_arrays_equal(seq, mt)
+    seq.close()
+    inc.close()
+
+
+def test_mt_parse_corrupt_redo_bit_identical():
+    """Dropped frames trigger the sequential redo — output still equal."""
+    cfg = MlpSynthConfig(channel_assignment=17, substream_count=2,
+                         n_frames=600, seed=7, major_sync_every=8,
+                         restart_every=8, blocks_per_frame=2, block_size=40)
+    stream = bytearray(synth_mlp_stream(cfg))
+    stream[len(stream) // 2] ^= 0xFF
+    stream[len(stream) // 3] ^= 0x55
+    stream = bytes(stream)
+    seq = host.parse_mlp_stream(stream)
+    inc = host.parse_mlp_stream_begin(stream, threads=4)
+    inc.step(0)
+    _parse_arrays_equal(seq, inc.view())
+    seq.close()
+    inc.close()
+
+
+def test_mt_parse_skip_values_bit_identical():
+    cfg = MlpSynthConfig(channel_assignment=17, substream_count=2,
+                         n_frames=600, seed=7, major_sync_every=8,
+                         restart_every=8, blocks_per_frame=2, block_size=40)
+    stream = synth_mlp_stream(cfg)
+    a = host.parse_mlp_stream_begin(stream, skip_values=True)
+    a.step(0)
+    b = host.parse_mlp_stream_begin(stream, skip_values=True, threads=4)
+    b.step(0)
+    _parse_arrays_equal(a.view(), b.view())
+    a.close()
+    b.close()
+
+
+def test_mt_parse_incremental_stepping():
+    """step(n) merges one section at a time; views grow monotonically."""
+    cfg = MlpSynthConfig(channel_assignment=17, substream_count=2,
+                         n_frames=600, seed=7, major_sync_every=8,
+                         restart_every=8, blocks_per_frame=2, block_size=40)
+    stream = synth_mlp_stream(cfg)
+    seq = host.parse_mlp_stream(stream)
+    inc = host.parse_mlp_stream_begin(stream, threads=4)
+    sizes = []
+    while inc.step(64):
+        sizes.append(inc.view().F)
+    mt = inc.view()
+    assert len(sizes) >= 2, "expected multiple merge steps"
+    assert sizes == sorted(sizes)
+    _parse_arrays_equal(seq, mt)
+    seq.close()
+    inc.close()
+
+
+def test_decode_native_parse_threads_bit_exact():
+    from dvda_tpu.config import DecodeConfig
+
+    cfg = MlpSynthConfig(channel_assignment=17, substream_count=2,
+                         n_frames=600, seed=7, major_sync_every=8,
+                         restart_every=8, blocks_per_frame=2, block_size=40)
+    stream = synth_mlp_stream(cfg)
+    params = stream_params(cfg)
+    bnd = np.zeros(0, np.int64)
+    a = decode_native(stream, bnd, len(stream), params,
+                      config=DecodeConfig(parse_threads=1))
+    b = decode_native(stream, bnd, len(stream), params,
+                      config=DecodeConfig(parse_threads=4))
+    assert a is not None and b is not None
+    assert np.array_equal(a, b)
