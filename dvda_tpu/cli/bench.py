@@ -304,10 +304,22 @@ def probe_tunnel():
     return {"d2h_MBps": round(mb / best, 1), "rtt_ms": round(rtt_ms, 2)}
 
 
-def bench_device_compute(reps=10):
+def bench_device_compute():
     """Chip-side throughput of the 5.1/96k chunk program with
-    device-resident inputs (dispatch amortized over ``reps``)."""
+    device-resident inputs.
+
+    Methodology (validated against the bf16 matmul roofline — a 4096³
+    matmul measures 194 TFLOPs on v5e, right at spec): through this
+    environment's relay, ``block_until_ready`` returns before the device
+    actually executes, so naive timing measures enqueue cost, not
+    compute.  Instead: enqueue N program executions with *distinct*
+    inputs (8 perturbed arena variants — identical executions can be
+    elided), each reduced to a 4-byte sum on device, and force a host
+    read of the LAST output — the device runs programs in order, so the
+    read completes only after all N.  The 5→45 ramp difference cancels
+    the constant enqueue/RTT overhead."""
     import jax
+    import jax.numpy as jnp
     import numpy as np
 
     from .. import host
@@ -355,13 +367,29 @@ def bench_device_compute(reps=10):
             ne._uniform_arena_pipeline = orig
         a4, a2, a1, spec = captured["args"]
         dev = jax.devices()[0]
-        da = [jax.device_put(a, dev) for a in (a4, a2, a1)]
-        jax.block_until_ready(da)
-        jax.block_until_ready(orig(*da, spec))  # warm
-        t0 = time.perf_counter()
-        outs = [orig(*da, spec) for _ in range(reps)]
-        jax.block_until_ready(outs)
-        per = (time.perf_counter() - t0) / reps
+        rng = np.random.default_rng(0)
+        variants = []
+        for k in range(8):
+            v4 = a4.copy()
+            idx = rng.integers(0, v4.size, size=4096)
+            v4[idx] ^= np.int32(k + 1)
+            variants.append(tuple(jax.device_put(x, dev)
+                                  for x in (v4, a2, a1)))
+        jax.block_until_ready(variants)
+        summ = jax.jit(
+            lambda a4, a2, a1: orig(a4, a2, a1, spec)
+            .astype(jnp.int32).sum())
+        np.asarray(summ(*variants[0]))  # warm (compile)
+
+        def run(n):
+            t0 = time.perf_counter()
+            last = None
+            for i in range(n):
+                last = summ(*variants[i % 8])
+            np.asarray(last)  # in-order execution: waits for all n
+            return time.perf_counter() - t0
+
+        per = min((run(45) - run(5)) / 40 for _ in range(2))
         audio_per_chunk = CHUNK * period / RATE
         return round(audio_per_chunk / per, 0)
     finally:
