@@ -71,6 +71,11 @@ def mlp_filter_blocks(
             return (jnp.where(v, nfs, fs), jnp.where(v, nis, is_)), value
 
         valid = pos[None, :] < blen[:, None]            # [B, S]
+        # NB: lax.scan(unroll=4) here is ~35% faster at run time on v5e
+        # (2.9 vs 3.2 ms/chunk full-pipeline) but multiplies the
+        # per-geometry first compile ~6× (80 s → 465 s) — a bad trade for
+        # short decode jobs over bucketed geometries, so it stays off;
+        # see docs/performance.md "device headroom".
         (fir_st, iir_st), out = jax.lax.scan(
             sample_step,
             (fir_st, iir_st),
