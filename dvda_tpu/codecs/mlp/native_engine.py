@@ -366,7 +366,7 @@ def decode_native(stream: bytes, boundaries: np.ndarray, probe_end: int,
     # values re-decoded on device from the raw stream (ops/huffman_decode)
     skip_values = bool(cfg.device_huffman and cfg.use_device)
     inc = host.parse_mlp_stream_begin(stream, skip_values=skip_values,
-                                      threads=cfg.parse_threads)
+                                      threads=cfg.resolved_parse_threads())
     if inc is None:
         return None
     try:
@@ -379,7 +379,7 @@ def decode_native(stream: bytes, boundaries: np.ndarray, probe_end: int,
             # the general path needs residual values: re-parse normally
             inc.close()
             inc = host.parse_mlp_stream_begin(stream,
-                                              threads=cfg.parse_threads)
+                                              threads=cfg.resolved_parse_threads())
             if inc is None:
                 return None
         with global_timer.stage("mlp/native-parse"):

@@ -24,8 +24,9 @@ CLIs and benchmarks:
     ``DVDA_TPU_CHUNK_CHAINS=N``     restart chains per device chunk
                                     (default 256)
     ``DVDA_TPU_PARSE_THREADS=N``    native MLP parse worker threads
-                                    (default 1; sections split at
-                                    full-restart frames)
+                                    (0 = auto: min(8, cpu_count);
+                                    sections split at full-restart
+                                    frames)
     ``DVDA_TPU_LOG=<level>``        log level (utils/log.py)
     ==============================  =====================================
 
@@ -67,8 +68,14 @@ class DecodeConfig:
     #: host parse threads: >1 splits the MLP stream at full-restart frames
     #: (parser state-reset points) and parses sections concurrently in the
     #: native runtime — the host-parse scaling axis on multi-core hosts
-    #: (bit-identical output; see host/src/mlp_parse.cc)
-    parse_threads: int = 1
+    #: (bit-identical output; see host/src/mlp_parse.cc).  0 = auto:
+    #: min(8, cpu_count), i.e. 1 (sequential) on single-core hosts
+    parse_threads: int = 0
+
+    def resolved_parse_threads(self) -> int:
+        if self.parse_threads > 0:
+            return self.parse_threads
+        return min(8, os.cpu_count() or 1)
     #: sectors per host I/O batch when walking a track
     io_batch_sectors: int = 4096
     #: decrypt CPPM-protected sectors when a device/MKB is available
@@ -86,7 +93,7 @@ class DecodeConfig:
             device_huffman=not _env_off("DVDA_TPU_DEVICE_HUFFMAN"),
             filter_kernel=os.environ.get("DVDA_TPU_FILTER_KERNEL", "scan"),
             chunk_chains=int(os.environ.get("DVDA_TPU_CHUNK_CHAINS", "256")),
-            parse_threads=int(os.environ.get("DVDA_TPU_PARSE_THREADS", "1")),
+            parse_threads=int(os.environ.get("DVDA_TPU_PARSE_THREADS", "0")),
         )
 
 
