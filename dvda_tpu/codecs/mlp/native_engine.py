@@ -121,7 +121,7 @@ def _uniform_arena_pipeline(a4, a2, a1, spec):
         return arrs[name].astype(jnp.int32)
 
     n_sub = max(int(name[1]) for name in arrs if name.startswith("s")) + 1
-    series_rows = []
+    packed = []   # per substream: (lane inputs..., Bc, n_ch, NB0, S0)
     byp6 = None
     for i in range(n_sub):
         if f"s{i}_bitpos" in arrs:
@@ -181,19 +181,38 @@ def _uniform_arena_pipeline(a4, a2, a1, spec):
             quant_b = i32(f"s{i}_quant")
             iir_init = i32(f"s{i}_iir_init")
             iir_reset = arrs[f"s{i}_iir_reset"] != 0
+        packed.append((pack(res), pack(rc_fir), pack(rc_iir), pack(shift_b),
+                       pack(quant_b), pack(iir_reset), pack(iir_init),
+                       block_len, state0, Bc, n_ch, NB0, S0))
+
+    def run_filter(args8, state0):
         if "__pallas__" in flags:
             from ...ops.pallas_filter import mlp_filter_blocks_pallas
 
-            out = mlp_filter_blocks_pallas(
-                pack(res), pack(rc_fir), pack(rc_iir), pack(shift_b),
-                pack(quant_b), pack(iir_reset), pack(iir_init), block_len,
-                interpret=bool(flags["__pallas__"]))
-        else:
-            out, _, _ = mlp_filter_blocks(
-                pack(res), pack(rc_fir), pack(rc_iir),
-                pack(shift_b), pack(quant_b), pack(iir_reset),
-                pack(iir_init), block_len, state0, state0,
-            )
+            return mlp_filter_blocks_pallas(
+                *args8, interpret=bool(flags["__pallas__"]))
+        return mlp_filter_blocks(*args8, state0, state0)[0]
+
+    # substreams with identical (NB0, S0) fuse into ONE filter call —
+    # lanes are independent, so concatenating them saves a second scan's
+    # fixed per-step costs (the scans run back-to-back otherwise)
+    fuse = len(packed) > 1 and len({(p[11], p[12]) for p in packed}) == 1
+    if fuse:
+        cat = [jnp.concatenate([p[j] for p in packed], axis=0)
+               for j in range(9)]
+        out_all = run_filter(cat[:8], cat[8])
+        outs, row = [], 0
+        for p in packed:
+            lanes = p[9] * p[10]
+            outs.append(jax.lax.slice_in_dim(out_all, row, row + lanes,
+                                             axis=0))
+            row += lanes
+    else:
+        outs = [run_filter(p[:8], p[8]) for p in packed]
+
+    series_rows = []
+    for out, p in zip(outs, packed):
+        Bc, n_ch, NB0, S0 = p[9], p[10], p[11], p[12]
         out = out.reshape(Bc, n_ch, NB0 * S0)
         series_rows.append(out.transpose(1, 0, 2).reshape(n_ch, -1))
 
