@@ -115,3 +115,34 @@ def test_random_corruption_never_crashes():
                               len(corrupted), params)
             if c is not None:
                 assert np.array_equal(a, c), trial
+
+
+def test_mt_parse_random_corruption_sweep():
+    """Threaded section parse == sequential parse across a sweep of
+    randomly-corrupted larger streams (each corruption either lands in a
+    frame — exercising the sequential-redo path — or in dead space)."""
+    rng = random.Random(303)
+    cfg = MlpSynthConfig(channel_assignment=17, substream_count=2,
+                         n_frames=400, seed=31, major_sync_every=4,
+                         restart_every=4, blocks_per_frame=2, block_size=40)
+    base = synth_mlp_stream(cfg)
+    assert len(base) > 64 << 10
+    for trial in range(10):
+        data = bytearray(base)
+        for _ in range(rng.randrange(1, 4)):
+            data[rng.randrange(len(data))] ^= rng.randrange(1, 256)
+        data = bytes(data)
+        seq = host.parse_mlp_stream(data)
+        inc = host.parse_mlp_stream_begin(data, threads=4)
+        inc.step(0)
+        mt = inc.view()
+        assert mt.status == seq.status, trial
+        if seq.status == 0:
+            assert mt.F == seq.F and mt.T == seq.T, trial
+            assert np.array_equal(mt.frame_len, seq.frame_len), trial
+            assert np.array_equal(mt.noise0, seq.noise0), trial
+            for s in range(seq.substream_count):
+                assert np.array_equal(mt.sub[s]["residuals"],
+                                      seq.sub[s]["residuals"]), (trial, s)
+        seq.close()
+        inc.close()
