@@ -271,6 +271,7 @@ struct Parser {
 
   ~Parser() {
     if (mt) {
+      mt->next.store(mt->secs.size());  // early close: stop scheduling
       for (auto& t : mt->pool)
         if (t.joinable()) t.join();
     }
