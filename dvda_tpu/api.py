@@ -369,14 +369,15 @@ class TrackReader:
 
     def read_all_packed(self) -> bytes:
         """Whole track as little-endian WAV data bytes (what follows the
-        ``data`` chunk header).  On the native 24-bit MLP path the device
-        packs the bytes itself, so this skips two full host passes
-        (unpack to int32 + repack) versus ``pack_samples_le(read_all())``
-        — it is the production path for disc→WAV conversion."""
+        ``data`` chunk header).  On the native 24- and 16-bit MLP paths
+        the device packs the bytes itself, so this skips two full host
+        passes (unpack to int32 + repack) versus
+        ``pack_samples_le(read_all())`` — it is the production path for
+        disc→WAV conversion."""
         from .utils.wav import pack_samples_le
 
         bps = self.bits_per_sample
-        if (self.codec == "MLP" and bps == 24 and self._device_enabled()
+        if (self.codec == "MLP" and bps in (16, 24) and self._device_enabled()
                 and "_decoded" not in self.__dict__ and self._cursor == 0):
             from .codecs.mlp.track import decode_mlp_track
 

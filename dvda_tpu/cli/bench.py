@@ -362,7 +362,7 @@ def bench_device_compute():
         ne._uniform_arena_pipeline = capture
         try:
             ne._dispatch_uniform_chunk(parse, subs_info, 0, CHUNK, CHUNK,
-                                       period, L0, 6, pack24=True)
+                                       period, L0, 6, pack_bits=24)
         finally:
             ne._uniform_arena_pipeline = orig
         a4, a2, a1, spec = captured["args"]

@@ -268,6 +268,12 @@ def _uniform_arena_pipeline(a4, a2, a1, spec):
         b2 = ((staged >> 16) & 0xFF).astype(jnp.uint8)
         packed = jnp.stack([b0, b1, b2], axis=-1)
         return packed.reshape(T_pad, -1)
+    if any(name == "__pack16__" for name, *_ in spec):
+        # 16-bit little-endian packing on device: [T_pad, C_out*2]
+        b0 = (staged & 0xFF).astype(jnp.uint8)
+        b1 = ((staged >> 8) & 0xFF).astype(jnp.uint8)
+        packed = jnp.stack([b0, b1], axis=-1)
+        return packed.reshape(T_pad, -1)
     return staged
 
 
@@ -428,7 +434,7 @@ def _decode_pipelined(inc, stream, boundaries, probe_end, parameters,
     or ``_ABANDON`` (geometry churn or unhandled structure → monolithic
     path; already-dispatched device work is simply discarded)."""
     out_ch = parameters.channel_count
-    pack24 = parameters.bits_per_sample == 24
+    pack_bits = _pack_bits(parameters.bits_per_sample)
     words_all = None
     if device_huffman:
         # the raw stream as big-endian 32-bit words; per-chunk windows are
@@ -511,7 +517,7 @@ def _decode_pipelined(inc, stream, boundaries, probe_end, parameters,
                              for s, S0, NB0 in struct]
                 dev = _dispatch_uniform_chunk(
                     v, subs_info, c0, c1, CHUNK, period, L0, out_ch,
-                    pack24=pack24,
+                    pack_bits=pack_bits,
                     device=(devices[ci % len(devices)] if devices else None),
                     words_all=words_all, use_pallas=use_pallas,
                     f_base=f0, t_base=t_base)
@@ -542,7 +548,15 @@ def _decode_pipelined(inc, stream, boundaries, probe_end, parameters,
     if F == 0 or not pending:
         return np.zeros((0, out_ch), dtype=np.int32)
     T = int(v.frame_len[:F].sum())
-    return _finish_uniform(pending, T, out_ch, pack24, want_packed)
+    return _finish_uniform(pending, T, out_ch, pack_bits, want_packed)
+
+
+def _pack_bits(bits_per_sample: int) -> int:
+    """Device byte-packing width: 24- and 16-bit streams pack to their
+    WAV sample width on device (25% / 50% less d2h than raw int32 and no
+    host repack); other widths (20-bit uses non-byte-aligned generic bit
+    packing on the host, utils/wav.py) return 0 = no packing."""
+    return bits_per_sample if bits_per_sample in (16, 24) else 0
 
 
 #: diagnostics from the last completed pipelined decode (tests/bench)
@@ -634,14 +648,15 @@ def _verified_chains(v, struct, L0, fpc, f0, blk0s, c0, c1, done) -> int:
     return int(bad[0]) if bad.size else nc
 
 
-def _finish_uniform(pending, T, out_ch, pack24, want_packed):
+def _finish_uniform(pending, T, out_ch, pack_bits, want_packed):
     """Drain dispatched chunks and assemble the final [T, ...] output.
 
     Chunks copy straight into one preallocated array (a concatenate here
     double-copied 52 MB per 30 s track)."""
     with global_timer.stage("mlp/device+d2h"):
-        width = out_ch * 3 if pack24 else out_ch
-        raw = np.empty((T, width), dtype=np.uint8 if pack24 else np.int32)
+        nbytes = pack_bits // 8
+        width = out_ch * nbytes if pack_bits else out_ch
+        raw = np.empty((T, width), dtype=np.uint8 if pack_bits else np.int32)
         row = 0
         for dev, n in pending:
             take = min(n, T - row)
@@ -650,12 +665,15 @@ def _finish_uniform(pending, T, out_ch, pack24, want_packed):
             row += take
             if row >= T:
                 break
-    if not pack24:
+    if not pack_bits:
         return raw
     if want_packed:
-        return raw  # uint8 [T, C_out*3], exactly the WAV data layout
+        return raw  # uint8 [T, C_out*nbytes], exactly the WAV data layout
     with global_timer.stage("mlp/unpack24"):
-        b = raw.reshape(T, out_ch, 3).astype(np.int32)
+        b = raw.reshape(T, out_ch, nbytes).astype(np.int32)
+        if pack_bits == 16:
+            v = b[..., 0] | (b[..., 1] << 8)
+            return ((v ^ 0x8000) - 0x8000).astype(np.int32)
         v = b[..., 0] | (b[..., 1] << 8) | (b[..., 2] << 16)
         return ((v ^ 0x800000) - 0x800000).astype(np.int32)
 
@@ -837,14 +855,15 @@ def _try_uniform(parse, F: int, frame_len: np.ndarray, T: int,
     # large enough that per-chunk dispatch round-trips stay negligible
     cfg = config if config is not None else default_config()
     CHUNK = cfg.chunk_chains
-    pack24 = bits_per_sample == 24
+    pack_bits = _pack_bits(bits_per_sample)
     devices = _decode_devices(config)
     pending = []
     with global_timer.stage("mlp/stage+dispatch"):
         for ci, c0 in enumerate(range(0, n_chains, CHUNK)):
             c1 = min(c0 + CHUNK, n_chains)
             dev = _dispatch_uniform_chunk(parse, subs_info, c0, c1, CHUNK,
-                                          period, L0, out_ch, pack24=pack24,
+                                          period, L0, out_ch,
+                                          pack_bits=pack_bits,
                                           device=(devices[ci % len(devices)]
                                                   if devices else None))
             try:
@@ -852,7 +871,7 @@ def _try_uniform(parse, F: int, frame_len: np.ndarray, T: int,
             except (AttributeError, NotImplementedError):
                 pass
             pending.append((dev, (c1 - c0) * period))
-    return _finish_uniform(pending, T, out_ch, pack24, want_packed)
+    return _finish_uniform(pending, T, out_ch, pack_bits, want_packed)
 
 
 def _decode_devices(config: DecodeConfig | None = None):
@@ -872,7 +891,7 @@ def _decode_devices(config: DecodeConfig | None = None):
 
 
 def _dispatch_uniform_chunk(parse, subs_info, c0, c1, CHUNK, period, L0,
-                            out_ch, pack24=False, device=None,
+                            out_ch, pack_bits=0, device=None,
                             words_all=None, use_pallas=False,
                             f_base=0, t_base=0):
     """Build arenas for section-relative chains [c0, c1) and dispatch the
@@ -1026,8 +1045,10 @@ def _dispatch_uniform_chunk(parse, subs_info, c0, c1, CHUNK, period, L0,
     global_timer.add("mlp/arena-build", _time.perf_counter() - _t_build)
     with global_timer.stage("mlp/arena-finish"):
         (a4, a2, a1), spec = b.finish()
-    # 24-bit streams return device-packed 3-byte samples (25% less d2h)
-    spec = spec + (("__pack24__", 0, 0, (), "flag"),) if pack24 else spec
+    # 24-/16-bit streams return device-packed WAV-width samples
+    # (25% / 50% less d2h than raw int32)
+    if pack_bits:
+        spec = spec + ((f"__pack{pack_bits}__", 0, 0, (), "flag"),)
     with global_timer.stage("mlp/jit-call"):
         if device is not None:
             # committed inputs pin the chunk's program to this device

@@ -42,9 +42,10 @@ def decode_mlp_track(
 ) -> np.ndarray:
     """Decode a whole MLP track to int32 [frames, channels] (WAVE order).
 
-    With ``want_packed`` the native 24-bit path may instead return uint8
-    [frames, channels*3] little-endian WAV data bytes (the device packs
-    them); callers must check the dtype — every fallback returns int32."""
+    With ``want_packed`` the native 24-/16-bit paths may instead return
+    uint8 [frames, channels*(3 or 2)] little-endian WAV data bytes (the
+    device packs them); callers must check the dtype — every fallback
+    returns int32."""
     cfg = config if config is not None else default_config()
     if use_device is None:
         use_device = cfg.use_device

@@ -138,7 +138,7 @@ def test_read_all_packed_parity(tmp_path):
     ref_reader = track.open_reader(use_device=True)
     expect = pack_samples_le(ref_reader.read_all(), 24)
     assert packed == expect
-    # 16-bit stream takes the pack_samples_le fallback path
+    # 16-bit stream: device packs 2-byte samples (see _pack_bits)
     cfg16 = MlpSynthConfig(channel_assignment=1, bits_per_sample=16,
                            sample_rate=48000, n_frames=12, seed=42)
     spec16 = MlpTrackSpec(mlp_stream=synth_mlp_stream(cfg16),
