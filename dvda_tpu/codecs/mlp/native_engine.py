@@ -261,18 +261,12 @@ def _uniform_arena_pipeline(a4, a2, a1, spec):
                                byp)
     staged = apply_output_stage(channels, i32("out_shift"), i32("wave_perm"))
     staged = staged.reshape(T_pad, staged.shape[-1])
-    if any(name == "__pack24__" for name, *_ in spec):
-        # 24-bit little-endian byte packing on device: [T_pad, C_out*3]
-        b0 = (staged & 0xFF).astype(jnp.uint8)
-        b1 = ((staged >> 8) & 0xFF).astype(jnp.uint8)
-        b2 = ((staged >> 16) & 0xFF).astype(jnp.uint8)
-        packed = jnp.stack([b0, b1, b2], axis=-1)
-        return packed.reshape(T_pad, -1)
-    if any(name == "__pack16__" for name, *_ in spec):
-        # 16-bit little-endian packing on device: [T_pad, C_out*2]
-        b0 = (staged & 0xFF).astype(jnp.uint8)
-        b1 = ((staged >> 8) & 0xFF).astype(jnp.uint8)
-        packed = jnp.stack([b0, b1], axis=-1)
+    # device-side little-endian byte packing: [T_pad, C_out*nbytes]
+    nbytes = 3 if "__pack24__" in flags else 2 if "__pack16__" in flags else 0
+    if nbytes:
+        packed = jnp.stack(
+            [((staged >> (8 * k)) & 0xFF).astype(jnp.uint8)
+             for k in range(nbytes)], axis=-1)
         return packed.reshape(T_pad, -1)
     return staged
 
@@ -669,7 +663,7 @@ def _finish_uniform(pending, T, out_ch, pack_bits, want_packed):
         return raw
     if want_packed:
         return raw  # uint8 [T, C_out*nbytes], exactly the WAV data layout
-    with global_timer.stage("mlp/unpack24"):
+    with global_timer.stage("mlp/unpack"):
         b = raw.reshape(T, out_ch, nbytes).astype(np.int32)
         if pack_bits == 16:
             v = b[..., 0] | (b[..., 1] << 8)

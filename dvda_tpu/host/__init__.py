@@ -78,12 +78,8 @@ def _load():
     c = ctypes
     lib.mlp_parse.restype = c.c_void_p
     lib.mlp_parse.argtypes = [c.c_char_p, c.c_int64, c.c_void_p, c.c_void_p]
-    lib.mlp_parse_begin.restype = c.c_void_p
-    lib.mlp_parse_begin.argtypes = [c.c_char_p, c.c_int64, c.c_void_p,
-                                    c.c_void_p]
-    lib.mlp_parse_begin2.restype = c.c_void_p
-    lib.mlp_parse_begin2.argtypes = [c.c_char_p, c.c_int64, c.c_void_p,
-                                     c.c_void_p, c.c_int32]
+    # (mlp_parse_begin / mlp_parse_begin2 stay exported for ABI
+    # compatibility but every Python caller routes through the MT entry)
     lib.mlp_parse_begin_mt.restype = c.c_void_p
     lib.mlp_parse_begin_mt.argtypes = [c.c_char_p, c.c_int64, c.c_void_p,
                                        c.c_void_p, c.c_int32, c.c_int32]
