@@ -247,49 +247,70 @@ def build_disc(
     ``ATS_01_N.AOB`` files of that many sectors (tests aob.c chaining);
     ``lowercase`` writes lower-case filenames (tests audio_ts.c matching).
     """
+    layouts = build_disc_multi(audio_ts_dir, [titles], aob_split_sectors,
+                               lowercase)
+    return layouts[0]
+
+
+def build_disc_multi(
+    audio_ts_dir: str,
+    titlesets: list[list[list[PcmTrackSpec | MlpTrackSpec]]],
+    aob_split_sectors: int | None = None,
+    lowercase: bool = False,
+) -> list[DiscLayout]:
+    """Write a synthetic AUDIO_TS with several titlesets (``ATS_XX`` sets
+    and an AUDIO_TS.IFO carrying the count; dvd-audio.c:824-858).  The
+    reference CLI tools hardcode titleset 1 but the library API
+    (``dvda_open_titleset``) addresses any — this exercises N > 1.
+    Returns one :class:`DiscLayout` per titleset (all share ``path``)."""
     import os
 
     os.makedirs(audio_ts_dir, exist_ok=True)
-    layout = DiscLayout(path=audio_ts_dir)
-    all_sectors: list[bytes] = []
-    pts_cursor = 0
-    for title_specs in titles:
-        placed = []
-        for spec in title_specs:
-            if isinstance(spec, PcmTrackSpec):
-                sectors = _pcm_track_sectors(spec)
-            else:
-                sectors = _mlp_track_sectors(spec)
-            first = len(all_sectors)
-            all_sectors.extend(sectors)
-            placed.append(
-                _PlacedTrack(
-                    spec=spec,
-                    first_sector=first,
-                    last_sector=len(all_sectors) - 1,
-                    pts_index=pts_cursor,
-                )
-            )
-            pts_cursor += spec.pts_length
-        layout.titles.append(placed)
 
     def name(n: str) -> str:
         return os.path.join(audio_ts_dir, n.lower() if lowercase else n)
 
     with open(name("AUDIO_TS.IFO"), "wb") as f:
-        f.write(_audio_ts_ifo(1))
-    with open(name("ATS_01_0.IFO"), "wb") as f:
-        f.write(_ats_ifo(layout.titles))
+        f.write(_audio_ts_ifo(len(titlesets)))
 
-    blob = b"".join(all_sectors)
-    if aob_split_sectors is None:
-        with open(name("ATS_01_1.AOB"), "wb") as f:
-            f.write(blob)
-    else:
-        step = aob_split_sectors * SECTOR_SIZE
-        parts = [blob[i : i + step] for i in range(0, len(blob), step)]
-        assert len(parts) <= 9
-        for i, part in enumerate(parts):
-            with open(name(f"ATS_01_{i + 1}.AOB"), "wb") as f:
-                f.write(part)
-    return layout
+    layouts = []
+    for ts_num, titles in enumerate(titlesets, start=1):
+        layout = DiscLayout(path=audio_ts_dir)
+        all_sectors: list[bytes] = []
+        pts_cursor = 0
+        for title_specs in titles:
+            placed = []
+            for spec in title_specs:
+                if isinstance(spec, PcmTrackSpec):
+                    sectors = _pcm_track_sectors(spec)
+                else:
+                    sectors = _mlp_track_sectors(spec)
+                first = len(all_sectors)
+                all_sectors.extend(sectors)
+                placed.append(
+                    _PlacedTrack(
+                        spec=spec,
+                        first_sector=first,
+                        last_sector=len(all_sectors) - 1,
+                        pts_index=pts_cursor,
+                    )
+                )
+                pts_cursor += spec.pts_length
+            layout.titles.append(placed)
+
+        with open(name(f"ATS_{ts_num:02d}_0.IFO"), "wb") as f:
+            f.write(_ats_ifo(layout.titles))
+
+        blob = b"".join(all_sectors)
+        if aob_split_sectors is None:
+            with open(name(f"ATS_{ts_num:02d}_1.AOB"), "wb") as f:
+                f.write(blob)
+        else:
+            step = aob_split_sectors * SECTOR_SIZE
+            parts = [blob[i : i + step] for i in range(0, len(blob), step)]
+            assert len(parts) <= 9
+            for i, part in enumerate(parts):
+                with open(name(f"ATS_{ts_num:02d}_{i + 1}.AOB"), "wb") as f:
+                    f.write(part)
+        layouts.append(layout)
+    return layouts

@@ -59,3 +59,44 @@ def test_device_c2_matches_numpy(tmp_path):
     dev = CppmDecryptor(mk, album, preserve_cci=True,
                         use_device=True).decrypt_sectors(enc)
     assert np.array_equal(ref, dev)
+
+
+def test_multi_titleset_disc(tmp_path):
+    """A 2-titleset disc (build_disc_multi): the object model addresses
+    titleset 2 and decodes it identically to the same tracks written as
+    a standalone single-titleset disc; decode_disc covers both sets.
+    (The reference CLIs hardcode titleset 1 — dvda2wav.c:83 — but the
+    library API, dvda_open_titleset, takes any number.)"""
+    from dvda_tpu.api import DVDA
+    from dvda_tpu.testutil.synth import build_disc_multi
+
+    mlp = MlpSynthConfig(channel_assignment=1, n_frames=16, seed=5,
+                         bits_per_sample=24, sample_rate=96000)
+
+    def specs():
+        return [
+            [PcmTrackSpec(pcm_frames=960, seed=7),
+             MlpTrackSpec(mlp_stream=synth_mlp_stream(mlp),
+                          pcm_frames=mlp.total_pcm_frames,
+                          sample_rate=96000, channel_assignment=1)],
+        ]
+
+    layouts = build_disc_multi(str(tmp_path / "m" / "AUDIO_TS"), [
+        [[PcmTrackSpec(pcm_frames=480, seed=1)]],  # titleset 1
+        specs(),                                    # titleset 2
+    ])
+    assert len(layouts) == 2
+    disc = DVDA(layouts[0].path)
+    assert disc.titleset_count == 2
+
+    single = build_disc(str(tmp_path / "s" / "AUDIO_TS"), specs())
+    ts2 = disc.open_titleset(2).open_title(1)
+    ref = DVDA(single.path).open_titleset(1).open_title(1)
+    for n in (1, 2):
+        a = ts2.open_track(n).open_reader(use_device=False).read_all()
+        b = ref.open_track(n).open_reader(use_device=False).read_all()
+        assert np.array_equal(a, b), n
+
+    results = list(decode_disc(layouts[0].path, use_device=False))
+    assert [(r.titleset, r.title, r.track) for r in results] == [
+        (1, 1, 1), (2, 1, 1), (2, 1, 2)]
