@@ -100,3 +100,29 @@ def test_multi_titleset_disc(tmp_path):
     results = list(decode_disc(layouts[0].path, use_device=False))
     assert [(r.titleset, r.title, r.track) for r in results] == [
         (1, 1, 1), (2, 1, 1), (2, 1, 2)]
+
+
+def test_multi_titleset_split_aobs(tmp_path):
+    """Per-titleset AOB chains: each ATS_XX set splits into its own
+    ATS_XX_N.AOB files (aob.c:38-47 chaining, per titleset)."""
+    import os
+
+    from dvda_tpu.api import DVDA
+    from dvda_tpu.testutil.synth import build_disc_multi
+
+    layouts = build_disc_multi(str(tmp_path / "AUDIO_TS"), [
+        [[PcmTrackSpec(pcm_frames=28800, seed=1)]],
+        [[PcmTrackSpec(pcm_frames=28800, seed=2)]],
+    ], aob_split_sectors=8)
+    names = sorted(os.listdir(layouts[0].path))
+    assert any(n.startswith("ATS_01_2") for n in names)
+    assert any(n.startswith("ATS_02_2") for n in names)
+    disc = DVDA(layouts[0].path)
+    for ts, seed in ((1, 1), (2, 2)):
+        r = (disc.open_titleset(ts).open_title(1).open_track(1)
+             .open_reader(use_device=False))
+        single = build_disc(str(tmp_path / f"s{ts}" / "AUDIO_TS"),
+                            [[PcmTrackSpec(pcm_frames=28800, seed=seed)]])
+        rr = (DVDA(single.path).open_titleset(1).open_title(1)
+              .open_track(1).open_reader(use_device=False))
+        assert np.array_equal(r.read_all(), rr.read_all()), ts
