@@ -128,8 +128,8 @@ def bench_pcm_2ch(tmp, results):
                         [[PcmTrackSpec(pcm_frames=seconds * 48000, seed=1)]])
     ref = time_reference(layout.path, os.path.join(tmp, "pcm2"))
     _decode_track_packed(layout.path)  # warm
-    best, _ = _best(lambda: _decode_track_packed(layout.path), 3)
-    _record(results, "pcm_2ch_48k", seconds, best, ref)
+    best, times = _best(lambda: _decode_track_packed(layout.path), 3)
+    _record(results, "pcm_2ch_48k", seconds, best, ref, times)
 
 
 def bench_pcm_hires(tmp, results):
@@ -154,8 +154,8 @@ def bench_pcm_hires(tmp, results):
             r.close()
 
     ours()  # warm
-    best, _ = _best(ours, 3)
-    _record(results, "pcm_hires", 2 * seconds, best, ref)
+    best, times = _best(ours, 3)
+    _record(results, "pcm_hires", 2 * seconds, best, ref, times)
 
 
 def bench_mlp_stereo(tmp, results):
@@ -166,7 +166,7 @@ def bench_mlp_stereo(tmp, results):
     best, times = _best(
         lambda: _decode_track_packed(layout.path, use_device=True), 3)
     log(f"mlp_stereo runs: {[f'{t:.2f}' for t in times]}")
-    _record(results, "mlp_stereo_96k", audio, best, ref)
+    _record(results, "mlp_stereo_96k", audio, best, ref, times)
 
 
 def bench_mlp_51(tmp, results):
@@ -188,7 +188,7 @@ def bench_mlp_51(tmp, results):
         lambda: _decode_track_packed(layout.path, use_device=True), 5)
     log(f"mlp_51 runs: {[f'{t:.2f}' for t in times]}")
     log("mlp_51 stage breakdown (timed runs only):\n" + global_timer.summary())
-    _record(results, "mlp_51_96k", audio, best, ref)
+    _record(results, "mlp_51_96k", audio, best, ref, times)
 
     # same track with on-device Huffman residual decode (host parses
     # length-only; see ops/huffman_decode.py) for the measured comparison
@@ -199,7 +199,7 @@ def bench_mlp_51(tmp, results):
     best_h, times_h = _best(
         lambda: _decode_track_packed(layout.path, True, hc), 3)
     log(f"mlp_51_devhuff runs: {[f'{t:.2f}' for t in times_h]}")
-    _record(results, "mlp_51_devhuff", audio, best_h, ref)
+    _record(results, "mlp_51_devhuff", audio, best_h, ref, times_h)
     return audio, best
 
 
@@ -244,8 +244,8 @@ def bench_disc_batch_cppm(tmp, results):
             r.close()
 
     ours()  # warm
-    best, _ = _best(ours, 3)
-    _record(results, "disc_batch_cppm", audio, best, None)
+    best, times = _best(ours, 3)
+    _record(results, "disc_batch_cppm", audio, best, None, times)
 
 
 def bench_mlp_nonuniform(tmp, results):
@@ -271,9 +271,48 @@ def bench_mlp_nonuniform(tmp, results):
     audio = frames / rate
     ref = time_reference(layout.path, os.path.join(tmp, "nonu"))
     _decode_track_packed(layout.path, use_device=True)  # warm (compile)
-    best, _ = _best(
+    from ..codecs.mlp import native_engine as ne
+    from ..utils.profiling import global_timer
+
+    global_timer.reset()
+    best, times = _best(
         lambda: _decode_track_packed(layout.path, use_device=True), 3)
-    _record(results, "mlp_nonuniform", audio, best, ref)
+    log(f"mlp_nonuniform runs: {[f'{t:.2f}' for t in times]}")
+    log(f"mlp_nonuniform pipeline: {ne._LAST_PIPELINE_INFO}")
+    log("mlp_nonuniform stage breakdown:\n" + global_timer.summary())
+    _record(results, "mlp_nonuniform", audio, best, ref, times)
+
+
+def bench_parse_scaling(results):
+    """``DVDA_BENCH_ONLY=parse_scaling``: parse one fixed 30 s MLP 5.1
+    stream at threads=1,2,4,8 and emit ×realtime per thread count — the
+    hardware-gated evidence behind the MT-parse scaling projection
+    (docs/performance.md).  On this container's single core the curve is
+    expected flat-to-negative (thread churn, no parallel gain); on a
+    multi-core host it measures the real parse-scaling slope."""
+    from .. import host
+    from ..testutil.mlp_synth import synth_mlp_stream
+
+    cfg = _mlp_cfg(30, 17, 2, seed=7)
+    stream = synth_mlp_stream(cfg)
+    audio = cfg.total_pcm_frames / RATE
+
+    curve = {}
+    for th in (1, 2, 4, 8):
+        def run():
+            inc = host.parse_mlp_stream_begin(stream, threads=th)
+            inc.step(0)  # finish the whole walk
+            assert inc.view().status == 0
+            inc.close()
+
+        run()  # warm
+        best, _ = _best(run, 3)
+        curve[str(th)] = round(audio / best, 1)
+        log(f"parse_scaling threads={th}: {curve[str(th)]}x realtime")
+    results["parse_scaling"] = {
+        "ours_x_realtime": curve["1"], "ref_x_realtime": None,
+        "vs_baseline": None, "curve_x_realtime_by_threads": curve,
+        "host_cores": os.cpu_count()}
 
 
 # ----------------------------------------------------- device-side probes
@@ -304,33 +343,28 @@ def probe_tunnel():
     return {"d2h_MBps": round(mb / best, 1), "rtt_ms": round(rtt_ms, 2)}
 
 
-def bench_device_compute():
-    """Chip-side throughput of the 5.1/96k chunk program with
-    device-resident inputs.
-
-    Methodology (validated against the bf16 matmul roofline — a 4096³
-    matmul measures 194 TFLOPs on v5e, right at spec): through this
-    environment's relay, ``block_until_ready`` returns before the device
-    actually executes, so naive timing measures enqueue cost, not
-    compute.  Instead: enqueue N program executions with *distinct*
-    inputs (8 perturbed arena variants — identical executions can be
-    elided), each reduced to a 4-byte sum on device, and force a host
-    read of the LAST output — the device runs programs in order, so the
-    read completes only after all N.  The 5→45 ramp difference cancels
-    the constant enqueue/RTT overhead."""
-    import jax
-    import jax.numpy as jnp
+def _capture_chunk_args(mlp_cfg, out_ch, use_pallas=False,
+                        device_huffman=False):
+    """Parse a short stream of this geometry and capture ONE production
+    chunk's compiled-pipeline arguments (a4, a2, a1, spec) plus the
+    chunk's audio seconds.  Returns None when native parse bails."""
     import numpy as np
 
     from .. import host
     from ..codecs.mlp import native_engine as ne
-    from ..codecs.params import StreamParameters
     from ..testutil.mlp_synth import synth_mlp_stream
-    from ..testutil.synth import BPS_CODE, RATE_CODE
 
-    cfg = _mlp_cfg(8, 17, 2, seed=7)
-    stream = synth_mlp_stream(cfg)
-    parse = host.parse_mlp_stream(stream)
+    stream = synth_mlp_stream(mlp_cfg)
+    if device_huffman:
+        inc = host.parse_mlp_stream_begin(stream, skip_values=True,
+                                          sub_every=8)
+        if inc is None:
+            return None
+        inc.step(0)
+        parse = inc.view()
+        closer = inc
+    else:
+        parse = closer = host.parse_mlp_stream(stream)
     if parse is None or parse.status != 0:
         return None
     try:
@@ -352,6 +386,11 @@ def bench_device_compute():
         period = subs_info[0][3] * subs_info[0][2]
         CHUNK = 512
 
+        words_all = None
+        if device_huffman:
+            pad = (-len(stream)) % 4 + 8
+            words_all = np.frombuffer(bytes(stream) + b"\0" * pad,
+                                      dtype=">u4").astype(np.uint32)
         captured = {}
         orig = ne._uniform_arena_pipeline
 
@@ -362,48 +401,132 @@ def bench_device_compute():
         ne._uniform_arena_pipeline = capture
         try:
             ne._dispatch_uniform_chunk(parse, subs_info, 0, CHUNK, CHUNK,
-                                       period, L0, 6, pack_bits=24)
+                                       period, L0, out_ch, pack_bits=24,
+                                       words_all=words_all,
+                                       use_pallas=use_pallas)
         finally:
             ne._uniform_arena_pipeline = orig
-        a4, a2, a1, spec = captured["args"]
-        dev = jax.devices()[0]
-        rng = np.random.default_rng(0)
-        variants = []
-        for k in range(8):
-            v4 = a4.copy()
-            idx = rng.integers(0, v4.size, size=4096)
-            v4[idx] ^= np.int32(k + 1)
-            variants.append(tuple(jax.device_put(x, dev)
-                                  for x in (v4, a2, a1)))
-        jax.block_until_ready(variants)
-        summ = jax.jit(
-            lambda a4, a2, a1: orig(a4, a2, a1, spec)
-            .astype(jnp.int32).sum())
-        np.asarray(summ(*variants[0]))  # warm (compile)
-
-        def run(n):
-            t0 = time.perf_counter()
-            last = None
-            for i in range(n):
-                last = summ(*variants[i % 8])
-            np.asarray(last)  # in-order execution: waits for all n
-            return time.perf_counter() - t0
-
-        per = min((run(45) - run(5)) / 40 for _ in range(2))
-        audio_per_chunk = CHUNK * period / RATE
-        return round(audio_per_chunk / per, 0)
+        audio_per_chunk = CHUNK * period / mlp_cfg.sample_rate
+        return captured["args"], audio_per_chunk
     finally:
-        parse.close()
+        closer.close()
+
+
+def _ramp_time_per_exec(args):
+    """Seconds of device time per chunk-program execution.
+
+    Methodology (validated against the bf16 matmul roofline — a 4096³
+    matmul measures 194 TFLOPs on v5e, right at spec): through this
+    environment's relay, ``block_until_ready`` returns before the device
+    actually executes, so naive timing measures enqueue cost, not
+    compute.  Instead: enqueue N program executions with *distinct*
+    inputs (8 perturbed arena variants — identical executions can be
+    elided), each reduced to a 4-byte sum on device, and force a host
+    read of the LAST output — the device runs programs in order, so the
+    read completes only after all N.  The 5→45 ramp difference cancels
+    the constant enqueue/RTT overhead."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..codecs.mlp.native_engine import _uniform_arena_pipeline as orig
+
+    a4, a2, a1, spec = args
+    dev = jax.devices()[0]
+    rng = np.random.default_rng(0)
+    variants = []
+    for k in range(8):
+        v4 = a4.copy()
+        idx = rng.integers(0, v4.size, size=4096)
+        v4[idx] ^= np.int32(k + 1)
+        variants.append(tuple(jax.device_put(x, dev)
+                              for x in (v4, a2, a1)))
+    jax.block_until_ready(variants)
+    summ = jax.jit(
+        lambda a4, a2, a1: orig(a4, a2, a1, spec)
+        .astype(jnp.int32).sum())
+    np.asarray(summ(*variants[0]))  # warm (compile)
+
+    def run(n):
+        t0 = time.perf_counter()
+        last = None
+        for i in range(n):
+            last = summ(*variants[i % 8])
+        np.asarray(last)  # in-order execution: waits for all n
+        return time.perf_counter() - t0
+
+    return min((run(45) - run(5)) / 40 for _ in range(2))
+
+
+#: device-compute probe geometries: config name → (synth cfg, out_ch)
+def _devcompute_cases():
+    cases = {"mlp_51_96k": (_mlp_cfg(8, 17, 2, seed=7), 6),
+             "mlp_stereo_96k": (_mlp_cfg(8, 1, 1, seed=5), 2)}
+    from ..testutil.mlp_synth import MlpSynthConfig
+
+    # the non-uniform bench's section-1 geometry (48k, 16-sample blocks)
+    cases["mlp_nonuniform"] = (MlpSynthConfig(
+        channel_assignment=17, substream_count=2, sample_rate=48000,
+        bits_per_sample=24, major_sync_every=8, restart_every=8,
+        fir_across_restart=False, params_update_prob=0.0,
+        blocks_per_frame=2, block_size=16, seed=13,
+        n_frames=4 * 48000 // 32), 6)
+    return cases
+
+
+def bench_device_compute(results):
+    """Chip-side ×realtime of each config's chunk program with
+    device-resident inputs (VERDICT r2 #4: per-config, so relay weather
+    is separable from real regressions), plus — on TPU — a
+    Pallas-vs-scan filter-kernel timing so the Pallas path can't rot
+    unnoticed (VERDICT r2 #7), and the device-Huffman chunk program."""
+    import jax
+
+    out = {}
+    for name, (cfg, out_ch) in _devcompute_cases().items():
+        if name in results or name == "mlp_51_96k":
+            cap = _capture_chunk_args(cfg, out_ch)
+            if cap is None:
+                continue
+            args, audio = cap
+            per = _ramp_time_per_exec(args)
+            out[name] = round(audio / per, 0)
+            if name in results:
+                results[name]["device_compute_x_realtime"] = out[name]
+            log(f"device-compute {name}: {out[name]}x "
+                f"({per * 1e3:.2f} ms / {audio:.2f} s-audio chunk)")
+    head_cfg, head_ch = _devcompute_cases()["mlp_51_96k"]
+    if "mlp_51_devhuff" in results:
+        cap = _capture_chunk_args(head_cfg, head_ch, device_huffman=True)
+        if cap is not None:
+            args, audio = cap
+            per = _ramp_time_per_exec(args)
+            devx = round(audio / per, 0)
+            results["mlp_51_devhuff"]["device_compute_x_realtime"] = devx
+            log(f"device-compute mlp_51_devhuff: {devx}x "
+                f"({per * 1e3:.2f} ms/chunk)")
+    if jax.default_backend() == "tpu":
+        cap = _capture_chunk_args(head_cfg, head_ch, use_pallas=True)
+        if cap is not None:
+            args, audio = cap
+            per = _ramp_time_per_exec(args)
+            out["pallas_chunk_ms"] = round(per * 1e3, 2)
+            log(f"pallas-kernel chunk: {per * 1e3:.2f} ms "
+                f"({round(audio / per)}x realtime)")
+    return out.get("mlp_51_96k")
 
 
 # ----------------------------------------------------------------- main
 
-def _record(results, name, audio_seconds, ours_dt, ref_dt):
+def _record(results, name, audio_seconds, ours_dt, ref_dt, times=None):
     ours = audio_seconds / ours_dt
     ref = (audio_seconds / ref_dt) if ref_dt else None
     entry = {"ours_x_realtime": round(ours, 1),
              "ref_x_realtime": round(ref, 1) if ref else None,
              "vs_baseline": round(ours / ref, 2) if ref else None}
+    if times:  # median alongside best: relay variance is visible per config
+        med = sorted(times)[len(times) // 2]
+        entry["median_x_realtime"] = round(audio_seconds / med, 1)
     results[name] = entry
     log(f"{name}: ours {entry['ours_x_realtime']}x, "
         f"ref {entry['ref_x_realtime']}x, vs {entry['vs_baseline']}")
@@ -429,18 +552,48 @@ def main(argv=None):
         if want("mlp_stereo_96k"):
             bench_mlp_stereo(tmp, results)
         t_before = probe_tunnel()  # the shared relay swings ~20× hourly:
-        audio, best = bench_mlp_51(tmp, results)  # headline, always
+        if not selected or "mlp_51_96k" in selected:
+            bench_mlp_51(tmp, results)  # headline (default runs)
         t_after = probe_tunnel()   # bracket the headline with probes
         if want("disc_batch_cppm"):
             bench_disc_batch_cppm(tmp, results)
         if want("mlp_nonuniform"):
             bench_mlp_nonuniform(tmp, results)
+        if selected and "parse_scaling" in selected:  # opt-in mode only
+            bench_parse_scaling(results)
 
         d2h = max(t_before["d2h_MBps"], t_after["d2h_MBps"])
         ceiling = d2h / (AUDIO_BYTES_PER_SEC / 1e6)
-        devx = bench_device_compute()
+        # per-config d2h ceilings: each config's WAV output rate (MB per
+        # second of audio) sets its own tunnel wall — relay weather is
+        # then separable from real regressions (VERDICT r2 #4)
+        out_mb_per_sec = {
+            "pcm_2ch_48k": 48000 * 2 * 2 / 1e6,
+            "pcm_hires": (10 * 192000 * 2 * 3 + 10 * 96000 * 6 * 3)
+                         / 20 / 1e6,
+            "mlp_stereo_96k": 96000 * 2 * 3 / 1e6,
+            "mlp_51_96k": AUDIO_BYTES_PER_SEC / 1e6,
+            "mlp_51_devhuff": AUDIO_BYTES_PER_SEC / 1e6,
+            "disc_batch_cppm": (1.728 + 0.576 + 1.728) / 3,
+            "mlp_nonuniform": 48000 * 6 * 3 / 1e6,
+        }
+        for name, entry in results.items():
+            rate = out_mb_per_sec.get(name)
+            if rate:
+                entry["tunnel_ceiling_x_realtime"] = round(d2h / rate, 1)
+        devx = bench_device_compute(results) if "mlp_51_96k" in results \
+            else None
         log(f"tunnel before/after: {t_before} / {t_after}, "
             f"e2e ceiling {ceiling:.1f}x, device-compute {devx}x")
+
+        if "mlp_51_96k" not in results:  # diagnostic subset run
+            name, first = next(iter(results.items()))
+            print(json.dumps({"metric": name,
+                              "value": first["ours_x_realtime"],
+                              "unit": "x-realtime",
+                              "vs_baseline": first["vs_baseline"],
+                              "configs": results}))
+            return
 
         # headline: the better of the two production modes (both bit-exact;
         # device_huffman moves residual decode on-chip — see performance.md)

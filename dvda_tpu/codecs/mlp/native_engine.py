@@ -137,12 +137,14 @@ def _uniform_arena_pipeline(a4, a2, a1, spec):
                     i32(f"s{i}_quant_c")[:, None], (Bc, NB0, n_ch))
             else:
                 quantb = i32(f"s{i}_quant")
+            bp = i32(f"s{i}_bitpos")       # [Bc, NB0, nsub]
+            K = flags.get(f"s{i}_k", S0)   # samples per sub-lane
             res_k, byp_k = decode_residuals_device(
-                arrs["words"], i32(f"s{i}_bitpos").reshape(Lc),
+                arrs["words"], bp.reshape(Lc, bp.shape[-1]),
                 cb.reshape(Lc, n_ch), i32(f"s{i}_lsbb").reshape(Lc, n_ch),
                 i32(f"s{i}_off").reshape(Lc, n_ch),
                 quantb.reshape(Lc, n_ch), i32(f"s{i}_nbyp").reshape(Lc),
-                i32("lut_vals"), i32("lut_lens"), S0, J)
+                i32("lut_vals"), i32("lut_lens"), S0, J, K)
             res = res_k.reshape(Bc, NB0, n_ch, S0)
             if f"s{i}_bypk" in arrs:
                 kidx = jnp.broadcast_to(
@@ -384,8 +386,10 @@ def decode_native(stream: bytes, boundaries: np.ndarray, probe_end: int,
     # device-Huffman mode: residual bits walked length-only on the host,
     # values re-decoded on device from the raw stream (ops/huffman_decode)
     skip_values = bool(cfg.device_huffman and cfg.use_device)
-    inc = host.parse_mlp_stream_begin(stream, skip_values=skip_values,
-                                      threads=cfg.resolved_parse_threads())
+    inc = host.parse_mlp_stream_begin(
+        stream, skip_values=skip_values,
+        threads=cfg.resolved_parse_threads(),
+        sub_every=cfg.resolved_huffman_split() if skip_values else 0)
     if inc is None:
         return None
     try:
@@ -455,7 +459,7 @@ def _decode_pipelined(inc, stream, boundaries, probe_end, parameters,
 
     devices = _decode_devices(config)
     cfg = config if config is not None else default_config()
-    CHUNK = cfg.chunk_chains
+    CHUNK = cfg.resolved_chunk_chains()
     # Pallas AR-filter variant: measured equal to the scan on v5e (see
     # docs/performance.md); flag-routable, interpreted off-TPU
     use_pallas = cfg.filter_kernel == "pallas"
@@ -848,7 +852,7 @@ def _try_uniform(parse, F: int, frame_len: np.ndarray, T: int,
     # chains per chunk: fixed so every chunk shares one compiled program;
     # large enough that per-chunk dispatch round-trips stay negligible
     cfg = config if config is not None else default_config()
-    CHUNK = cfg.chunk_chains
+    CHUNK = cfg.resolved_chunk_chains()
     pack_bits = _pack_bits(bits_per_sample)
     devices = _decode_devices(config)
     pending = []
@@ -942,6 +946,20 @@ def _dispatch_uniform_chunk(parse, subs_info, c0, c1, CHUNK, period, L0,
         if words_all is not None:
             n_ch = sub["codebook"].shape[1]
             bp = (sub["res_bitpos"][blk0:blk1] - base_bit).astype(np.int32)
+            k = int(sub.get("sub_every", 0) or 0)
+            if k:
+                # sub-lane split: per-block every-k-sample offsets widen
+                # bitpos to [nblk, nsub] — the kernel scans k·J steps over
+                # nsub× the lanes (ops/huffman_decode.py).  Preceding
+                # blocks each hold ceil(len/k) flat entries.
+                nsub = -(-S0 // k)
+                off0 = int((-(-sub["len"][:blk0].astype(np.int64) // k)).sum())
+                rel = sub["sub_bitpos"][off0 : off0 + (blk1 - blk0) * nsub]
+                bp = bp[:, None] + rel.reshape(blk1 - blk0, nsub)
+                b.mark(f"s{s_idx}_k", min(k, S0))
+            else:
+                bp = bp[:, None]
+                b.mark(f"s{s_idx}_k", S0)
             b.add(f"s{s_idx}_bitpos", chainview(bp))
             b.add(f"s{s_idx}_cb",
                   chainview(sub["codebook"][blk0:blk1], np.int8))

@@ -97,6 +97,12 @@ def _load():
         fn = getattr(lib, name)
         fn.restype = c.POINTER(c.c_uint8)
         fn.argtypes = [c.c_void_p, c.c_int32]
+    lib.mp_sub_every.restype = c.c_int32
+    lib.mp_sub_every.argtypes = [c.c_void_p]
+    lib.mp_blk_sub_bitpos.restype = c.POINTER(c.c_int32)
+    lib.mp_blk_sub_bitpos.argtypes = [c.c_void_p, c.c_int32]
+    lib.mp_blk_sub_bitpos_size.restype = c.c_int64
+    lib.mp_blk_sub_bitpos_size.argtypes = [c.c_void_p, c.c_int32]
     lib.mlp_parse_free.argtypes = [c.c_void_p]
     for name, res in [
         ("mp_status", c.c_int32), ("mp_substream_count", c.c_int32),
@@ -263,6 +269,12 @@ class NativeParse:
                     "nbyp": _as_view(lib.mp_blk_nbyp(h, s), (NB,)),
                     "byp_mask": _as_view(lib.mp_blk_byp_mask(h, s), (NB,)),
                 })
+                nsp = int(lib.mp_blk_sub_bitpos_size(h, s))
+                if nsp:
+                    # flat ceil(len/k)-per-block offsets (rel. res_bitpos)
+                    sub["sub_bitpos"] = _as_view(
+                        lib.mp_blk_sub_bitpos(h, s), (nsp,))
+                    sub["sub_every"] = int(lib.mp_sub_every(h))
             self.sub.append(sub)
 
     def close(self) -> None:
@@ -345,14 +357,19 @@ def parse_mlp_stream(data: bytes) -> NativeParse | None:
 
 
 def parse_mlp_stream_begin(data: bytes, skip_values: bool = False,
-                           threads: int = 1) -> IncrementalParse | None:
+                           threads: int = 1,
+                           sub_every: int = 0) -> IncrementalParse | None:
     """Begin an incremental MLP parse (see :class:`IncrementalParse`);
     ``None`` if the native library is unavailable.
 
     With ``skip_values`` the residual bits are walked length-only and the
     parse emits per-block decode tables (``res_bitpos``/``codebook``/
     ``lsb_bits``/``res_offset``/``nbyp``/``byp_mask``) for the on-device
-    residual kernel instead of decoded residual values.
+    residual kernel instead of decoded residual values.  ``sub_every=k``
+    (k in 1..255, skip_values only) additionally records every k-th
+    sample's bit offset per block (``sub_bitpos``, relative to the
+    block's ``res_bitpos``), letting the kernel decode each k-sample run
+    as an independent lane — S0/k× fewer sequential scan steps.
 
     With ``threads > 1`` the stream is split at full-restart frames
     (parser state-reset points) and parsed by that many worker threads
@@ -367,7 +384,9 @@ def parse_mlp_stream_begin(data: bytes, skip_values: bool = False,
     h = lib.mlp_parse_begin_mt(data, len(data),
                                vals.ctypes.data_as(ctypes.c_void_p),
                                lens.ctypes.data_as(ctypes.c_void_p),
-                               1 if skip_values else 0, max(1, int(threads)))
+                               (1 if skip_values else 0)
+                               | ((int(sub_every) & 0xFF) << 8),
+                               max(1, int(threads)))
     return IncrementalParse(lib, h)
 
 

@@ -191,6 +191,11 @@ struct Result {
   std::vector<int32_t> blk_res_offset[2];  // [NB*n_ch] signed huffman offset
   std::vector<uint8_t> blk_nbyp[2];        // [NB] bypass bits per sample
   std::vector<uint8_t> blk_byp_mask[2];    // [NB] bit m = slot m has bypass
+  // sub-lane split (sub_every = k > 0): bit offset of every k-th sample's
+  // first symbol, RELATIVE to the block's res_bitpos — ceil(len/k) entries
+  // per block (first always 0).  Lets the device kernel decode each run of
+  // k samples as an independent lane (k*J scan steps instead of S0*J).
+  std::vector<int32_t> blk_sub_bitpos[2];
 };
 
 struct Parser {
@@ -203,6 +208,7 @@ struct Parser {
   // decode tables (bit offsets, codebooks, LSB widths, offsets) so the
   // residual values can be re-decoded on the device from the raw stream
   int skip_values = 0;
+  int sub_every = 0;  // k > 0: emit blk_sub_bitpos every k samples
 
   bool have_sync = false;
   int substream_count = 0;
@@ -214,7 +220,7 @@ struct Parser {
   // frame rolls them back to the sizes recorded at frame start (avoids
   // per-block vector allocations, which dominated parse time).
   struct Marks {
-    size_t nblk[2], chan[2], tap[2], res[2];
+    size_t nblk[2], chan[2], tap[2], res[2], subp[2];
     int32_t samples[2];
     int32_t blocks[2];
   } marks;
@@ -225,6 +231,7 @@ struct Parser {
       marks.chan[s] = out.blk_shift[s].size();
       marks.tap[s] = out.blk_rc_fir[s].size();
       marks.res[s] = out.residuals[s].size();
+      marks.subp[s] = out.blk_sub_bitpos[s].size();
       marks.samples[s] = 0;
       marks.blocks[s] = 0;
     }
@@ -250,6 +257,7 @@ struct Parser {
         out.blk_codebook[s].resize(marks.chan[s]);
         out.blk_lsb_bits[s].resize(marks.chan[s]);
         out.blk_res_offset[s].resize(marks.chan[s]);
+        out.blk_sub_bitpos[s].resize(marks.subp[s]);
       }
     }
   }
@@ -366,6 +374,7 @@ struct Parser {
       if (t.joinable()) t.join();
     Parser seq(Borrow{}, stream, size, lut_val, lut_len);
     seq.skip_values = skip_values;
+    seq.sub_every = sub_every;
     seq.run();
     out = std::move(seq.out);
     dropped = seq.dropped;
@@ -432,6 +441,7 @@ struct Parser {
       app(a.blk_res_offset[s], b.blk_res_offset[s]);
       app(a.blk_nbyp[s], b.blk_nbyp[s]);
       app(a.blk_byp_mask[s], b.blk_byp_mask[s]);
+      app(a.blk_sub_bitpos[s], b.blk_sub_bitpos[s]);
     }
     return true;
   }
@@ -631,6 +641,10 @@ struct Parser {
     r.skip(16);
     if (sync != 0x18F5 || noise_type != 0) throw ParseError{};
     if (max_c < min_c || mmc < max_c) throw ParseError{};
+    // bounds: channel arrays are sized kMaxChannels and matrix coeff rows
+    // are read up to index mmc+2 (read_matrices) — reject corrupt streams
+    // whose 4-bit fields would index past them (advisor r2, medium)
+    if (max_c >= kMaxChannels || mmc >= kMaxChannels - 2) throw ParseError{};
     if (u.restart_seen && (min_c != u.min_ch || max_c != u.max_ch)) {
       out.status = 1;  // bail: channel range changes mid-stream
       throw ParseError{};
@@ -887,8 +901,12 @@ struct Parser {
     // same single-window hot loop as read_residuals, length-only
     int bs = u.block_size;
     int64_t pos = r.pos;
+    const int64_t pos0 = pos;
     const int64_t nbits = r.nbits;
+    const int k = sub_every;
     for (int i = 0; i < bs; i++) {
+      if (k > 0 && i % k == 0)
+        out.blk_sub_bitpos[s].push_back(int32_t(pos - pos0));
       pos += nbyp;
       for (int ci = 0; ci < n_ch; ci++) {
         int cb = codebooks[ci];
@@ -1102,6 +1120,7 @@ void* mlp_parse_begin_mt(const uint8_t* data, int64_t size,
                          int32_t flags, int32_t nthreads) {
   Parser* p = new Parser(data, size, lut_val, lut_len);
   p->skip_values = flags & 1;
+  p->sub_every = (flags >> 8) & 0xFF;  // device-Huffman sub-lane stride k
   if (nthreads <= 1 || size < (64 << 10)) return p;
 
   int g_nsub = 0, g_assign = 0, g_params[4];
@@ -1129,6 +1148,7 @@ void* mlp_parse_begin_mt(const uint8_t* data, int64_t size,
     std::unique_ptr<Parser> w(new Parser(
         Parser::Borrow{}, p->stream, cuts[i + 1], lut_val, lut_len));
     w->skip_values = p->skip_values;
+    w->sub_every = p->sub_every;
     w->off_ = cuts[i];
     if (i > 0) {  // section 0 discovers the sync itself, like sequential
       w->have_sync = true;
@@ -1204,5 +1224,8 @@ const int32_t* mp_blk_lsb_bits(void* h, int s) { return R(h).blk_lsb_bits[s].dat
 const int32_t* mp_blk_res_offset(void* h, int s) { return R(h).blk_res_offset[s].data(); }
 const uint8_t* mp_blk_nbyp(void* h, int s) { return R(h).blk_nbyp[s].data(); }
 const uint8_t* mp_blk_byp_mask(void* h, int s) { return R(h).blk_byp_mask[s].data(); }
+int32_t mp_sub_every(void* h) { return static_cast<Parser*>(h)->sub_every; }
+const int32_t* mp_blk_sub_bitpos(void* h, int s) { return R(h).blk_sub_bitpos[s].data(); }
+int64_t mp_blk_sub_bitpos_size(void* h, int s) { return int64_t(R(h).blk_sub_bitpos[s].size()); }
 
 }  // extern "C"

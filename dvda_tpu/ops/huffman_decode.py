@@ -20,6 +20,14 @@ Symbol schedule: sample-major; within a sample, position ``j`` decodes the
 ``j``-th bypassed-LSB bit while ``j < nbyp[lane]`` and channel
 ``j - nbyp[lane]``'s code otherwise — per-lane masks make the shared
 schedule correct for lanes with different bypass counts.
+
+Sub-lane split (VERDICT r2 #2): the scan's sequential axis is the real
+cost — ~S0·J steps of small gathers.  The host skip-values parser can
+emit every k-th sample's bit offset (``sub_every``), so each block splits
+into ``nsub = ceil(S0/k)`` *independent* lanes of ≤k samples: lanes
+multiply by nsub and the scan shrinks to ``k·J`` steps.  ``bitpos0`` then
+arrives as [L, nsub] (one start bit per sub-lane); pass nsub=1 with
+k=S0 for the unsplit behavior.
 """
 
 from __future__ import annotations
@@ -33,10 +41,10 @@ import numpy as np
 __all__ = ["decode_residuals_device", "decode_residuals_numpy"]
 
 
-@partial(jax.jit, static_argnums=(9, 10))
+@partial(jax.jit, static_argnums=(9, 10, 11))
 def decode_residuals_device(
     words,      # uint32 [W]      big-endian 32-bit words of the stream
-    bitpos0,    # int32  [L]      per-block absolute start bit
+    bitpos0,    # int32  [L, nsub]  per-sub-lane absolute start bit
     codebook,   # int32  [L, C]   0 = no Huffman MSB
     lsb_bits,   # int32  [L, C]   0..24
     offset,     # int32  [L, C]   signed huffman offset (precombined)
@@ -46,9 +54,11 @@ def decode_residuals_device(
     lut_lens,   # int32  [2048]
     S0: int,    # samples per block (static)
     J: int,     # symbols per sample incl. bypass slots (static)
+    k: int,     # samples per sub-lane (static); nsub*k >= S0
 ):
     """Returns (residuals int32 [L, C, S0], byp_bits int32 [L, S0, J])."""
     L, C = codebook.shape
+    nsub = bitpos0.shape[1]
     u32 = jnp.uint32
 
     # One packed LUT gather per symbol: length in the top byte, 24-bit
@@ -103,20 +113,25 @@ def decode_residuals_device(
         adv = jnp.where(is_byp, 1, jnp.where(ch_ok, nb + lbb, 0))
         return bitpos + adv, (val, bypbit)
 
-    def tile(x):  # [L, J] → [S0*J, L]
-        return jnp.tile(x.T, (S0, 1))
+    def tile(x):  # [L, J] → [k*J, L*nsub]: repeat over samples & sub-lanes
+        rep = jnp.tile(x.T[:, :, None], (k, 1, nsub))   # [k*J, L, nsub]
+        return rep.reshape(k * J, L * nsub)
 
     xs = (tile(is_byp_j), tile(ch_ok_j), tile(use_cb_j), tile(lbase_j),
           tile(lbb_j), tile(off_j), tile(qq_j))
-    _, (vals, byps) = jax.lax.scan(step, bitpos0, xs)   # [S0*J, L] each
+    _, (vals, byps) = jax.lax.scan(
+        step, bitpos0.reshape(L * nsub), xs)            # [k*J, L*nsub] each
 
-    # residual value of (sample i, channel c) sits at step i*J + nbyp + c
-    vals_t = vals.T                                     # [L, S0*J]
-    sidx = (jnp.arange(S0, dtype=jnp.int32)[:, None] * J
-            + jnp.arange(C, dtype=jnp.int32)[None, :])  # [S0, C]
-    gidx = nbyp[:, None] + sidx.reshape(-1)[None, :]    # [L, S0*C]
-    res = jnp.take_along_axis(vals_t, gidx, axis=1).reshape(L, S0, C)
-    byp = byps.T.reshape(L, S0, J)
+    # step (i, j) of sub-lane u is sample u*k+i's j-th symbol: a plain
+    # reshape recovers the [L, sample, J] layout (trailing sub-lane
+    # overrun rows beyond S0 are sliced off)
+    samp = vals.T.reshape(L, nsub * k, J)[:, :S0]       # [L, S0, J]
+    byp = byps.T.reshape(L, nsub * k, J)[:, :S0]        # [L, S0, J]
+    # residual of channel c sits at symbol slot nbyp + c
+    cidx = jnp.broadcast_to(
+        nbyp[:, None, None] + jnp.arange(C, dtype=jnp.int32)[None, None, :],
+        (L, S0, C))
+    res = jnp.take_along_axis(samp, cidx, axis=2)       # [L, S0, C]
     return res.transpose(0, 2, 1), byp                  # [L, C, S0]
 
 

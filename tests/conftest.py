@@ -22,7 +22,16 @@ if "xla_force_host_platform_device_count" not in flags:
 if "jax" in sys.modules:
     import jax
 
-    if not getattr(jax._src.xla_bridge, "_backends", None):
+    if not hasattr(jax._src.xla_bridge, "_backends"):
+        # the private attribute moved in this JAX release: fall back to
+        # forcing CPU and verifying it took, rather than silently guessing
+        # (advisor r2) — jax.config.update raises if backends are live
+        jax.config.update("jax_platforms", "cpu")
+        if jax.default_backend() != "cpu":
+            raise RuntimeError(
+                "could not force the CPU backend (jax._src.xla_bridge."
+                "_backends is gone and a non-CPU backend is live)")
+    elif not jax._src.xla_bridge._backends:
         jax.config.update("jax_platforms", "cpu")
     elif jax.default_backend() != "cpu":  # backends already up on axon
         raise RuntimeError(

@@ -32,7 +32,8 @@ def _stream_words(stream: bytes) -> np.ndarray:
 
 
 @pytest.mark.parametrize("assign,nsub", [(1, 1), (17, 2)])
-def test_kernel_matches_numpy_and_host(assign, nsub):
+@pytest.mark.parametrize("split", [0, 8, 7])
+def test_kernel_matches_numpy_and_host(assign, nsub, split):
     cfg = MlpSynthConfig(channel_assignment=assign, substream_count=nsub,
                          n_frames=16, seed=4, restart_every=2,
                          major_sync_every=2, fir_across_restart=False,
@@ -40,7 +41,8 @@ def test_kernel_matches_numpy_and_host(assign, nsub):
     stream = synth_mlp_stream(cfg)
     full = host.parse_mlp_stream(stream)
     assert full is not None and full.status == 0
-    inc = host.parse_mlp_stream_begin(stream, skip_values=True)
+    inc = host.parse_mlp_stream_begin(stream, skip_values=True,
+                                      sub_every=split)
     while inc.step(5):
         pass
     v = inc.view()
@@ -55,16 +57,25 @@ def test_kernel_matches_numpy_and_host(assign, nsub):
         assert (sub["len"] == S0).all()
         res_np, byp_np = decode_residuals_numpy(stream, sub, vals, lens)
 
+        bp = sub["res_bitpos"].astype(np.int32)
+        if split:
+            nsp = -(-S0 // split)
+            rel = sub["sub_bitpos"].reshape(NB, nsp)
+            bp = bp[:, None] + rel
+            k = min(split, S0)
+        else:
+            bp = bp[:, None]
+            k = S0
         J = n_ch + 6
         res_d, byp_d = decode_residuals_device(
             jnp.asarray(words),
-            jnp.asarray(sub["res_bitpos"].astype(np.int32)),
+            jnp.asarray(bp),
             jnp.asarray(sub["codebook"].astype(np.int32)),
             jnp.asarray(sub["lsb_bits"].astype(np.int32)),
             jnp.asarray(sub["res_offset"].astype(np.int32)),
             jnp.asarray(sub["quant"].astype(np.int32)),
             jnp.asarray(sub["nbyp"].astype(np.int32)),
-            jnp.asarray(vals), jnp.asarray(lens), S0, J)
+            jnp.asarray(vals), jnp.asarray(lens), S0, J, k)
         res_d = np.asarray(res_d)
         byp_d = np.asarray(byp_d)
         assert np.array_equal(res_d, res_np), s
@@ -72,11 +83,11 @@ def test_kernel_matches_numpy_and_host(assign, nsub):
         # kernel byp is bypass-order-k; map to slot m via byp_mask
         byp_slots = np.zeros((NB, S0, 6), np.int32)
         for b in range(NB):
-            k = 0
+            slot = 0
             for m in range(6):
                 if (int(sub["byp_mask"][b]) >> m) & 1:
-                    byp_slots[b, :, m] = byp_d[b, :, k]
-                    k += 1
+                    byp_slots[b, :, m] = byp_d[b, :, slot]
+                    slot += 1
         assert np.array_equal(byp_slots, byp_np), s
 
         # and the host's value-mode residuals agree (ragged → [NB, ch, S0])
