@@ -302,6 +302,104 @@ class _ArenaBuilder:
         return arenas, tuple(self._spec)
 
 
+#: mp_pack source-array ids (host/src/mlp_parse.cc pack_src)
+_PACK_SRC = {
+    "rc_fir": 0, "rc_iir": 1, "iir_init": 2, "shift": 3, "quant": 4,
+    "iir_reset": 5, "codebook": 6, "lsb_bits": 7, "res_offset": 8,
+    "nbyp": 9, "byp_mask": 10,
+    "mat_coeff": 20, "mat_noise": 21, "mat_out": 22, "mat_active": 23,
+    "mat_quant": 24, "out_shift": 25, "frame_seed": 26, "frame_nshift": 27,
+}
+
+_W_IDX = {4: 0, 2: 1, 1: 2}
+_W_BASE = {4: np.int32, 2: np.int16, 1: np.int8}
+
+
+class _NativeArenaBuilder:
+    """Arena assembly inside the native runtime (VERDICT r2 #3).
+
+    Python computes only the static spec and a small instruction table;
+    every large copy/cast (residuals, coefficient tensors, decode tables)
+    runs in one ``mp_pack`` call writing straight into the preallocated
+    arena buffers (host/src/mlp_parse.cc).  Computed host-side entries
+    (stream window, LUTs, permutations, LFSR jumps) are written by numpy
+    after the native pass.  Layout semantics match :class:`_ArenaBuilder`
+    (same add-order offsets per width), so the produced spec — and hence
+    the compiled XLA program — is identical to the numpy path's."""
+
+    def __init__(self, parse):
+        self._parse = parse
+        self._sizes = {4: 0, 2: 0, 1: 0}
+        self._spec = []
+        self._inst = []
+        self._host = []
+
+    def _alloc(self, name, shape, dtype):
+        dt = np.dtype(dtype)
+        width = dt.itemsize
+        off = self._sizes[width]
+        n = int(np.prod(shape)) if shape else 1
+        self._sizes[width] = off + n
+        self._spec.append((name, width, off, tuple(shape), str(dt)))
+        return width, off
+
+    def add_host(self, name, arr):
+        width, off = self._alloc(name, arr.shape, arr.dtype)
+        self._host.append((width, off, np.ascontiguousarray(arr)))
+
+    def mark(self, name, value=0):
+        self._spec.append((name, 0, int(value), (), "flag"))
+
+    def _emit(self, op, src, sub, a, bb, c, d, e=0, f=0, g=0,
+              *, name, shape, dtype):
+        width, off = self._alloc(name, shape, dtype)
+        self._inst.append([op, src, sub, a, bb, c, d, e, f, g, width, off])
+
+    def add_chain(self, name, src, sub, blk0, blk1, NB0, CHUNK,
+                  inner_shape, dtype):
+        inner = int(np.prod(inner_shape)) if inner_shape else 1
+        self._emit(0, _PACK_SRC[src], sub, blk0, blk1, NB0, inner, CHUNK,
+                   name=name, shape=(CHUNK, NB0) + tuple(inner_shape),
+                   dtype=dtype)
+
+    def add_head(self, name, src, sub, blk0, blk1, NB0, CHUNK,
+                 inner_shape, dtype):
+        inner = int(np.prod(inner_shape)) if inner_shape else 1
+        self._emit(1, _PACK_SRC[src], sub, blk0, blk1, NB0, inner, CHUNK,
+                   name=name, shape=(CHUNK,) + tuple(inner_shape),
+                   dtype=dtype)
+
+    def add_frame(self, name, src, f0, f1, F_pad, inner_shape, dtype):
+        inner = int(np.prod(inner_shape)) if inner_shape else 1
+        self._emit(2, _PACK_SRC[src], 0, f0, f1, F_pad, inner,
+                   name=name, shape=(F_pad,) + tuple(inner_shape),
+                   dtype=dtype)
+
+    def add_res(self, name, sub, t0, t1, CHUNK, NB0, n_ch, S0, dtype):
+        self._emit(3, 0, sub, t0 * n_ch, t1 * n_ch, 0, 0,
+                   name=name, shape=(CHUNK, NB0, n_ch, S0), dtype=dtype)
+
+    def add_byp(self, name, t0, t1, T_pad):
+        self._emit(4, 0, 0, t0, t1, T_pad, 0,
+                   name=name, shape=(T_pad,), dtype=np.int8)
+
+    def add_bitpos(self, name, sub, blk0, blk1, NB0, nsub, CHUNK,
+                   base_bit, suboff):
+        self._emit(5, 0, sub, blk0, blk1, NB0, nsub, CHUNK, base_bit,
+                   suboff, name=name,
+                   shape=(CHUNK, NB0, nsub), dtype=np.int32)
+
+    def finish(self):
+        arenas = tuple(np.zeros(self._sizes[w], _W_BASE[w]) for w in (4, 2, 1))
+        if self._inst:
+            inst = np.asarray(self._inst, dtype=np.int64).reshape(-1, 12)
+            self._parse.pack(inst, *arenas)
+        for width, off, arr in self._host:
+            arenas[_W_IDX[width]][off : off + arr.size] = \
+                arr.view(_W_BASE[width]).ravel()
+        return arenas, tuple(self._spec)
+
+
 @jax.jit
 def _pipeline(subs, frame_idx, flat_idx, noise01, bypassed_t,
               mat_coeff, mat_noise, mat_out, mat_active, mat_quant,
@@ -518,7 +616,7 @@ def _decode_pipelined(inc, stream, boundaries, probe_end, parameters,
                     pack_bits=pack_bits,
                     device=(devices[ci % len(devices)] if devices else None),
                     words_all=words_all, use_pallas=use_pallas,
-                    f_base=f0, t_base=t_base)
+                    f_base=f0, t_base=t_base, native_pack=cfg.native_pack)
                 try:
                     dev.copy_to_host_async()
                 except (AttributeError, NotImplementedError):
@@ -863,7 +961,8 @@ def _try_uniform(parse, F: int, frame_len: np.ndarray, T: int,
                                           period, L0, out_ch,
                                           pack_bits=pack_bits,
                                           device=(devices[ci % len(devices)]
-                                                  if devices else None))
+                                                  if devices else None),
+                                          native_pack=cfg.native_pack)
             try:
                 dev.copy_to_host_async()  # overlap d2h with later chunks
             except (AttributeError, NotImplementedError):
@@ -891,7 +990,7 @@ def _decode_devices(config: DecodeConfig | None = None):
 def _dispatch_uniform_chunk(parse, subs_info, c0, c1, CHUNK, period, L0,
                             out_ch, pack_bits=0, device=None,
                             words_all=None, use_pallas=False,
-                            f_base=0, t_base=0):
+                            f_base=0, t_base=0, native_pack=True):
     """Build arenas for section-relative chains [c0, c1) and dispatch the
     pipeline (async); returns the device array ([CHUNK*period, C_out],
     valid rows first).  ``subs_info`` carries (sub, block_base, S0, NB0)
@@ -901,7 +1000,172 @@ def _dispatch_uniform_chunk(parse, subs_info, c0, c1, CHUNK, period, L0,
     With ``words_all`` (device-Huffman mode) the chunk ships its window of
     the raw bitstream plus per-block decode tables instead of residual
     values; the residual kernel (ops/huffman_decode.py) re-decodes them on
-    device, fused ahead of the filter."""
+    device, fused ahead of the filter.
+
+    Arena assembly runs in the native runtime by default (mp_pack via
+    :class:`_NativeArenaBuilder`); ``native_pack=False`` (or a parse
+    object without a live native handle) routes to the numpy
+    implementation — the two produce identical arenas + spec (covered by
+    a differential test)."""
+    if native_pack and getattr(parse, "_h", None) is not None:
+        return _dispatch_chunk_native(
+            parse, subs_info, c0, c1, CHUNK, period, L0, out_ch,
+            pack_bits=pack_bits, device=device, words_all=words_all,
+            use_pallas=use_pallas, f_base=f_base, t_base=t_base)
+    return _dispatch_chunk_py(
+        parse, subs_info, c0, c1, CHUNK, period, L0, out_ch,
+        pack_bits=pack_bits, device=device, words_all=words_all,
+        use_pallas=use_pallas, f_base=f_base, t_base=t_base)
+
+
+def _finish_dispatch(b, t_build, pack_bits, device, use_pallas):
+    """Shared dispatch tail: pallas routing mark, arena finish, packing
+    flag, device placement, async pipeline call."""
+    import time as _time
+
+    if use_pallas:
+        # the kernel tiles 128 lanes; Bc·n_ch is 128-aligned for CHUNK=512
+        b.mark("__pallas__", 0 if jax.default_backend() == "tpu" else 1)
+    global_timer.add("mlp/arena-build", _time.perf_counter() - t_build)
+    with global_timer.stage("mlp/arena-finish"):
+        (a4, a2, a1), spec = b.finish()
+    # 24-/16-bit streams return device-packed WAV-width samples
+    # (25% / 50% less d2h than raw int32)
+    if pack_bits:
+        spec = spec + ((f"__pack{pack_bits}__", 0, 0, (), "flag"),)
+    with global_timer.stage("mlp/jit-call"):
+        if device is not None:
+            # committed inputs pin the chunk's program to this device
+            a4, a2, a1 = (jax.device_put(a, device) for a in (a4, a2, a1))
+        return _uniform_arena_pipeline(a4, a2, a1, spec)
+
+
+def _dispatch_chunk_native(parse, subs_info, c0, c1, CHUNK, period, L0,
+                           out_ch, pack_bits=0, device=None,
+                           words_all=None, use_pallas=False,
+                           f_base=0, t_base=0):
+    """Native-pack dispatch (see _dispatch_uniform_chunk)."""
+    from ...ops.lfsr import _jump_columns
+
+    import time as _time
+
+    b = _NativeArenaBuilder(parse)
+    fpc = period // L0
+    f0 = f_base + c0 * fpc
+    f1 = f_base + c1 * fpc
+    t0, t1 = t_base + c0 * period, t_base + c1 * period
+    _t_build = _time.perf_counter()
+    base_bit = 0
+    if words_all is not None:
+        bit0 = min(int(si[0]["res_bitpos"][si[1] + c0 * si[3]])
+                   for si in subs_info)
+        w0 = bit0 >> 5
+        end_byte = int(parse.frame_end[f_base + c1 * fpc - 1]) + 8
+        w1 = min(words_all.shape[0], (end_byte + 3) // 4 + 1)
+        wlen = _bucket(max(w1 - w0, 1), lo=1024)
+        win = np.zeros(wlen, np.uint32)
+        seg = words_all[w0 : min(w1, w0 + wlen)]
+        win[: seg.shape[0]] = seg
+        b.add_host("words", win)
+        base_bit = w0 * 32
+        lv, ll = host._luts()
+        b.add_host("lut_vals", np.ascontiguousarray(lv).reshape(-1))
+        b.add_host("lut_lens", np.ascontiguousarray(ll).reshape(-1))
+    for s_idx, (sub, blk_base, S0, NB0) in enumerate(subs_info):
+        blk0, blk1 = blk_base + c0 * NB0, blk_base + c1 * NB0
+        n_ch = sub["shift"].shape[1]
+
+        def chain(name, src, inner_shape, dtype):
+            b.add_chain(name, src, s_idx, blk0, blk1, NB0, CHUNK,
+                        inner_shape, dtype)
+
+        if words_all is not None:
+            k = int(sub.get("sub_every", 0) or 0)
+            if k:
+                nsub = -(-S0 // k)
+                off0 = int((-(-sub["len"][:blk0].astype(np.int64) // k))
+                           .sum())
+                b.mark(f"s{s_idx}_k", min(k, S0))
+            else:
+                nsub, off0 = 1, -1
+                b.mark(f"s{s_idx}_k", S0)
+            b.add_bitpos(f"s{s_idx}_bitpos", s_idx, blk0, blk1, NB0, nsub,
+                         CHUNK, base_bit, off0)
+            chain(f"s{s_idx}_cb", "codebook", (n_ch,), np.int8)
+            chain(f"s{s_idx}_lsbb", "lsb_bits", (n_ch,), np.int8)
+            chain(f"s{s_idx}_off", "res_offset", (n_ch,), np.int32)
+            chain(f"s{s_idx}_nbyp", "nbyp", (), np.int8)
+            b.mark(f"s{s_idx}_S", S0)
+            b.mark(f"s{s_idx}_J",
+                   n_ch + (6 if sub["nbyp"][blk0:blk1].any() else 0))
+            if s_idx == len(subs_info) - 1:
+                # bypassed-LSB slot map (small: [nblk, 6] numpy)
+                bits = ((sub["byp_mask"][blk0:blk1][:, None].astype(np.int32)
+                         >> np.arange(6)) & 1)
+                kidx = (np.cumsum(bits, axis=1) - bits).astype(np.int8)
+
+                def chainview(x):
+                    out = np.zeros((CHUNK, NB0) + x.shape[1:], x.dtype)
+                    out[: x.shape[0] // NB0] = x.reshape(
+                        (-1, NB0) + x.shape[1:])
+                    return out
+
+                b.add_host(f"s{s_idx}_bypk", chainview(kidx))
+                b.add_host(f"s{s_idx}_bypv", chainview(bits.astype(np.int8)))
+        else:
+            amax = sub.get("res_amax")
+            res_dtype = np.int16 if (amax is not None
+                                     and amax <= 32767) else np.int32
+            b.add_res(f"s{s_idx}_res", s_idx, t0, t1, CHUNK, NB0, n_ch, S0,
+                      res_dtype)
+
+        # see _dispatch_chunk_py for the per-chain rationale
+        per_chain = NB0 == 1 or not (
+            sub["param_update"][blk0:blk1].reshape(-1, NB0)[:, 1:].any())
+        if per_chain:
+            def head(name, src, inner_shape, dtype):
+                b.add_head(name, src, s_idx, blk0, blk1, NB0, CHUNK,
+                           inner_shape, dtype)
+
+            head(f"s{s_idx}_rc_fir_c", "rc_fir", (n_ch, 8), np.int16)
+            head(f"s{s_idx}_rc_iir_c", "rc_iir", (n_ch, 8), np.int16)
+            head(f"s{s_idx}_iir_init_c", "iir_init", (n_ch, 8), np.int32)
+            head(f"s{s_idx}_shift_c", "shift", (n_ch,), np.int8)
+            head(f"s{s_idx}_quant_c", "quant", (n_ch,), np.int8)
+            head(f"s{s_idx}_iir_reset_c", "iir_reset", (n_ch,), np.int8)
+        else:
+            chain(f"s{s_idx}_rc_fir", "rc_fir", (n_ch, 8), np.int16)
+            chain(f"s{s_idx}_rc_iir", "rc_iir", (n_ch, 8), np.int16)
+            chain(f"s{s_idx}_iir_init", "iir_init", (n_ch, 8), np.int32)
+            chain(f"s{s_idx}_shift", "shift", (n_ch,), np.int8)
+            chain(f"s{s_idx}_quant", "quant", (n_ch,), np.int8)
+            chain(f"s{s_idx}_iir_reset", "iir_reset", (n_ch,), np.int8)
+
+    T_pad = CHUNK * period
+    F_pad = T_pad // L0
+    b.add_frame("mat_coeff", "mat_coeff", f0, f1, F_pad, (6, 8), np.int16)
+    b.add_frame("mat_noise", "mat_noise", f0, f1, F_pad, (6, 2), np.int16)
+    b.add_frame("mat_out", "mat_out", f0, f1, F_pad, (6,), np.int8)
+    b.add_frame("mat_active", "mat_active", f0, f1, F_pad, (6,), np.int8)
+    b.add_frame("mat_quant", "mat_quant", f0, f1, F_pad, (6,), np.int8)
+    b.add_frame("out_shift", "out_shift", f0, f1, F_pad, (8,), np.int8)
+    b.add_host("wave_perm", _wave_perm(parse, out_ch).astype(np.int8))
+    b.add_frame("frame_seed", "frame_seed", f0, f1, F_pad, (), np.uint32)
+    b.add_frame("frame_nshift", "frame_nshift", f0, f1, F_pad, (), np.int8)
+    if words_all is None:
+        b.add_byp("byp", t0, t1, T_pad)
+    K = max(1, int(np.ceil(np.log2(max(L0, 2)))))
+    jumps = np.array([_jump_columns(k) for k in range(K)], dtype=np.uint32)
+    b.add_host("jumps", jumps)
+    return _finish_dispatch(b, _t_build, pack_bits, device, use_pallas)
+
+
+def _dispatch_chunk_py(parse, subs_info, c0, c1, CHUNK, period, L0,
+                       out_ch, pack_bits=0, device=None,
+                       words_all=None, use_pallas=False,
+                       f_base=0, t_base=0):
+    """Numpy-pack dispatch (fallback + differential reference for
+    _dispatch_chunk_native; see _dispatch_uniform_chunk)."""
     from ...ops.lfsr import _jump_columns
 
     import time as _time
@@ -1051,21 +1315,7 @@ def _dispatch_uniform_chunk(parse, subs_info, c0, c1, CHUNK, period, L0,
     jumps = np.array([_jump_columns(k) for k in range(K)], dtype=np.uint32)
     b.add("jumps", jumps)
 
-    if use_pallas:
-        # the kernel tiles 128 lanes; Bc·n_ch is 128-aligned for CHUNK=512
-        b.mark("__pallas__", 0 if jax.default_backend() == "tpu" else 1)
-    global_timer.add("mlp/arena-build", _time.perf_counter() - _t_build)
-    with global_timer.stage("mlp/arena-finish"):
-        (a4, a2, a1), spec = b.finish()
-    # 24-/16-bit streams return device-packed WAV-width samples
-    # (25% / 50% less d2h than raw int32)
-    if pack_bits:
-        spec = spec + ((f"__pack{pack_bits}__", 0, 0, (), "flag"),)
-    with global_timer.stage("mlp/jit-call"):
-        if device is not None:
-            # committed inputs pin the chunk's program to this device
-            a4, a2, a1 = (jax.device_put(a, device) for a in (a4, a2, a1))
-        return _uniform_arena_pipeline(a4, a2, a1, spec)
+    return _finish_dispatch(b, _t_build, pack_bits, device, use_pallas)
 
 
 def _padded_residuals_range(sub, t_lo: int, t_hi: int, n_blocks: int,

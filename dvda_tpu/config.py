@@ -15,6 +15,8 @@ CLIs and benchmarks:
     ``DVDA_TPU_DISABLE_NATIVE=1``   skip the C++ parser (Python planner)
     ``DVDA_TPU_DISABLE_NATIVE_DEMUX=1``  Python packet walk (differential
                                     testing of host/src/demux.cc)
+    ``DVDA_TPU_DISABLE_NATIVE_PACK=1``  numpy arena assembly (differential
+                                    testing of mp_pack)
     ``DVDA_TPU_MULTI_DEVICE=1``     round-robin chain chunks over all
                                     local devices (data parallelism)
     ``DVDA_TPU_DEVICE_HUFFMAN=1``   decode Huffman residuals on device
@@ -61,6 +63,10 @@ class DecodeConfig:
     #: decode Huffman residuals on device from the raw bitstream (the host
     #: parse then walks residual bits length-only — see ops/huffman_decode)
     device_huffman: bool = False
+    #: assemble device arenas in the native runtime (mp_pack) instead of
+    #: numpy — same arenas/spec, ~3× less host staging time on the
+    #: contended core (VERDICT r2 #3)
+    native_pack: bool = True
     #: AR-filter kernel: "scan" (lax.scan; default) or "pallas"
     #: (ops/pallas_filter.py) — measured equal on v5e, see performance.md
     filter_kernel: str = "scan"
@@ -109,6 +115,7 @@ class DecodeConfig:
             use_native=_env_off("DVDA_TPU_DISABLE_NATIVE"),
             use_native_demux=_env_off("DVDA_TPU_DISABLE_NATIVE_DEMUX"),
             multi_device=not _env_off("DVDA_TPU_MULTI_DEVICE"),
+            native_pack=_env_off("DVDA_TPU_DISABLE_NATIVE_PACK"),
             device_huffman=not _env_off("DVDA_TPU_DEVICE_HUFFMAN"),
             filter_kernel=os.environ.get("DVDA_TPU_FILTER_KERNEL", "scan"),
             chunk_chains=int(os.environ.get("DVDA_TPU_CHUNK_CHAINS", "256")),

@@ -97,6 +97,9 @@ def _load():
         fn = getattr(lib, name)
         fn.restype = c.POINTER(c.c_uint8)
         fn.argtypes = [c.c_void_p, c.c_int32]
+    lib.mp_pack.restype = c.c_int32
+    lib.mp_pack.argtypes = [c.c_void_p, c.c_void_p, c.c_int64,
+                            c.c_void_p, c.c_void_p, c.c_void_p]
     lib.mp_sub_every.restype = c.c_int32
     lib.mp_sub_every.argtypes = [c.c_void_p]
     lib.mp_blk_sub_bitpos.restype = c.POINTER(c.c_int32)
@@ -276,6 +279,20 @@ class NativeParse:
                         lib.mp_blk_sub_bitpos(h, s), (nsp,))
                     sub["sub_every"] = int(lib.mp_sub_every(h))
             self.sub.append(sub)
+
+    def pack(self, inst: "np.ndarray", a4: "np.ndarray", a2: "np.ndarray",
+             a1: "np.ndarray") -> None:
+        """Execute an arena-pack instruction list (int64 [n, 12]) against
+        this parse, writing into the three preallocated arena buffers —
+        see mp_pack in host/src/mlp_parse.cc for the instruction format."""
+        assert inst.dtype == np.int64 and inst.flags.c_contiguous
+        rc = self._lib.mp_pack(
+            self._h, inst.ctypes.data_as(ctypes.c_void_p), inst.shape[0],
+            a4.ctypes.data_as(ctypes.c_void_p),
+            a2.ctypes.data_as(ctypes.c_void_p),
+            a1.ctypes.data_as(ctypes.c_void_p))
+        if rc != 0:
+            raise RuntimeError(f"mp_pack failed ({rc})")
 
     def close(self) -> None:
         if self._h is not None:

@@ -1228,4 +1228,150 @@ int32_t mp_sub_every(void* h) { return static_cast<Parser*>(h)->sub_every; }
 const int32_t* mp_blk_sub_bitpos(void* h, int s) { return R(h).blk_sub_bitpos[s].data(); }
 int64_t mp_blk_sub_bitpos_size(void* h, int s) { return int64_t(R(h).blk_sub_bitpos[s].size()); }
 
+// ---------------------------------------------------------------------------
+// Native arena packing (VERDICT r2 #3): the device pipeline ships three
+// typed arenas (int32/int16/int8) per chunk; assembling them in numpy cost
+// ~0.27 s of the contended host core per 30 s track.  mp_pack executes a
+// small instruction list against the parse result, writing (with dtype
+// narrowing) directly into the preallocated arena buffers; Python keeps
+// only spec construction and the few computed host-side entries.
+//
+// Instruction rows are 12 int64s:
+//   [op, src, sub, a, b, c, d, e, f, g, width, off]
+// ops: 0 CHAIN  rows [a,b) of per-block array `src` (inner d) → chain view
+//              [e=CHUNK, c=NB0, d]   (valid rows first, rest left zero)
+//      1 HEAD   every c-th row of [a,b) → [e=CHUNK, d]
+//      2 FRAME  rows [a,b) of per-frame array `src` (inner d) → [c=F_pad, d]
+//      3 RES    flat residual elements [a,b) → [c] elements
+//      4 BYP    bypassed_packed samples [a,b) → [c] int8
+//      5 BITPOS blocks [a,b): res_bitpos - f (+ sub_bitpos rel from flat
+//              offset g when d=nsub entries recorded) → int32
+//              [e=CHUNK, c=NB0, d]
+// width selects the destination arena (4/2/1); off is the element offset.
+
+}  // extern "C"  (templates below cannot have C linkage)
+
+namespace {
+
+template <typename D, typename S>
+void cast_copy(D* dst, const S* src, int64_t n) {
+  for (int64_t i = 0; i < n; i++) dst[i] = D(src[i]);
+}
+
+template <typename S>
+void copy_to(int64_t width, void* dst, int64_t off, const S* src, int64_t n) {
+  if (width == 4)
+    cast_copy(static_cast<int32_t*>(dst) + off, src, n);
+  else if (width == 2)
+    cast_copy(static_cast<int16_t*>(dst) + off, src, n);
+  else
+    cast_copy(static_cast<int8_t*>(dst) + off, src, n);
+}
+
+// per-substream and per-frame source arrays by id (doc above)
+const void* pack_src(Result& o, int64_t src, int64_t sub, int* elt_size) {
+  *elt_size = 4;
+  switch (src) {
+    case 0: return o.blk_rc_fir[sub].data();
+    case 1: return o.blk_rc_iir[sub].data();
+    case 2: return o.blk_iir_init[sub].data();
+    case 3: return o.blk_shift[sub].data();
+    case 4: return o.blk_quant[sub].data();
+    case 5: *elt_size = 1; return o.blk_iir_reset[sub].data();
+    case 6: return o.blk_codebook[sub].data();
+    case 7: return o.blk_lsb_bits[sub].data();
+    case 8: return o.blk_res_offset[sub].data();
+    case 9: *elt_size = 1; return o.blk_nbyp[sub].data();
+    case 10: *elt_size = 1; return o.blk_byp_mask[sub].data();
+    case 20: return o.mat_coeff.data();
+    case 21: return o.mat_noise.data();
+    case 22: return o.mat_out.data();
+    case 23: *elt_size = 1; return o.mat_active.data();
+    case 24: return o.mat_quant.data();
+    case 25: return o.out_shift.data();
+    case 26: return o.frame_seed.data();  // uint32, bit-identical as int32
+    case 27: return o.frame_nshift.data();
+  }
+  return nullptr;
+}
+
+}  // namespace
+
+extern "C" {
+
+int32_t mp_pack(void* h, const int64_t* inst, int64_t n_inst,
+                void* a4, void* a2, void* a1) {
+  Result& o = R(h);
+  for (int64_t r = 0; r < n_inst; r++) {
+    const int64_t* q = inst + r * 12;
+    int64_t op = q[0], src = q[1], sub = q[2];
+    int64_t a = q[3], b = q[4], c = q[5], d = q[6];
+    int64_t f = q[8], g = q[9], width = q[10], off = q[11];
+    void* dst = width == 4 ? a4 : width == 2 ? a2 : a1;
+    switch (op) {
+      case 0: {  // CHAIN: contiguous rows, valid prefix
+        int es;
+        const void* s = pack_src(o, src, sub, &es);
+        if (!s) return -1;
+        int64_t n = (b - a) * d;
+        if (es == 4)
+          copy_to(width, dst, off, static_cast<const int32_t*>(s) + a * d, n);
+        else
+          copy_to(width, dst, off, static_cast<const uint8_t*>(s) + a * d, n);
+        break;
+      }
+      case 1: {  // HEAD: rows a, a+c, ... of [a, b)
+        int es;
+        const void* s = pack_src(o, src, sub, &es);
+        if (!s) return -1;
+        int64_t rows = (b - a) / c;
+        for (int64_t i = 0; i < rows; i++) {
+          int64_t ra = (a + i * c) * d;
+          if (es == 4)
+            copy_to(width, dst, off + i * d,
+                    static_cast<const int32_t*>(s) + ra, d);
+          else
+            copy_to(width, dst, off + i * d,
+                    static_cast<const uint8_t*>(s) + ra, d);
+        }
+        break;
+      }
+      case 2: {  // FRAME
+        int es;
+        const void* s = pack_src(o, src, sub, &es);
+        if (!s) return -1;
+        int64_t n = (b - a) * d;
+        if (es == 4)
+          copy_to(width, dst, off, static_cast<const int32_t*>(s) + a * d, n);
+        else
+          copy_to(width, dst, off, static_cast<const uint8_t*>(s) + a * d, n);
+        break;
+      }
+      case 3:  // RES: flat residual elements [a, b)
+        copy_to(width, dst, off, o.residuals[sub].data() + a, b - a);
+        break;
+      case 4:  // BYP
+        copy_to(width, dst, off, o.bypassed.data() + a, b - a);
+        break;
+      case 5: {  // BITPOS: [CHUNK, NB0, nsub] int32
+        if (width != 4) return -1;
+        int32_t* out32 = static_cast<int32_t*>(a4) + off;
+        const int64_t* bp = o.blk_res_bitpos[sub].data();
+        const int32_t* rel =
+            g >= 0 ? o.blk_sub_bitpos[sub].data() + g : nullptr;
+        for (int64_t j = a; j < b; j++) {
+          int32_t base = int32_t(bp[j] - f);
+          int64_t row = (j - a) * d;
+          for (int64_t u = 0; u < d; u++)
+            out32[row + u] = base + (rel ? rel[row + u] : 0);
+        }
+        break;
+      }
+      default:
+        return -1;
+    }
+  }
+  return 0;
+}
+
 }  // extern "C"

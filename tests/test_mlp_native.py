@@ -562,3 +562,69 @@ def test_decode_native_parse_threads_bit_exact():
                       config=DecodeConfig(parse_threads=4))
     assert a is not None and b is not None
     assert np.array_equal(a, b)
+
+
+def _chunk_inputs(stream, skip_values=False, sub_every=0):
+    """Parse ``stream`` and derive the uniform-chunk dispatch inputs
+    (parse, subs_info, period, L0) the way the production path does."""
+    if skip_values:
+        inc = host.parse_mlp_stream_begin(stream, skip_values=True,
+                                          sub_every=sub_every)
+        inc.step(0)
+        parse = inc.view()
+        parse._closer = inc  # keep the handle alive with the view
+    else:
+        parse = host.parse_mlp_stream(stream)
+    assert parse is not None and parse.status == 0
+    F = _frame_cut(parse.frame_end, np.zeros(0, np.int64), len(stream))
+    L0 = int(parse.frame_len[0])
+    subs_info = []
+    for s in range(parse.substream_count):
+        sub = parse.sub[s]
+        nb_keep = int(sub["fr_nblocks"][:F].sum())
+        S0 = int(sub["len"][0])
+        restarts = np.nonzero(sub["restart"][:nb_keep])[0]
+        coupled = sub["fir_any"][restarts] != 0
+        starts = [0] + [int(r) for i, r in enumerate(restarts)
+                        if r != 0 and not coupled[i]]
+        NB0 = int(np.diff(starts + [nb_keep])[0])
+        subs_info.append((sub, 0, S0, NB0))
+    period = subs_info[0][2] * subs_info[0][3]
+    return parse, subs_info, period, L0
+
+
+@pytest.mark.parametrize("devhuff", [False, True])
+def test_native_pack_matches_numpy_pack(devhuff, monkeypatch):
+    """mp_pack (C++ arena assembly) produces byte-identical arenas and an
+    identical static spec to the numpy _ArenaBuilder path, in both
+    standard and device-Huffman modes."""
+    from dvda_tpu.codecs.mlp import native_engine as ne
+
+    cfg = MlpSynthConfig(channel_assignment=17, substream_count=2,
+                         n_frames=40, restart_every=4, major_sync_every=4,
+                         blocks_per_frame=2, block_size=24, seed=9,
+                         fir_across_restart=False, params_update_prob=0.0)
+    stream = synth_mlp_stream(cfg)
+    parse, subs_info, period, L0 = _chunk_inputs(
+        stream, skip_values=devhuff, sub_every=8 if devhuff else 0)
+    words_all = None
+    if devhuff:
+        pad = (-len(stream)) % 4 + 8
+        words_all = np.frombuffer(bytes(stream) + b"\0" * pad,
+                                  dtype=">u4").astype(np.uint32)
+    nc = (subs_info[0][0]["NB"] // subs_info[0][3]) - 1  # partial chunk
+    CHUNK = 16
+
+    captured = []
+    monkeypatch.setattr(ne, "_uniform_arena_pipeline",
+                        lambda a4, a2, a1, spec: (a4, a2, a1, spec))
+    for native in (True, False):
+        captured.append(ne._dispatch_uniform_chunk(
+            parse, subs_info, 0, nc, CHUNK, period, L0, 6,
+            pack_bits=24, words_all=words_all, native_pack=native))
+    (n4, n2, n1, nspec), (p4, p2, p1, pspec) = captured
+    assert nspec == pspec
+    assert np.array_equal(n4, p4)
+    assert np.array_equal(n2, p2)
+    assert np.array_equal(n1, p1)
+    parse.close()

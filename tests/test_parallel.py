@@ -53,6 +53,21 @@ def test_sharded_step_matches_unsharded(tp):
     assert np.array_equal(out, ref)
 
 
+def test_sharded_step_production_shape():
+    """One case at the real chunk geometry — 256 chains × 8 channels =
+    2048 filter lanes (VERDICT r2 #6) — bit-equal sharded vs unsharded.
+    Blocks are shortened (NB=4) to keep the CPU-mesh scan affordable; the
+    lane count and per-block sample count match production."""
+    mesh = make_mesh(8, tp=2)
+    batch = example_batch(F=256, C=8, NB=4, S=40, seed=11)
+    step = make_sharded_step(mesh)
+    sharded = jax.device_put(batch, batch_shardings(mesh))
+    out = np.asarray(step(sharded))
+    ref = np.asarray(jax.jit(decode_step)(batch))
+    assert out.shape == ref.shape
+    assert np.array_equal(out, ref)
+
+
 def test_dryrun_multichip_entry_point():
     import sys
 
