@@ -21,8 +21,9 @@ plus, in the same object:
   full-disc batch with CPPM decrypt, and the non-uniform MLP fallback.
 
 Diagnostics (stage breakdowns, run lists) go to stderr.  Set
-``DVDA_BENCH_ONLY=name[,name...]`` to run a subset (the headline always
-runs).
+``DVDA_BENCH_ONLY=name[,name...]`` to run a subset (include
+``mlp_51_96k`` to get the headline + device-compute probes; the special
+name ``parse_scaling`` runs the threads=1,2,4,8 parse curve).
 """
 
 import json

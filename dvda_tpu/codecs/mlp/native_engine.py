@@ -139,18 +139,25 @@ def _uniform_arena_pipeline(a4, a2, a1, spec):
                 quantb = i32(f"s{i}_quant")
             bp = i32(f"s{i}_bitpos")       # [Bc, NB0, nsub]
             K = flags.get(f"s{i}_k", S0)   # samples per sub-lane
+            NW = flags.get(f"s{i}_NW", 32)  # aligned window row words
             res_k, byp_k = decode_residuals_device(
                 arrs["words"], bp.reshape(Lc, bp.shape[-1]),
                 cb.reshape(Lc, n_ch), i32(f"s{i}_lsbb").reshape(Lc, n_ch),
                 i32(f"s{i}_off").reshape(Lc, n_ch),
                 quantb.reshape(Lc, n_ch), i32(f"s{i}_nbyp").reshape(Lc),
-                i32("lut_vals"), i32("lut_lens"), S0, J, K)
+                S0, J, K, NW)
             res = res_k.reshape(Bc, NB0, n_ch, S0)
             if f"s{i}_bypk" in arrs:
-                kidx = jnp.broadcast_to(
-                    i32(f"s{i}_bypk").reshape(Lc, 1, 6), (Lc, S0, 6))
+                # slot m's bit is the kidx[m]-th bypass symbol: masked sum
+                # over the 6-wide axis (gathers at this shape cost ~26 ms
+                # per chunk on v5e; see ops/huffman_decode.py)
+                kidx = i32(f"s{i}_bypk").reshape(Lc, 1, 6)
                 vld = i32(f"s{i}_bypv").reshape(Lc, 1, 6)
-                slot = jnp.take_along_axis(byp_k, kidx, axis=2) * vld
+                slot = jnp.zeros((Lc, S0, 6), jnp.int32)
+                for kk in range(min(6, byp_k.shape[2])):
+                    slot = slot + jnp.where(kidx == kk,
+                                            byp_k[:, :, kk : kk + 1], 0)
+                slot = slot * vld
                 byp6 = slot.reshape(Bc * NB0 * S0, 6)  # chain-major [T, 6]
         else:
             res = i32(f"s{i}_res")
@@ -647,6 +654,14 @@ def _decode_pipelined(inc, stream, boundaries, probe_end, parameters,
     return _finish_uniform(pending, T, out_ch, pack_bits, want_packed)
 
 
+def _window_rows(span_bits: int) -> int:
+    """Aligned window row size (words, power of two) for the residual
+    kernel: a sub-lane's max bit span plus a 64-bit guard must fit in
+    NW*32 bits (ops/huffman_decode.py)."""
+    need = (int(span_bits) + 64 + 31) // 32
+    return min(1024, _bucket(need, lo=8))
+
+
 def _pack_bits(bits_per_sample: int) -> int:
     """Device byte-packing width: 24- and 16-bit streams pack to their
     WAV sample width on device (25% / 50% less d2h than raw int32 and no
@@ -1068,9 +1083,6 @@ def _dispatch_chunk_native(parse, subs_info, c0, c1, CHUNK, period, L0,
         win[: seg.shape[0]] = seg
         b.add_host("words", win)
         base_bit = w0 * 32
-        lv, ll = host._luts()
-        b.add_host("lut_vals", np.ascontiguousarray(lv).reshape(-1))
-        b.add_host("lut_lens", np.ascontiguousarray(ll).reshape(-1))
     for s_idx, (sub, blk_base, S0, NB0) in enumerate(subs_info):
         blk0, blk1 = blk_base + c0 * NB0, blk_base + c1 * NB0
         n_ch = sub["shift"].shape[1]
@@ -1091,6 +1103,8 @@ def _dispatch_chunk_native(parse, subs_info, c0, c1, CHUNK, period, L0,
                 b.mark(f"s{s_idx}_k", S0)
             b.add_bitpos(f"s{s_idx}_bitpos", s_idx, blk0, blk1, NB0, nsub,
                          CHUNK, base_bit, off0)
+            b.mark(f"s{s_idx}_NW",
+                   _window_rows(sub.get("sub_span_max", 0)))
             chain(f"s{s_idx}_cb", "codebook", (n_ch,), np.int8)
             chain(f"s{s_idx}_lsbb", "lsb_bits", (n_ch,), np.int8)
             chain(f"s{s_idx}_off", "res_offset", (n_ch,), np.int32)
@@ -1193,9 +1207,6 @@ def _dispatch_chunk_py(parse, subs_info, c0, c1, CHUNK, period, L0,
         win[: seg.shape[0]] = seg
         b.add("words", win)
         base_bit = w0 * 32
-        lv, ll = host._luts()
-        b.add("lut_vals", np.ascontiguousarray(lv).reshape(-1))
-        b.add("lut_lens", np.ascontiguousarray(ll).reshape(-1))
     for s_idx, (sub, blk_base, S0, NB0) in enumerate(subs_info):
         blk0, blk1 = blk_base + c0 * NB0, blk_base + c1 * NB0
 
@@ -1225,6 +1236,8 @@ def _dispatch_chunk_py(parse, subs_info, c0, c1, CHUNK, period, L0,
                 bp = bp[:, None]
                 b.mark(f"s{s_idx}_k", S0)
             b.add(f"s{s_idx}_bitpos", chainview(bp))
+            b.mark(f"s{s_idx}_NW",
+                   _window_rows(sub.get("sub_span_max", 0)))
             b.add(f"s{s_idx}_cb",
                   chainview(sub["codebook"][blk0:blk1], np.int8))
             b.add(f"s{s_idx}_lsbb",

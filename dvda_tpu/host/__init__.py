@@ -106,6 +106,8 @@ def _load():
     lib.mp_blk_sub_bitpos.argtypes = [c.c_void_p, c.c_int32]
     lib.mp_blk_sub_bitpos_size.restype = c.c_int64
     lib.mp_blk_sub_bitpos_size.argtypes = [c.c_void_p, c.c_int32]
+    lib.mp_sub_span_max.restype = c.c_int32
+    lib.mp_sub_span_max.argtypes = [c.c_void_p, c.c_int32]
     lib.mlp_parse_free.argtypes = [c.c_void_p]
     for name, res in [
         ("mp_status", c.c_int32), ("mp_substream_count", c.c_int32),
@@ -278,6 +280,7 @@ class NativeParse:
                     sub["sub_bitpos"] = _as_view(
                         lib.mp_blk_sub_bitpos(h, s), (nsp,))
                     sub["sub_every"] = int(lib.mp_sub_every(h))
+                sub["sub_span_max"] = int(lib.mp_sub_span_max(h, s))
             self.sub.append(sub)
 
     def pack(self, inst: "np.ndarray", a4: "np.ndarray", a2: "np.ndarray",

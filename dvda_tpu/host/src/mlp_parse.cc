@@ -196,6 +196,9 @@ struct Result {
   // per block (first always 0).  Lets the device kernel decode each run of
   // k samples as an independent lane (k*J scan steps instead of S0*J).
   std::vector<int32_t> blk_sub_bitpos[2];
+  // max bits spanned by any single sub-lane (monotone, incl. rolled-back
+  // frames — only used to size the kernel's aligned window rows)
+  int32_t sub_span_max[2] = {0, 0};
 };
 
 struct Parser {
@@ -442,6 +445,8 @@ struct Parser {
       app(a.blk_nbyp[s], b.blk_nbyp[s]);
       app(a.blk_byp_mask[s], b.blk_byp_mask[s]);
       app(a.blk_sub_bitpos[s], b.blk_sub_bitpos[s]);
+      if (b.sub_span_max[s] > a.sub_span_max[s])
+        a.sub_span_max[s] = b.sub_span_max[s];
     }
     return true;
   }
@@ -904,9 +909,14 @@ struct Parser {
     const int64_t pos0 = pos;
     const int64_t nbits = r.nbits;
     const int k = sub_every;
+    int64_t mark = pos;
     for (int i = 0; i < bs; i++) {
-      if (k > 0 && i % k == 0)
+      if (k > 0 && i % k == 0) {
         out.blk_sub_bitpos[s].push_back(int32_t(pos - pos0));
+        if (int32_t(pos - mark) > out.sub_span_max[s])
+          out.sub_span_max[s] = int32_t(pos - mark);
+        mark = pos;
+      }
       pos += nbyp;
       for (int ci = 0; ci < n_ch; ci++) {
         int cb = codebooks[ci];
@@ -920,6 +930,8 @@ struct Parser {
         if (pos > nbits) { r.pos = pos; throw ParseError{}; }
       }
     }
+    if (int32_t(pos - mark) > out.sub_span_max[s])
+      out.sub_span_max[s] = int32_t(pos - mark);  // tail sub-lane span
     r.pos = pos;
   }
 
@@ -1227,6 +1239,7 @@ const uint8_t* mp_blk_byp_mask(void* h, int s) { return R(h).blk_byp_mask[s].dat
 int32_t mp_sub_every(void* h) { return static_cast<Parser*>(h)->sub_every; }
 const int32_t* mp_blk_sub_bitpos(void* h, int s) { return R(h).blk_sub_bitpos[s].data(); }
 int64_t mp_blk_sub_bitpos_size(void* h, int s) { return int64_t(R(h).blk_sub_bitpos[s].size()); }
+int32_t mp_sub_span_max(void* h, int s) { return R(h).sub_span_max[s]; }
 
 // ---------------------------------------------------------------------------
 // Native arena packing (VERDICT r2 #3): the device pipeline ships three

@@ -66,16 +66,20 @@ def test_kernel_matches_numpy_and_host(assign, nsub, split):
         else:
             bp = bp[:, None]
             k = S0
+        from dvda_tpu.codecs.mlp.native_engine import _window_rows
+
+        NW = _window_rows(sub["sub_span_max"])
+        wpad = np.zeros(-len(words) % NW + NW, np.uint32)
         J = n_ch + 6
         res_d, byp_d = decode_residuals_device(
-            jnp.asarray(words),
+            jnp.asarray(np.concatenate([words, wpad])),
             jnp.asarray(bp),
             jnp.asarray(sub["codebook"].astype(np.int32)),
             jnp.asarray(sub["lsb_bits"].astype(np.int32)),
             jnp.asarray(sub["res_offset"].astype(np.int32)),
             jnp.asarray(sub["quant"].astype(np.int32)),
             jnp.asarray(sub["nbyp"].astype(np.int32)),
-            jnp.asarray(vals), jnp.asarray(lens), S0, J, k)
+            S0, J, k, NW)
         res_d = np.asarray(res_d)
         byp_d = np.asarray(byp_d)
         assert np.array_equal(res_d, res_np), s
@@ -146,3 +150,22 @@ def test_device_huffman_nonuniform_falls_back():
     b = decode_native(stream, np.zeros(0, np.int64), len(stream), params,
                       config=DecodeConfig(device_huffman=True))
     assert b is not None and np.array_equal(a, b)
+
+
+def test_codebook_arith_decode_matches_luts_exhaustively():
+    """The kernel's arithmetic (value, length) formulas equal the peek
+    LUTs for every valid 9-bit peek of all three codebooks (invalid
+    codes excluded — the host parser rejects those streams)."""
+    import jax.numpy as jnp
+
+    from dvda_tpu.ops.huffman_decode import codebook_arith_decode
+
+    p = jnp.arange(512, dtype=jnp.int32)
+    for cb in (1, 2, 3):
+        vals, lens = peek_lut(cb)
+        v, n = codebook_arith_decode(jnp.full(512, cb == 1),
+                                     jnp.full(512, cb == 2),
+                                     jnp.full(512, cb == 3), p)
+        valid = lens != 0
+        assert np.array_equal(np.asarray(v)[valid], vals[valid]), cb
+        assert np.array_equal(np.asarray(n)[valid], lens[valid]), cb
