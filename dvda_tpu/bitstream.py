@@ -167,9 +167,15 @@ class BitReader:
 
     def read_bigint(self, n: int) -> int:
         """Read an arbitrarily wide unsigned field (reference analog:
-        ``br_read_bits_bigint`` backed by mini-gmp, bitstream.h:176-186).
-        Python ints are arbitrary precision, so this is :meth:`read`."""
+        ``br_read_bits_bigint`` backed by vendored mini-gmp,
+        bitstream.h:176-186).  Python ints are arbitrary precision, so
+        this is :meth:`read` — the whole mini-gmp dependency (4.7 kLoC)
+        designs out."""
         return self.read(n)
+
+    def read_signed_bigint(self, n: int) -> int:
+        """Arbitrary-width two's-complement read (br_read_signed_bigint)."""
+        return self.read_signed(n)
 
     def read_unary(self, stop_bit: int) -> int:
         """Count bits until ``stop_bit`` is seen (reference: br_read_unary)."""
@@ -177,14 +183,6 @@ class BitReader:
         while self.read(1) != stop_bit:
             count += 1
         return count
-
-    def read_bigint(self, n: int) -> int:
-        """Arbitrary-width unsigned read.
-
-        Python ints are bignums, so this is just :meth:`read`; the reference
-        needed mini-gmp for the same feature (bitstream.h:176-186).
-        """
-        return self.read(n)
 
     def skip(self, n: int) -> None:
         q = self.pos + n
@@ -385,6 +383,17 @@ class BitWriter:
         self._acc &= (1 << self._nacc) - 1
 
     def write_signed(self, n: int, value: int) -> None:
+        self.write(n, value & ((1 << n) - 1))
+
+    def write_bigint(self, n: int, value: int) -> None:
+        """Arbitrary-width unsigned write (reference analog:
+        ``bw_write_bits_bigint``, bitstream.h:839-910 writer family —
+        mini-gmp-backed there; plain :meth:`write` here since the
+        accumulator is a Python bignum)."""
+        self.write(n, value)
+
+    def write_signed_bigint(self, n: int, value: int) -> None:
+        """Arbitrary-width two's-complement write."""
         self.write(n, value & ((1 << n) - 1))
 
     def write_unary(self, stop_bit: int, value: int) -> None:

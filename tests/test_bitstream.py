@@ -157,3 +157,24 @@ def test_writer_build_roundtrips_parse():
     w.build("16u 8p 4u 4s 2P 3b a", 0xBEEF, 0xA, -3, b"xyz")
     r = BitReader(w.getvalue())
     assert r.parse("16u 8p 4u 4s 2P 3b") == [0xBEEF, 0xA, -3, b"xyz"]
+
+
+def test_bigint_round_trip():
+    """>64-bit fields (reference: mini-gmp-backed br_read_bits_bigint /
+    bw_write_bits_bigint, bitstream.h:176-186) round-trip at any width —
+    Python bignums replace the vendored 4.7 kLoC dependency."""
+    from dvda_tpu.bitstream import BitReader, BitWriter
+
+    big = (1 << 999) | (1 << 500) | 0xDEADBEEF
+    neg = -(1 << 900) + 12345
+    w = BitWriter()
+    w.write(3, 5)                    # misalign first
+    w.write_bigint(1000, big)
+    w.write_signed_bigint(901, neg)
+    w.write(5, 17)
+    w.byte_align()
+    r = BitReader(w.getvalue())
+    assert r.read(3) == 5
+    assert r.read_bigint(1000) == big
+    assert r.read_signed_bigint(901) == neg
+    assert r.read(5) == 17
