@@ -298,21 +298,28 @@ def bench_parse_scaling(results):
     stream = synth_mlp_stream(cfg)
     audio = cfg.total_pcm_frames / RATE
 
-    curve = {}
-    for th in (1, 2, 4, 8):
-        def run():
-            inc = host.parse_mlp_stream_begin(stream, threads=th)
-            inc.step(0)  # finish the whole walk
-            assert inc.view().status == 0
-            inc.close()
+    curves = {}
+    for mode, skip in (("full", False), ("skip_values", True)):
+        curve = {}
+        for th in (1, 2, 4, 8):
+            def run():
+                inc = host.parse_mlp_stream_begin(
+                    stream, skip_values=skip, threads=th,
+                    sub_every=8 if skip else 0)
+                inc.step(0)  # finish the whole walk
+                assert inc.view().status == 0
+                inc.close()
 
-        run()  # warm
-        best, _ = _best(run, 3)
-        curve[str(th)] = round(audio / best, 1)
-        log(f"parse_scaling threads={th}: {curve[str(th)]}x realtime")
+            run()  # warm
+            best, _ = _best(run, 3)
+            curve[str(th)] = round(audio / best, 1)
+            log(f"parse_scaling {mode} threads={th}: "
+                f"{curve[str(th)]}x realtime")
+        curves[mode] = curve
     results["parse_scaling"] = {
-        "ours_x_realtime": curve["1"], "ref_x_realtime": None,
-        "vs_baseline": None, "curve_x_realtime_by_threads": curve,
+        "ours_x_realtime": curves["full"]["1"], "ref_x_realtime": None,
+        "vs_baseline": None, "curve_x_realtime_by_threads": curves["full"],
+        "skip_values_curve": curves["skip_values"],
         "host_cores": os.cpu_count()}
 
 

@@ -121,31 +121,52 @@ def _uniform_arena_pipeline(a4, a2, a1, spec):
         return arrs[name].astype(jnp.int32)
 
     n_sub = max(int(name[1]) for name in arrs if name.startswith("s")) + 1
+
+    # ---- device-Huffman residual decode (ops/huffman_decode.py) --------
+    # NOTE: fusing substreams into one padded kernel call (like the
+    # filter fuse) was measured SLOWER on v5e (19.0 vs 16.8 ms/chunk):
+    # the scan is VPU-throughput-bound, so padding the 2-ch substream to
+    # the 4-ch one's J/C adds real work while saving only a second
+    # scan's fixed costs.  Substreams therefore decode separately.
+    dh = []
+    for i in range(n_sub):
+        if f"s{i}_bitpos" not in arrs:
+            continue
+        cb = i32(f"s{i}_cb")
+        Bc, NB0, n_ch = cb.shape
+        Lc = Bc * NB0
+        if f"s{i}_quant_c" in arrs:
+            quantb = jnp.broadcast_to(
+                i32(f"s{i}_quant_c")[:, None], (Bc, NB0, n_ch))
+        else:
+            quantb = i32(f"s{i}_quant")
+        bp = i32(f"s{i}_bitpos")
+        dh.append(dict(
+            i=i, S0=flags[f"s{i}_S"], J=flags[f"s{i}_J"],
+            K=flags.get(f"s{i}_k", flags[f"s{i}_S"]),
+            NW=flags.get(f"s{i}_NW", 32),
+            Bc=Bc, NB0=NB0, n_ch=n_ch, Lc=Lc,
+            bp=bp.reshape(Lc, bp.shape[-1]),
+            cb=cb.reshape(Lc, n_ch),
+            lsbb=i32(f"s{i}_lsbb").reshape(Lc, n_ch),
+            off=i32(f"s{i}_off").reshape(Lc, n_ch),
+            quant=quantb.reshape(Lc, n_ch),
+            nbyp=i32(f"s{i}_nbyp").reshape(Lc)))
+    dh_out = {}
+    for d in dh:
+        dh_out[d["i"]] = decode_residuals_device(
+            arrs["words"], d["bp"], d["cb"], d["lsbb"], d["off"],
+            d["quant"], d["nbyp"], d["S0"], d["J"], d["K"], d["NW"])
+
     packed = []   # per substream: (lane inputs..., Bc, n_ch, NB0, S0)
     byp6 = None
     for i in range(n_sub):
         if f"s{i}_bitpos" in arrs:
-            # device-Huffman: re-decode this substream's residuals from the
-            # chunk's bitstream window (ops/huffman_decode.py)
             S0 = flags[f"s{i}_S"]
-            J = flags[f"s{i}_J"]
             cb = i32(f"s{i}_cb")
             Bc, NB0, n_ch = cb.shape
             Lc = Bc * NB0
-            if f"s{i}_quant_c" in arrs:
-                quantb = jnp.broadcast_to(
-                    i32(f"s{i}_quant_c")[:, None], (Bc, NB0, n_ch))
-            else:
-                quantb = i32(f"s{i}_quant")
-            bp = i32(f"s{i}_bitpos")       # [Bc, NB0, nsub]
-            K = flags.get(f"s{i}_k", S0)   # samples per sub-lane
-            NW = flags.get(f"s{i}_NW", 32)  # aligned window row words
-            res_k, byp_k = decode_residuals_device(
-                arrs["words"], bp.reshape(Lc, bp.shape[-1]),
-                cb.reshape(Lc, n_ch), i32(f"s{i}_lsbb").reshape(Lc, n_ch),
-                i32(f"s{i}_off").reshape(Lc, n_ch),
-                quantb.reshape(Lc, n_ch), i32(f"s{i}_nbyp").reshape(Lc),
-                S0, J, K, NW)
+            res_k, byp_k = dh_out[i]
             res = res_k.reshape(Bc, NB0, n_ch, S0)
             if f"s{i}_bypk" in arrs:
                 # slot m's bit is the kidx[m]-th bypass symbol: masked sum

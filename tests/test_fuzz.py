@@ -146,3 +146,33 @@ def test_mt_parse_random_corruption_sweep():
                                       seq.sub[s]["residuals"]), (trial, s)
         seq.close()
         inc.close()
+
+
+def test_devhuff_random_corruption_matches_spec():
+    """Random corruption under device_huffman: the skip-values parse drops
+    frames (rolling back the split-mode sub_bitpos tables) or the whole
+    decode falls back — either way the output must equal the spec decoder
+    on the same bytes, and never crash."""
+    from dvda_tpu.config import DecodeConfig
+
+    if not host.available():
+        pytest.skip("native host library unavailable")
+    rng = random.Random(17)
+    base_cfg = MlpSynthConfig(channel_assignment=17, substream_count=2,
+                              n_frames=24, seed=5, major_sync_every=2,
+                              restart_every=2, fir_across_restart=False,
+                              params_update_prob=0.0)
+    stream = bytearray(synth_mlp_stream(base_cfg))
+    params = params_of(base_cfg)
+    hc = DecodeConfig(device_huffman=True)
+    for trial in range(10):
+        corrupted = bytearray(stream)
+        for _ in range(rng.randrange(1, 5)):
+            corrupted[rng.randrange(len(corrupted))] ^= rng.randrange(1, 256)
+        spec = MlpDecoder(params)
+        spec.decode_bytes(bytes(corrupted))
+        a = spec.take_frames()
+        c = decode_native(bytes(corrupted), np.zeros(0, np.int64),
+                          len(corrupted), params, config=hc)
+        if c is not None:
+            assert np.array_equal(a, c), trial
