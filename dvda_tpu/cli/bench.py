@@ -390,9 +390,11 @@ def _capture_chunk_args(mlp_cfg, out_ch, use_pallas=False,
             starts = [0] + [int(r) for i, r in enumerate(restarts)
                             if r != 0 and not coupled[i]]
             NB0 = int(np.diff(starts + [nb_keep])[0])
-            subs_info.append((sub, 0, S0, NB0))
+            subs_info.append((sub, 0, S0, NB0, 0))
         period = subs_info[0][3] * subs_info[0][2]
-        CHUNK = 512
+        # clamp to the chains the stream actually has (mp_pack reads
+        # exactly the requested block ranges)
+        CHUNK = min(512, min(int(si[0]["NB"]) // si[3] for si in subs_info))
 
         words_all = None
         if device_huffman:

@@ -594,6 +594,7 @@ def _decode_pipelined(inc, stream, boundaries, probe_end, parameters,
     ci = 0
     f0 = 0                                   # frame base of the section
     blk0s = [0] * st["v"].substream_count    # per-substream block bases
+    suboffs = [0] * st["v"].substream_count  # flat sub_bitpos offsets
     t_base = 0                               # absolute sample base
     n_sections = 0
     prev_key = None
@@ -637,7 +638,7 @@ def _decode_pipelined(inc, stream, boundaries, probe_end, parameters,
                 break  # geometry broke at c0: close the section here
             c1 = c0 + n_ok
             with global_timer.stage("mlp/stage+dispatch"):
-                subs_info = [(v.sub[s], blk0s[s], S0, NB0)
+                subs_info = [(v.sub[s], blk0s[s], S0, NB0, suboffs[s])
                              for s, S0, NB0 in struct]
                 dev = _dispatch_uniform_chunk(
                     v, subs_info, c0, c1, CHUNK, period, L0, out_ch,
@@ -658,8 +659,12 @@ def _decode_pipelined(inc, stream, boundaries, probe_end, parameters,
         # close the section: advance every base past its verified chains
         f0 += c0 * fpc
         t_base += c0 * period
-        for s, _, NB0 in struct:
+        for s, S0, NB0 in struct:
             blk0s[s] += c0 * NB0
+            if device_huffman:
+                k = int(st["v"].sub[s].get("sub_every", 0) or 0)
+                if k:  # ceil(S0/k) flat sub_bitpos entries per block
+                    suboffs[s] += c0 * NB0 * (-(-S0 // k))
         if not st["more"] and st["v"].F <= f0:
             break
 
@@ -678,9 +683,12 @@ def _decode_pipelined(inc, stream, boundaries, probe_end, parameters,
 def _window_rows(span_bits: int) -> int:
     """Aligned window row size (words, power of two) for the residual
     kernel: a sub-lane's max bit span plus a 64-bit guard must fit in
-    NW*32 bits (ops/huffman_decode.py)."""
+    NW*32 bits (ops/huffman_decode.py).  Uncapped — a huge span (only
+    reachable with the split disabled on large dense blocks) costs
+    select-tree depth, never silent wraparound; the dispatcher sizes the
+    chunk window to at least NW rows."""
     need = (int(span_bits) + 64 + 31) // 32
-    return min(1024, _bucket(need, lo=8))
+    return _bucket(need, lo=8)
 
 
 def _pack_bits(bits_per_sample: int) -> int:
@@ -979,7 +987,7 @@ def _try_uniform(parse, F: int, frame_len: np.ndarray, T: int,
             n_chains, period = nc, per
         elif nc != n_chains or per != period:
             return None
-        subs_info.append((sub, 0, S0, NB0))  # whole-stream: base 0
+        subs_info.append((sub, 0, S0, NB0, 0))  # whole-stream: base 0
     if period % L0:
         return None
 
@@ -1098,13 +1106,19 @@ def _dispatch_chunk_native(parse, subs_info, c0, c1, CHUNK, period, L0,
         w0 = bit0 >> 5
         end_byte = int(parse.frame_end[f_base + c1 * fpc - 1]) + 8
         w1 = min(words_all.shape[0], (end_byte + 3) // 4 + 1)
-        wlen = _bucket(max(w1 - w0, 1), lo=1024)
+        # window length: multiple of (and at least) the largest NW so the
+        # kernel's [W/NW, NW] reshape is valid even for huge spans
+        nw_max = max(_window_rows(si[0].get("sub_span_max", 0))
+                     for si in subs_info)
+        wlen = _bucket(max(w1 - w0, 1), lo=max(1024, nw_max))
         win = np.zeros(wlen, np.uint32)
         seg = words_all[w0 : min(w1, w0 + wlen)]
         win[: seg.shape[0]] = seg
         b.add_host("words", win)
         base_bit = w0 * 32
-    for s_idx, (sub, blk_base, S0, NB0) in enumerate(subs_info):
+    for s_idx, si in enumerate(subs_info):
+        sub, blk_base, S0, NB0 = si[:4]
+        suboff_base = si[4] if len(si) > 4 else None
         blk0, blk1 = blk_base + c0 * NB0, blk_base + c1 * NB0
         n_ch = sub["shift"].shape[1]
 
@@ -1116,8 +1130,11 @@ def _dispatch_chunk_native(parse, subs_info, c0, c1, CHUNK, period, L0,
             k = int(sub.get("sub_every", 0) or 0)
             if k:
                 nsub = -(-S0 // k)
-                off0 = int((-(-sub["len"][:blk0].astype(np.int64) // k))
-                           .sum())
+                if suboff_base is not None:  # O(1): section counter
+                    off0 = suboff_base + (blk0 - blk_base) * nsub
+                else:  # legacy caller: prefix-sum over preceding blocks
+                    off0 = int((-(-sub["len"][:blk0].astype(np.int64)
+                                  // k)).sum())
                 b.mark(f"s{s_idx}_k", min(k, S0))
             else:
                 nsub, off0 = 1, -1
@@ -1222,13 +1239,19 @@ def _dispatch_chunk_py(parse, subs_info, c0, c1, CHUNK, period, L0,
         w0 = bit0 >> 5
         end_byte = int(parse.frame_end[f_base + c1 * fpc - 1]) + 8
         w1 = min(words_all.shape[0], (end_byte + 3) // 4 + 1)
-        wlen = _bucket(max(w1 - w0, 1), lo=1024)
+        # window length: multiple of (and at least) the largest NW so the
+        # kernel's [W/NW, NW] reshape is valid even for huge spans
+        nw_max = max(_window_rows(si[0].get("sub_span_max", 0))
+                     for si in subs_info)
+        wlen = _bucket(max(w1 - w0, 1), lo=max(1024, nw_max))
         win = np.zeros(wlen, np.uint32)
         seg = words_all[w0 : min(w1, w0 + wlen)]
         win[: seg.shape[0]] = seg
         b.add("words", win)
         base_bit = w0 * 32
-    for s_idx, (sub, blk_base, S0, NB0) in enumerate(subs_info):
+    for s_idx, si in enumerate(subs_info):
+        sub, blk_base, S0, NB0 = si[:4]
+        suboff_base = si[4] if len(si) > 4 else None
         blk0, blk1 = blk_base + c0 * NB0, blk_base + c1 * NB0
 
         def chainview(x, dtype=None, NB0=NB0):
@@ -1249,7 +1272,11 @@ def _dispatch_chunk_py(parse, subs_info, c0, c1, CHUNK, period, L0,
                 # nsub× the lanes (ops/huffman_decode.py).  Preceding
                 # blocks each hold ceil(len/k) flat entries.
                 nsub = -(-S0 // k)
-                off0 = int((-(-sub["len"][:blk0].astype(np.int64) // k)).sum())
+                if suboff_base is not None:  # O(1): section counter
+                    off0 = suboff_base + (blk0 - blk_base) * nsub
+                else:
+                    off0 = int((-(-sub["len"][:blk0].astype(np.int64)
+                                  // k)).sum())
                 rel = sub["sub_bitpos"][off0 : off0 + (blk1 - blk0) * nsub]
                 bp = bp[:, None] + rel.reshape(blk1 - blk0, nsub)
                 b.mark(f"s{s_idx}_k", min(k, S0))

@@ -287,8 +287,16 @@ class NativeParse:
              a1: "np.ndarray") -> None:
         """Execute an arena-pack instruction list (int64 [n, 12]) against
         this parse, writing into the three preallocated arena buffers —
-        see mp_pack in host/src/mlp_parse.cc for the instruction format."""
-        assert inst.dtype == np.int64 and inst.flags.c_contiguous
+        see mp_pack in host/src/mlp_parse.cc for the instruction format.
+
+        Raises on malformed inputs instead of asserting: the C side
+        interprets these buffers as raw pointers, so a wrong dtype or a
+        non-contiguous array must be a loud error even under ``-O``."""
+        if inst.dtype != np.int64 or not inst.flags.c_contiguous:
+            raise ValueError("pack instructions must be contiguous int64")
+        for arr, dt in ((a4, np.int32), (a2, np.int16), (a1, np.int8)):
+            if arr.dtype != dt or not arr.flags.c_contiguous:
+                raise ValueError(f"arena buffer must be contiguous {dt}")
         rc = self._lib.mp_pack(
             self._h, inst.ctypes.data_as(ctypes.c_void_p), inst.shape[0],
             a4.ctypes.data_as(ctypes.c_void_p),

@@ -1281,30 +1281,35 @@ void copy_to(int64_t width, void* dst, int64_t off, const S* src, int64_t n) {
     cast_copy(static_cast<int8_t*>(dst) + off, src, n);
 }
 
-// per-substream and per-frame source arrays by id (doc above)
-const void* pack_src(Result& o, int64_t src, int64_t sub, int* elt_size) {
+// per-substream and per-frame source arrays by id (doc above); n_elems
+// reports the vector's size so callers can bounds-check ranges
+const void* pack_src(Result& o, int64_t src, int64_t sub, int* elt_size,
+                     int64_t* n_elems) {
   *elt_size = 4;
+  if (sub < 0 || sub >= 2) return nullptr;
+#define SRC(vec) (*n_elems = int64_t((vec).size()), (vec).data())
   switch (src) {
-    case 0: return o.blk_rc_fir[sub].data();
-    case 1: return o.blk_rc_iir[sub].data();
-    case 2: return o.blk_iir_init[sub].data();
-    case 3: return o.blk_shift[sub].data();
-    case 4: return o.blk_quant[sub].data();
-    case 5: *elt_size = 1; return o.blk_iir_reset[sub].data();
-    case 6: return o.blk_codebook[sub].data();
-    case 7: return o.blk_lsb_bits[sub].data();
-    case 8: return o.blk_res_offset[sub].data();
-    case 9: *elt_size = 1; return o.blk_nbyp[sub].data();
-    case 10: *elt_size = 1; return o.blk_byp_mask[sub].data();
-    case 20: return o.mat_coeff.data();
-    case 21: return o.mat_noise.data();
-    case 22: return o.mat_out.data();
-    case 23: *elt_size = 1; return o.mat_active.data();
-    case 24: return o.mat_quant.data();
-    case 25: return o.out_shift.data();
-    case 26: return o.frame_seed.data();  // uint32, bit-identical as int32
-    case 27: return o.frame_nshift.data();
+    case 0: return SRC(o.blk_rc_fir[sub]);
+    case 1: return SRC(o.blk_rc_iir[sub]);
+    case 2: return SRC(o.blk_iir_init[sub]);
+    case 3: return SRC(o.blk_shift[sub]);
+    case 4: return SRC(o.blk_quant[sub]);
+    case 5: *elt_size = 1; return SRC(o.blk_iir_reset[sub]);
+    case 6: return SRC(o.blk_codebook[sub]);
+    case 7: return SRC(o.blk_lsb_bits[sub]);
+    case 8: return SRC(o.blk_res_offset[sub]);
+    case 9: *elt_size = 1; return SRC(o.blk_nbyp[sub]);
+    case 10: *elt_size = 1; return SRC(o.blk_byp_mask[sub]);
+    case 20: return SRC(o.mat_coeff);
+    case 21: return SRC(o.mat_noise);
+    case 22: return SRC(o.mat_out);
+    case 23: *elt_size = 1; return SRC(o.mat_active);
+    case 24: return SRC(o.mat_quant);
+    case 25: return SRC(o.out_shift);
+    case 26: return SRC(o.frame_seed);  // uint32, bit-identical as int32
+    case 27: return SRC(o.frame_nshift);
   }
+#undef SRC
   return nullptr;
 }
 
@@ -1321,11 +1326,16 @@ int32_t mp_pack(void* h, const int64_t* inst, int64_t n_inst,
     int64_t a = q[3], b = q[4], c = q[5], d = q[6];
     int64_t f = q[8], g = q[9], width = q[10], off = q[11];
     void* dst = width == 4 ? a4 : width == 2 ? a2 : a1;
+    // every case bounds-checks its source range against the actual
+    // vector sizes (a miscounting caller must get an error, not a heap
+    // over-read — the numpy path would have raised on the same slice)
     switch (op) {
-      case 0: {  // CHAIN: contiguous rows, valid prefix
+      case 0:    // CHAIN: contiguous rows, valid prefix
+      case 2: {  // FRAME: same copy shape, per-frame source
         int es;
-        const void* s = pack_src(o, src, sub, &es);
-        if (!s) return -1;
+        int64_t sz = 0;
+        const void* s = pack_src(o, src, sub, &es, &sz);
+        if (!s || a < 0 || b < a || b * d > sz) return -2;
         int64_t n = (b - a) * d;
         if (es == 4)
           copy_to(width, dst, off, static_cast<const int32_t*>(s) + a * d, n);
@@ -1335,8 +1345,9 @@ int32_t mp_pack(void* h, const int64_t* inst, int64_t n_inst,
       }
       case 1: {  // HEAD: rows a, a+c, ... of [a, b)
         int es;
-        const void* s = pack_src(o, src, sub, &es);
-        if (!s) return -1;
+        int64_t sz = 0;
+        const void* s = pack_src(o, src, sub, &es, &sz);
+        if (!s || a < 0 || b < a || c <= 0 || b * d > sz) return -2;
         int64_t rows = (b - a) / c;
         for (int64_t i = 0; i < rows; i++) {
           int64_t ra = (a + i * c) * d;
@@ -1349,25 +1360,23 @@ int32_t mp_pack(void* h, const int64_t* inst, int64_t n_inst,
         }
         break;
       }
-      case 2: {  // FRAME
-        int es;
-        const void* s = pack_src(o, src, sub, &es);
-        if (!s) return -1;
-        int64_t n = (b - a) * d;
-        if (es == 4)
-          copy_to(width, dst, off, static_cast<const int32_t*>(s) + a * d, n);
-        else
-          copy_to(width, dst, off, static_cast<const uint8_t*>(s) + a * d, n);
-        break;
-      }
       case 3:  // RES: flat residual elements [a, b)
+        if (sub < 0 || sub >= 2 || a < 0 || b < a ||
+            b > int64_t(o.residuals[sub].size()))
+          return -2;
         copy_to(width, dst, off, o.residuals[sub].data() + a, b - a);
         break;
       case 4:  // BYP
+        if (a < 0 || b < a || b > int64_t(o.bypassed.size())) return -2;
         copy_to(width, dst, off, o.bypassed.data() + a, b - a);
         break;
       case 5: {  // BITPOS: [CHUNK, NB0, nsub] int32
-        if (width != 4) return -1;
+        if (width != 4 || sub < 0 || sub >= 2) return -1;
+        if (a < 0 || b < a || b > int64_t(o.blk_res_bitpos[sub].size()))
+          return -2;
+        if (g >= 0 &&
+            g + (b - a) * d > int64_t(o.blk_sub_bitpos[sub].size()))
+          return -2;
         int32_t* out32 = static_cast<int32_t*>(a4) + off;
         const int64_t* bp = o.blk_res_bitpos[sub].data();
         const int32_t* rel =

@@ -588,7 +588,7 @@ def _chunk_inputs(stream, skip_values=False, sub_every=0):
         starts = [0] + [int(r) for i, r in enumerate(restarts)
                         if r != 0 and not coupled[i]]
         NB0 = int(np.diff(starts + [nb_keep])[0])
-        subs_info.append((sub, 0, S0, NB0))
+        subs_info.append((sub, 0, S0, NB0, 0))
     period = subs_info[0][2] * subs_info[0][3]
     return parse, subs_info, period, L0
 
