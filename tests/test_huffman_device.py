@@ -169,3 +169,35 @@ def test_codebook_arith_decode_matches_luts_exhaustively():
         valid = lens != 0
         assert np.array_equal(np.asarray(v)[valid], vals[valid]), cb
         assert np.array_equal(np.asarray(n)[valid], lens[valid]), cb
+
+
+def test_device_huffman_multi_section_pipelined():
+    """A piecewise-uniform stream (block-size switch at a clean restart)
+    under device_huffman decodes through the SECTIONED pipelined path —
+    exercising the per-section sub_bitpos offset carry — bit-exactly vs
+    the spec decoder."""
+    from dvda_tpu.codecs.mlp import native_engine as ne
+    from dvda_tpu.codecs.mlp.native_engine import decode_native
+    from dvda_tpu.codecs.mlp.spec import MlpDecoder
+    from dvda_tpu.config import DecodeConfig
+    from dvda_tpu.testutil.synth import BPS_CODE, RATE_CODE
+    from dvda_tpu.codecs.params import StreamParameters as SP
+
+    base = dict(channel_assignment=17, substream_count=2, sample_rate=48000,
+                bits_per_sample=24, restart_every=2, major_sync_every=2,
+                fir_across_restart=False, params_update_prob=0.0)
+    c1 = MlpSynthConfig(block_size=16, seed=3, n_frames=40, **base)
+    c2 = MlpSynthConfig(block_size=32, seed=4, n_frames=20, **base)
+    stream = synth_mlp_stream(c1) + synth_mlp_stream(c2)
+    params = SP(BPS_CODE[c1.bits_per_sample], 0xF,
+                RATE_CODE[c1.sample_rate], 0xF, c1.channel_assignment)
+    spec = MlpDecoder(params)
+    spec.decode_bytes(stream)
+    a = spec.take_frames()
+    b = decode_native(stream, np.zeros(0, np.int64), len(stream), params,
+                      config=DecodeConfig(device_huffman=True,
+                                          chunk_chains=8))
+    assert b is not None and np.array_equal(a, b)
+    # the sectioned path (not the value-mode fallback) must have run:
+    # two sections, several small chunks
+    assert ne._LAST_PIPELINE_INFO.get("sections") == 2, ne._LAST_PIPELINE_INFO
