@@ -352,7 +352,7 @@ def probe_tunnel():
 
 
 def _capture_chunk_args(mlp_cfg, out_ch, use_pallas=False,
-                        device_huffman=False):
+                        device_huffman=False, sub_every=8):
     """Parse a short stream of this geometry and capture ONE production
     chunk's compiled-pipeline arguments (a4, a2, a1, spec) plus the
     chunk's audio seconds.  Returns None when native parse bails."""
@@ -365,7 +365,7 @@ def _capture_chunk_args(mlp_cfg, out_ch, use_pallas=False,
     stream = synth_mlp_stream(mlp_cfg)
     if device_huffman:
         inc = host.parse_mlp_stream_begin(stream, skip_values=True,
-                                          sub_every=8)
+                                          sub_every=sub_every)
         if inc is None:
             return None
         inc.step(0)

@@ -1149,7 +1149,7 @@ def _dispatch_chunk_native(parse, subs_info, c0, c1, CHUNK, period, L0,
             chain(f"s{s_idx}_nbyp", "nbyp", (), np.int8)
             b.mark(f"s{s_idx}_S", S0)
             b.mark(f"s{s_idx}_J",
-                   n_ch + (6 if sub["nbyp"][blk0:blk1].any() else 0))
+                   n_ch + (1 if sub["nbyp"][blk0:blk1].any() else 0))
             if s_idx == len(subs_info) - 1:
                 # bypassed-LSB slot map (small: [nblk, 6] numpy)
                 bits = ((sub["byp_mask"][blk0:blk1][:, None].astype(np.int32)
@@ -1294,7 +1294,7 @@ def _dispatch_chunk_py(parse, subs_info, c0, c1, CHUNK, period, L0,
             nbyp = sub["nbyp"][blk0:blk1]
             b.add(f"s{s_idx}_nbyp", chainview(nbyp.view(np.int8)))
             b.mark(f"s{s_idx}_S", S0)
-            b.mark(f"s{s_idx}_J", n_ch + (6 if nbyp.any() else 0))
+            b.mark(f"s{s_idx}_J", n_ch + (1 if nbyp.any() else 0))
             if s_idx == len(subs_info) - 1:
                 # bypassed-LSB slot map for the final substream: slot m's
                 # bit is the k-th bypass symbol, k = popcount of lower mask

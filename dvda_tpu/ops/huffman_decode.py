@@ -82,22 +82,32 @@ def decode_residuals_device(
     words,      # uint32 [W]      chunk window, W a multiple of NW (+guard)
     bitpos0,    # int32  [L, nsub]  per-sub-lane absolute start bit
     codebook,   # int32  [L, C]   0 = no Huffman MSB
-    lsb_bits,   # int32  [L, C]   0..24
+    lsb_bits,   # int32  [L, C]   0..24 (parser-enforced, mlp.c:975 analog)
     offset,     # int32  [L, C]   signed huffman offset (precombined)
     quant,      # int32  [L, C]   left-shift applied to the sum
-    nbyp,       # int32  [L]      bypassed-LSB bits per sample
+    nbyp,       # int32  [L]      bypassed-LSB bits per sample (<= 6)
     S0: int,    # samples per block (static)
-    J: int,     # symbols per sample incl. bypass slots (static)
+    J: int,     # slots per sample: C, or C+1 when any lane has bypass
+                # (slot 0 is then the bypass-burst slot)
     k: int,     # samples per sub-lane (static); nsub*k >= S0
     NW: int,    # window row words (static, power of two); a sub-lane's
                 # span + 64-bit guard must fit in NW*32 bits
 ):
-    """Returns (residuals int32 [L, C, S0], byp_bits int32 [L, S0, J])."""
+    """Returns (residuals int32 [L, C, S0], byp_bits int32 [L, S0, 6]).
+
+    Per sample the scan runs J slots: an optional *bypass burst* (all
+    ≤6 bypassed-LSB bits read in one step from the window's top bits —
+    one step instead of one per bit) followed by exactly C channel
+    slots, so every slot is live for every lane and the residual
+    extraction is a plain slice.  The LSB field never needs a third
+    stream word: nb ≤ 9 and lsb_bits ≤ 24 bound the symbol to 33 bits,
+    i.e. the 32-bit peek plus one extension bit."""
     L, C = codebook.shape
     nsub = bitpos0.shape[1]
     Lp = L * nsub
     u32 = jnp.uint32
     LOG = NW.bit_length() - 1
+    has_burst = J == C + 1
 
     # ---- per-lane aligned windows: two NW-word rows per sub-lane -------
     words2d = words.reshape(-1, NW)
@@ -117,87 +127,79 @@ def decode_residuals_device(
                           jax.lax.slice_in_dim(w, 0, half, axis=1))
         return w[:, 0]
 
-    # ---- per-(lane, j) parameters, [J, L'] dynamic-indexed by step ----
-    j_syms = jnp.arange(J, dtype=jnp.int32)             # [J]
-    ch_j = j_syms[None, :] - nbyp[:, None]              # [L, J]
-    is_byp_j = j_syms[None, :] < nbyp[:, None]
-    ch_ok_j = (ch_j >= 0) & (ch_j < C)
-    chc = jnp.clip(ch_j, 0, C - 1)
-    cbk_j = jnp.take_along_axis(codebook, chc, 1)       # [L, J]
-    lbb_j = jnp.take_along_axis(lsb_bits, chc, 1)
-    off_j = jnp.take_along_axis(offset, chc, 1)
-    qq_j = jnp.take_along_axis(quant, chc, 1)
-    use_cb_j = ch_ok_j & ~is_byp_j & (cbk_j > 0)
+    # ---- per-slot parameter planes [J, L'] dynamic-indexed by step ----
+    def plane(x):  # [L, C] → [J, L*nsub]; slot 0 = burst → zero row
+        t = x.T                                          # [C, L]
+        if has_burst:
+            t = jnp.concatenate([jnp.zeros((1, L), t.dtype), t], axis=0)
+        return jnp.broadcast_to(t[:, :, None], (J, L, nsub)).reshape(J, Lp)
 
-    def bysub(x):  # [L, J] → [J, L*nsub] (broadcast across sub-lanes)
-        return jnp.broadcast_to(x.T[:, :, None], (J, L, nsub)).reshape(J, Lp)
-
-    P = {
-        "is_byp": bysub(is_byp_j), "ch_ok": bysub(ch_ok_j),
-        "cb1": bysub(use_cb_j & (cbk_j == 1)),
-        "cb2": bysub(use_cb_j & (cbk_j == 2)),
-        "cb3": bysub(use_cb_j & (cbk_j == 3)),
-        "use_cb": bysub(use_cb_j), "lbb": bysub(lbb_j),
-        "off": bysub(off_j), "qq": bysub(qq_j),
-    }
+    cb_p = plane(codebook)
+    lbb_p = plane(lsb_bits)
+    off_p = plane(offset)
+    qq_p = plane(quant)
+    nbyp_l = jnp.broadcast_to(nbyp[:, None], (L, nsub)).reshape(Lp)
+    # keep bits k < nbyp of the 6-bit burst field (rest is stream noise)
+    byp_keep = 0x3F & ~((1 << (6 - nbyp_l)) - 1)
 
     def step(bitpos, jj):
-        row = {n: jax.lax.dynamic_index_in_dim(a, jj, 0, keepdims=False)
-               for n, a in P.items()}
+        def dyn(a):
+            return jax.lax.dynamic_index_in_dim(a, jj, 0, keepdims=False)
+
+        cb_r, lbb_r, off_r, qq_r = dyn(cb_p), dyn(lbb_p), dyn(off_p), \
+            dyn(qq_p)
         idx = bitpos >> 5
         w0 = sel(idx)
         w1 = sel(idx + 1)
-        w2 = sel(idx + 2)
         b = (bitpos & 31).astype(u32)
         inv = (u32(32) - b) & u32(31)
         hi = (w0 << b) | jnp.where(b > 0, w1 >> inv, u32(0))
+        ext = ((w1 >> ((u32(31) - b) & u32(31))) & u32(1))  # window bit 32
 
         p9 = (hi >> u32(23)).astype(jnp.int32)
-        msb, nb = codebook_arith_decode(row["cb1"], row["cb2"], row["cb3"],
-                                        p9)
-        nb = jnp.where(row["use_cb"], nb, 0)
-        msb = jnp.where(row["use_cb"], msb, 0)
+        msb, nb = codebook_arith_decode(cb_r == 1, cb_r == 2, cb_r == 3, p9)
+        use_cb = cb_r > 0
+        nb = jnp.where(use_cb, nb, 0)
+        msb = jnp.where(use_cb, msb, 0)
 
-        # LSB window at bitpos + nb, from the same three words
-        lbb = row["lbb"]
-        p2 = bitpos + nb
-        shift_word = (p2 >> 5) - idx                    # 0 or 1
-        wa = jnp.where(shift_word == 0, w0, w1)
-        wb = jnp.where(shift_word == 0, w1, w2)
-        b2 = (p2 & 31).astype(u32)
-        inv2 = (u32(32) - b2) & u32(31)
-        hib = (wa << b2) | jnp.where(b2 > 0, wb >> inv2, u32(0))
-        sa = (u32(32) - lbb.astype(u32)) & u32(31)
-        lsb = jnp.where(lbb > 0, (hib >> sa).astype(jnp.int32), 0)
+        # LSB field = window bits [nb, nb+lbb), nb+lbb <= 33: the 32-bit
+        # peek plus the single extension bit covers it (no third word)
+        e = nb + lbb_r
+        r33 = jnp.where(e <= 32,
+                        hi >> (((32 - e) & 31).astype(u32)),
+                        (hi << u32(1)) | ext)
+        lbb_u = lbb_r.astype(u32)
+        lsb = jnp.where(lbb_r > 0,
+                        (r33 & ((u32(1) << lbb_u) - u32(1)))
+                        .astype(jnp.int32), 0)
 
-        val = ((msb << lbb) + lsb + row["off"]) << row["qq"]
-        val = jnp.where(row["ch_ok"] & ~row["is_byp"], val, 0)
-        # one fused output: bypass slots carry their bit, channel slots
-        # their value (slot classes are disjoint, so the extraction masks
-        # below separate them) — halves the scan's HBM output traffic
-        out = jnp.where(row["is_byp"], (hi >> u32(31)).astype(jnp.int32),
-                        val)
-        adv = jnp.where(row["is_byp"], 1,
-                        jnp.where(row["ch_ok"], nb + lbb, 0))
+        val = ((msb << lbb_r) + lsb + off_r) << qq_r
+        if has_burst:
+            packed = (hi >> u32(26)).astype(jnp.int32) & byp_keep
+            burst = jnp.equal(jj, 0)
+            out = jnp.where(burst, packed, val)
+            adv = jnp.where(burst, nbyp_l, nb + lbb_r)
+        else:
+            out = val
+            adv = nb + lbb_r
         return bitpos + adv, out
 
-    steps_j = jnp.tile(j_syms, k)                       # [k*J]
+    steps_j = jnp.tile(jnp.arange(J, dtype=jnp.int32), k)  # [k*J]
     _, outs = jax.lax.scan(step, local0, steps_j)
 
-    # step (i, j) of sub-lane u is sample u*k+i's j-th symbol: a plain
+    # step (i, j) of sub-lane u is sample u*k+i's j-th slot: a plain
     # reshape recovers the [L, sample, J] layout (trailing sub-lane
-    # overrun rows beyond S0 are sliced off)
+    # overrun rows beyond S0 are sliced off); channel values are a slice
     samp = outs.T.reshape(L, nsub * k, J)[:, :S0]       # [L, S0, J]
-    # bypass bits live in slots j < nbyp; channel values elsewhere
-    byp = samp * (j_syms[None, :] < nbyp[:, None])[:, None, :]
-    # residual of channel c sits at symbol slot nbyp + c — extracted by
-    # masked sum over the tiny J axis (a take_along_axis here costs
-    # ~13 ns/element on v5e, ~27 ms/chunk; the masked sum is ~free)
-    cols = []
-    for c in range(C):
-        m = ((nbyp + c)[:, None] == j_syms[None, :]).astype(jnp.int32)
-        cols.append((samp * m[:, None, :]).sum(axis=2))  # [L, S0]
-    return jnp.stack(cols, axis=1), byp                  # [L, C, S0]
+    if has_burst:
+        packed = samp[:, :, 0]
+        byp = jnp.stack([(packed >> (5 - m)) & 1 for m in range(6)],
+                        axis=-1)                        # [L, S0, 6]
+        res = samp[:, :, 1:]
+    else:
+        byp = jnp.zeros((L, S0, 6), jnp.int32)
+        res = samp
+    return res.transpose(0, 2, 1), byp                  # [L, C, S0]
 
 
 def decode_residuals_numpy(stream: bytes, sub: dict, lut_vals: np.ndarray,

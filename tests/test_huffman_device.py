@@ -70,7 +70,7 @@ def test_kernel_matches_numpy_and_host(assign, nsub, split):
 
         NW = _window_rows(sub["sub_span_max"])
         wpad = np.zeros(-len(words) % NW + NW, np.uint32)
-        J = n_ch + 6
+        J = n_ch + (1 if sub["nbyp"].any() else 0)  # burst-slot schedule
         res_d, byp_d = decode_residuals_device(
             jnp.asarray(np.concatenate([words, wpad])),
             jnp.asarray(bp),
