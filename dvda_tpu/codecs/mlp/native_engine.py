@@ -161,28 +161,31 @@ def _uniform_arena_pipeline(a4, a2, a1, spec):
     packed = []   # per substream: (lane inputs..., Bc, n_ch, NB0, S0)
     byp6 = None
     for i in range(n_sub):
+        res_lanes = None
         if f"s{i}_bitpos" in arrs:
             S0 = flags[f"s{i}_S"]
             cb = i32(f"s{i}_cb")
             Bc, NB0, n_ch = cb.shape
             Lc = Bc * NB0
-            res_k, byp_k = dh_out[i]
-            res = res_k.reshape(Bc, NB0, n_ch, S0)
+            res_k, byp_k = dh_out[i]       # [n_ch, Lc, S0], [Lc, S0]
+            # channel-major kernel output → filter lanes with ONE major
+            # permute (S0 stays minor; see ops/huffman_decode.py)
+            res_lanes = (res_k.reshape(n_ch, Bc, NB0, S0)
+                         .transpose(1, 0, 2, 3)
+                         .reshape(Bc * n_ch, NB0, S0))
             if f"s{i}_bypk" in arrs:
-                # slot m's bit is the kidx[m]-th bypass symbol: masked sum
-                # over the 6-wide axis (gathers at this shape cost ~26 ms
-                # per chunk on v5e; see ops/huffman_decode.py)
-                kidx = i32(f"s{i}_bypk").reshape(Lc, 1, 6)
-                vld = i32(f"s{i}_bypv").reshape(Lc, 1, 6)
-                slot = jnp.zeros((Lc, S0, 6), jnp.int32)
-                for kk in range(min(6, byp_k.shape[2])):
-                    slot = slot + jnp.where(kidx == kk,
-                                            byp_k[:, :, kk : kk + 1], 0)
-                slot = slot * vld
-                byp6 = slot.reshape(Bc * NB0 * S0, 6)  # chain-major [T, 6]
+                # slot m's bit is the kidx[m]-th bypass symbol of the
+                # packed burst field: a per-lane variable shift per slot
+                # ([Lc, S0] each, S0 minor) — the former [Lc, S0, 6]
+                # masked sum ran at 6/128 lane utilization
+                kidx = i32(f"s{i}_bypk").reshape(Lc, 6)
+                vld = i32(f"s{i}_bypv").reshape(Lc, 6)
+                rows = [((byp_k >> (5 - kidx[:, m])[:, None]) & 1)
+                        * vld[:, m][:, None] for m in range(6)]
+                byp6 = jnp.stack(rows, 0).reshape(6, Lc * S0)  # [6, T]
         else:
             res = i32(f"s{i}_res")
-        Bc, NB0, n_ch, S0 = res.shape
+            Bc, NB0, n_ch, S0 = res.shape
 
         def pack(x):  # [Bc, NB0, n_ch, ...] -> [Bc*n_ch, NB0, ...]
             g = jnp.moveaxis(x, 2, 1)
@@ -211,7 +214,8 @@ def _uniform_arena_pipeline(a4, a2, a1, spec):
             quant_b = i32(f"s{i}_quant")
             iir_init = i32(f"s{i}_iir_init")
             iir_reset = arrs[f"s{i}_iir_reset"] != 0
-        packed.append((pack(res), pack(rc_fir), pack(rc_iir), pack(shift_b),
+        packed.append((res_lanes if res_lanes is not None else pack(res),
+                       pack(rc_fir), pack(rc_iir), pack(shift_b),
                        pack(quant_b), pack(iir_reset), pack(iir_init),
                        block_len, state0, Bc, n_ch, NB0, S0))
 
@@ -280,10 +284,10 @@ def _uniform_arena_pipeline(a4, a2, a1, spec):
     if "byp" in arrs:
         byp_bits = i32("byp")                           # [T_pad]
         byp = ((byp_bits[:, None] >> jnp.arange(6, dtype=jnp.int32)) & 1)
-        byp = byp.reshape(F_pad, L0, 6)
+        byp = byp.reshape(F_pad, L0, 6).transpose(0, 2, 1)
     else:  # device-Huffman mode: bits decoded on device (final substream)
-        byp = byp6.reshape(F_pad, L0, 6)
-    byp = byp.transpose(0, 2, 1)                        # [F_pad, 6, L0]
+        byp = byp6.reshape(6, F_pad, L0).transpose(1, 0, 2)
+    # either way: [F_pad, 6, L0], L0 minor
 
     channels = rematrix_frames(channels, noise, i32("mat_coeff"),
                                i32("mat_noise"), i32("mat_out"),

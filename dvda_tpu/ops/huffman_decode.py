@@ -77,7 +77,7 @@ def codebook_arith_decode(cb_is1, cb_is2, cb_is3, p):
     return val, nb
 
 
-@partial(jax.jit, static_argnums=(7, 8, 9, 10))
+@partial(jax.jit, static_argnums=(7, 8, 9, 10, 11))
 def decode_residuals_device(
     words,      # uint32 [W]      chunk window, W a multiple of NW (+guard)
     bitpos0,    # int32  [L, nsub]  per-sub-lane absolute start bit
@@ -92,8 +92,20 @@ def decode_residuals_device(
     k: int,     # samples per sub-lane (static); nsub*k >= S0
     NW: int,    # window row words (static, power of two); a sub-lane's
                 # span + 64-bit guard must fit in NW*32 bits
+    _ablate: str = "",  # measurement hook (tools/devhuff_ablate.py):
+                # comma-set of {nosel, noarith} stubbing scan stages to
+                # attribute device time.  NOT bit-exact — never set in
+                # production.
 ):
-    """Returns (residuals int32 [L, C, S0], byp_bits int32 [L, S0, 6]).
+    """Returns (residuals int32 [C, L, S0], byp_field int32 [L, S0]).
+
+    ``byp_field`` is the raw 6-bit burst field per sample (bit ``5-k`` =
+    the ``k``-th bypassed-LSB symbol, bits ``k >= nbyp[lane]`` zeroed);
+    the caller maps symbols to rematrix slots with per-lane shifts.
+    Channel-major residuals + a packed bypass field keep **S0 as the
+    minor dimension everywhere** — the previous [L, S0, J] / [L, S0, 6]
+    epilogue ran at J/128 lane utilization and cost ~3 ms of the 8.4 ms
+    chunk (measured, tools/devhuff_ablate.py).
 
     Per sample the scan runs J slots: an optional *bypass burst* (all
     ≤6 bypassed-LSB bits read in one step from the window's top bits —
@@ -108,6 +120,7 @@ def decode_residuals_device(
     u32 = jnp.uint32
     LOG = NW.bit_length() - 1
     has_burst = J == C + 1
+    ablate = set(filter(None, _ablate.split(",")))
 
     # ---- per-lane aligned windows: two NW-word rows per sub-lane -------
     words2d = words.reshape(-1, NW)
@@ -119,6 +132,8 @@ def decode_residuals_device(
     local0 = flat_bp - (row << (5 + LOG))                   # [0, 2*NW*32)
 
     def sel(i):  # win[:, i] via a select tree (no gather); i int32 [Lp]
+        if "nosel" in ablate:  # ablation: fixed column, keeps dependency
+            return win[:, 0] ^ i.astype(u32)
         w = win
         for lev in reversed(range(LOG + 1)):
             half = 1 << lev
@@ -157,7 +172,11 @@ def decode_residuals_device(
         ext = ((w1 >> ((u32(31) - b) & u32(31))) & u32(1))  # window bit 32
 
         p9 = (hi >> u32(23)).astype(jnp.int32)
-        msb, nb = codebook_arith_decode(cb_r == 1, cb_r == 2, cb_r == 3, p9)
+        if "noarith" in ablate:  # ablation: constant-length decode
+            msb, nb = p9 & 7, (p9 & 3) + 1
+        else:
+            msb, nb = codebook_arith_decode(cb_r == 1, cb_r == 2,
+                                            cb_r == 3, p9)
         use_cb = cb_r > 0
         nb = jnp.where(use_cb, nb, 0)
         msb = jnp.where(use_cb, msb, 0)
@@ -187,19 +206,14 @@ def decode_residuals_device(
     steps_j = jnp.tile(jnp.arange(J, dtype=jnp.int32), k)  # [k*J]
     _, outs = jax.lax.scan(step, local0, steps_j)
 
-    # step (i, j) of sub-lane u is sample u*k+i's j-th slot: a plain
-    # reshape recovers the [L, sample, J] layout (trailing sub-lane
-    # overrun rows beyond S0 are sliced off); channel values are a slice
-    samp = outs.T.reshape(L, nsub * k, J)[:, :S0]       # [L, S0, J]
+    # step (i, j) of sub-lane u is sample u*k+i's j-th slot.  One major
+    # permute puts slots leading and samples minor; every later slice is
+    # a free leading-axis index and S0 stays the minor dim end to end.
+    samp = (outs.reshape(k, J, L, nsub).transpose(1, 2, 3, 0)
+            .reshape(J, L, nsub * k)[:, :, :S0])        # [J, L, S0]
     if has_burst:
-        packed = samp[:, :, 0]
-        byp = jnp.stack([(packed >> (5 - m)) & 1 for m in range(6)],
-                        axis=-1)                        # [L, S0, 6]
-        res = samp[:, :, 1:]
-    else:
-        byp = jnp.zeros((L, S0, 6), jnp.int32)
-        res = samp
-    return res.transpose(0, 2, 1), byp                  # [L, C, S0]
+        return samp[1:], samp[0]                        # [C, L, S0], [L, S0]
+    return samp, jnp.zeros((L, S0), jnp.int32)
 
 
 def decode_residuals_numpy(stream: bytes, sub: dict, lut_vals: np.ndarray,

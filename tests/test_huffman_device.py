@@ -80,17 +80,18 @@ def test_kernel_matches_numpy_and_host(assign, nsub, split):
             jnp.asarray(sub["quant"].astype(np.int32)),
             jnp.asarray(sub["nbyp"].astype(np.int32)),
             S0, J, k, NW)
-        res_d = np.asarray(res_d)
-        byp_d = np.asarray(byp_d)
+        res_d = np.asarray(res_d).transpose(1, 0, 2)  # [C,NB,S0]→[NB,C,S0]
+        byp_d = np.asarray(byp_d)                     # [NB, S0] burst field
         assert np.array_equal(res_d, res_np), s
 
-        # kernel byp is bypass-order-k; map to slot m via byp_mask
+        # kernel byp is the packed burst field (bit 5-k = k-th bypass
+        # symbol); map symbol k to slot m via byp_mask
         byp_slots = np.zeros((NB, S0, 6), np.int32)
         for b in range(NB):
             slot = 0
             for m in range(6):
                 if (int(sub["byp_mask"][b]) >> m) & 1:
-                    byp_slots[b, :, m] = byp_d[b, :, slot]
+                    byp_slots[b, :, m] = (byp_d[b] >> (5 - slot)) & 1
                     slot += 1
         assert np.array_equal(byp_slots, byp_np), s
 
