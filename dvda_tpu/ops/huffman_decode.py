@@ -26,12 +26,12 @@ every in-scan gather:
   per codebook.  Validated exhaustively against the peek LUTs for every
   valid 9-bit peek (tests/test_huffman_device.py).
 
-Symbol schedule: sample-major; within a sample, position ``j`` decodes
-the ``j``-th bypassed-LSB bit while ``j < nbyp[lane]`` and channel
-``j - nbyp[lane]``'s code otherwise — per-lane masks make the shared
-schedule correct for lanes with different bypass counts.  Per-(lane, j)
-parameters live in [J, L'] arrays dynamic-indexed by the scan step's
-``j`` (a traced scalar → vector load, not a gather).
+Symbol schedule: the scan runs one step per SAMPLE with the C channel
+slots unrolled inside the body (per-slot parameters are static
+leading-axis slices — no dynamic indexing).  The bypass burst is fused
+into channel 0's slot: its fetch reads a third window word so the
+shifted symbol (burst ≤6 + code ≤9 + LSB ≤24 = 39 bits) still decodes
+from one fetch — a sample costs C slot bodies, not C+1.
 """
 
 from __future__ import annotations
@@ -52,10 +52,12 @@ def codebook_arith_decode(cb_is1, cb_is2, cb_is3, p):
     with a codebook; all false → (0, 0) is handled by the caller's
     ``use_cb`` mask).  Pure vector arithmetic — see module docstring."""
     def bitlen9(x):
-        bl = jnp.zeros_like(x)
-        for t in range(9):
-            bl = bl + (x >= (1 << t)).astype(jnp.int32)
-        return bl
+        # exact bit-length via the f32 exponent (x < 2**24 converts
+        # exactly; bitlen(x) = unbiased exponent + 1 for x > 0): 4 ops
+        # where the compare ladder costs 18
+        e = (jax.lax.bitcast_convert_type(x.astype(jnp.float32),
+                                          jnp.int32) >> 23) - 126
+        return jnp.where(x > 0, e, 0)
 
     m = 9 - bitlen9(p)                   # leading zeros of the 9-bit peek
     m01 = 7 - bitlen9(p & 0x7F)          # zeros after a "01" prefix
@@ -107,14 +109,15 @@ def decode_residuals_device(
     epilogue ran at J/128 lane utilization and cost ~3 ms of the 8.4 ms
     chunk (measured, tools/devhuff_ablate.py).
 
-    Per sample the scan runs J slots: an optional *bypass burst* (all
-    ≤6 bypassed-LSB bits read in one step from the window's top bits —
-    one step instead of one per bit) followed by exactly C channel
-    slots, so every slot is live for every lane and the residual
-    extraction is a plain slice.  The LSB field never needs a third
-    stream word: nb ≤ 9 and lsb_bits ≤ 24 bound the symbol to 33 bits,
-    i.e. the 32-bit peek plus one extension bit."""
+    Per sample the scan runs ONE step with C slot bodies unrolled; the
+    bypass burst (all ≤6 bypassed-LSB bits, read together from the
+    window's top bits) is fused into slot 0, whose fetch covers three
+    window words so the nbyp-shifted symbol still reads from one fetch.
+    ``J`` only signals whether any lane has bypass (J == C + 1)."""
     L, C = codebook.shape
+    if C == 0:
+        return (jnp.zeros((0, L, S0), jnp.int32),
+                jnp.zeros((L, S0), jnp.int32))
     nsub = bitpos0.shape[1]
     Lp = L * nsub
     u32 = jnp.uint32
@@ -142,77 +145,88 @@ def decode_residuals_device(
                           jax.lax.slice_in_dim(w, 0, half, axis=1))
         return w[:, 0]
 
-    # ---- per-slot parameter planes [J, L'] dynamic-indexed by step ----
-    def plane(x):  # [L, C] → [J, L*nsub]; slot 0 = burst → zero row
-        t = x.T                                          # [C, L]
-        if has_burst:
-            t = jnp.concatenate([jnp.zeros((1, L), t.dtype), t], axis=0)
-        return jnp.broadcast_to(t[:, :, None], (J, L, nsub)).reshape(J, Lp)
+    # ---- per-slot parameters [C, L'] — static leading-axis index ------
+    def cols(x):  # [L, C] → [C, L*nsub]
+        return (jnp.broadcast_to(x.T[:, :, None], (C, L, nsub))
+                .reshape(C, Lp))
 
-    cb_p = plane(codebook)
-    lbb_p = plane(lsb_bits)
-    off_p = plane(offset)
-    qq_p = plane(quant)
+    cb_c, lbb_c = cols(codebook), cols(lsb_bits)
+    off_c, qq_c = cols(offset), cols(quant)
     nbyp_l = jnp.broadcast_to(nbyp[:, None], (L, nsub)).reshape(Lp)
+    nbyp_u = nbyp_l.astype(u32)
     # keep bits k < nbyp of the 6-bit burst field (rest is stream noise)
     byp_keep = 0x3F & ~((1 << (6 - nbyp_l)) - 1)
 
-    def step(bitpos, jj):
-        def dyn(a):
-            return jax.lax.dynamic_index_in_dim(a, jj, 0, keepdims=False)
+    def step(bitpos, _):
+        """One SAMPLE: C unrolled slot bodies; the bypass burst is fused
+        into slot 0 (its window fetch reads a third word so the shifted
+        symbol — burst ≤6 + code ≤9 + LSB ≤24 = 39 bits — still comes
+        from one fetch)."""
+        vals = []
+        packed = jnp.zeros((Lp,), jnp.int32)
+        for j in range(C):
+            cb_r, lbb_r = cb_c[j], lbb_c[j]
+            off_r, qq_r = off_c[j], qq_c[j]
+            idx = bitpos >> 5
+            w0 = sel(idx)
+            w1 = sel(idx + 1)
+            b = (bitpos & 31).astype(u32)
+            inv = (u32(32) - b) & u32(31)
+            nz = b > 0
+            hi = (w0 << b) | jnp.where(nz, w1 >> inv, u32(0))
+            if j == 0 and has_burst:
+                # burst field = top 6 bits at the sample start
+                packed = (hi >> u32(26)).astype(jnp.int32) & byp_keep
+                # slot 0's symbol starts nbyp bits in: shift a 64-bit
+                # window (hi:hi2) left by nbyp — needs word idx+2
+                w2 = sel(idx + 2)
+                hi2 = (w1 << b) | jnp.where(nz, w2 >> inv, u32(0))
+                sh = nbyp_u
+                hi = jnp.where(nbyp_l > 0,
+                               (hi << sh) | (hi2 >> (u32(32) - sh)), hi)
+                # window bit 32 (after the shift) = hi2 bit nbyp
+                ext = (hi2 >> (u32(31) - sh)) & u32(1)
+                adv0 = nbyp_l
+            else:
+                ext = (w1 >> ((u32(31) - b) & u32(31))) & u32(1)
+                adv0 = 0
 
-        cb_r, lbb_r, off_r, qq_r = dyn(cb_p), dyn(lbb_p), dyn(off_p), \
-            dyn(qq_p)
-        idx = bitpos >> 5
-        w0 = sel(idx)
-        w1 = sel(idx + 1)
-        b = (bitpos & 31).astype(u32)
-        inv = (u32(32) - b) & u32(31)
-        hi = (w0 << b) | jnp.where(b > 0, w1 >> inv, u32(0))
-        ext = ((w1 >> ((u32(31) - b) & u32(31))) & u32(1))  # window bit 32
+            p9 = (hi >> u32(23)).astype(jnp.int32)
+            if "noarith" in ablate:  # ablation: constant-length decode
+                msb, nb = p9 & 7, (p9 & 3) + 1
+            else:
+                msb, nb = codebook_arith_decode(cb_r == 1, cb_r == 2,
+                                                cb_r == 3, p9)
+            use_cb = cb_r > 0
+            nb = jnp.where(use_cb, nb, 0)
+            msb = jnp.where(use_cb, msb, 0)
 
-        p9 = (hi >> u32(23)).astype(jnp.int32)
-        if "noarith" in ablate:  # ablation: constant-length decode
-            msb, nb = p9 & 7, (p9 & 3) + 1
-        else:
-            msb, nb = codebook_arith_decode(cb_r == 1, cb_r == 2,
-                                            cb_r == 3, p9)
-        use_cb = cb_r > 0
-        nb = jnp.where(use_cb, nb, 0)
-        msb = jnp.where(use_cb, msb, 0)
+            # LSB field = window bits [nb, nb+lbb), nb+lbb <= 33: the
+            # 32-bit peek plus the single extension bit covers it
+            e = nb + lbb_r
+            r33 = jnp.where(e <= 32,
+                            hi >> (((32 - e) & 31).astype(u32)),
+                            (hi << u32(1)) | ext)
+            lbb_u = lbb_r.astype(u32)
+            lsb = jnp.where(lbb_r > 0,
+                            (r33 & ((u32(1) << lbb_u) - u32(1)))
+                            .astype(jnp.int32), 0)
 
-        # LSB field = window bits [nb, nb+lbb), nb+lbb <= 33: the 32-bit
-        # peek plus the single extension bit covers it (no third word)
-        e = nb + lbb_r
-        r33 = jnp.where(e <= 32,
-                        hi >> (((32 - e) & 31).astype(u32)),
-                        (hi << u32(1)) | ext)
-        lbb_u = lbb_r.astype(u32)
-        lsb = jnp.where(lbb_r > 0,
-                        (r33 & ((u32(1) << lbb_u) - u32(1)))
-                        .astype(jnp.int32), 0)
+            vals.append(((msb << lbb_r) + lsb + off_r) << qq_r)
+            bitpos = bitpos + adv0 + nb + lbb_r
+        return bitpos, (jnp.stack(vals), packed)
 
-        val = ((msb << lbb_r) + lsb + off_r) << qq_r
-        if has_burst:
-            packed = (hi >> u32(26)).astype(jnp.int32) & byp_keep
-            burst = jnp.equal(jj, 0)
-            out = jnp.where(burst, packed, val)
-            adv = jnp.where(burst, nbyp_l, nb + lbb_r)
-        else:
-            out = val
-            adv = nb + lbb_r
-        return bitpos + adv, out
+    _, (outs, byps) = jax.lax.scan(step, local0, None, length=k)
 
-    steps_j = jnp.tile(jnp.arange(J, dtype=jnp.int32), k)  # [k*J]
-    _, outs = jax.lax.scan(step, local0, steps_j)
-
-    # step (i, j) of sub-lane u is sample u*k+i's j-th slot.  One major
-    # permute puts slots leading and samples minor; every later slice is
-    # a free leading-axis index and S0 stays the minor dim end to end.
-    samp = (outs.reshape(k, J, L, nsub).transpose(1, 2, 3, 0)
-            .reshape(J, L, nsub * k)[:, :, :S0])        # [J, L, S0]
+    # step i of sub-lane u is sample u*k+i.  One major permute puts
+    # channels leading and samples minor; every later slice is a free
+    # leading-axis index and S0 stays the minor dim end to end.
+    samp = (outs.reshape(k, C, L, nsub).transpose(1, 2, 3, 0)
+            .reshape(C, L, nsub * k)[:, :, :S0])        # [C, L, S0]
     if has_burst:
-        return samp[1:], samp[0]                        # [C, L, S0], [L, S0]
+        byp = (byps.reshape(k, L, nsub).transpose(1, 2, 0)
+               .reshape(L, nsub * k)[:, :S0])           # [L, S0]
+        return samp, byp
     return samp, jnp.zeros((L, S0), jnp.int32)
 
 
