@@ -202,3 +202,69 @@ def test_device_huffman_multi_section_pipelined():
     # the sectioned path (not the value-mode fallback) must have run:
     # two sections, several small chunks
     assert ne._LAST_PIPELINE_INFO.get("sections") == 2, ne._LAST_PIPELINE_INFO
+
+
+def test_kernel_worst_case_39_bit_symbols():
+    """Hand-built bitstreams that pin the fused burst slot's widest
+    symbol: nbyp = 6 bypass bits + a 9-bit code + 24 LSB bits = 39 bits
+    from one fetch (the third-window-word path), across all 32 start-bit
+    alignments, vs the independent numpy spec."""
+    vals, lens = _luts()
+    rng = np.random.default_rng(11)
+    # valid codebook-1 codes incl. the longest (9-bit) classes
+    CB1 = ["111", "100", "000000001", "010000001", "011", "01001", "001"]
+    # valid codebook-3 codes incl. the 1-bit short prefix
+    CB3 = ["1", "001", "010000001", "0001"]
+    n_ch, NB, S0, k = 2, 3, 8, 4
+    for align in range(32):
+        bits = "1" * align          # sweep block-0 start alignment
+        res_bitpos, sub_rel = [], []
+        for b in range(NB):
+            res_bitpos.append(len(bits))
+            rel = []
+            for i in range(S0):
+                if i % k == 0:
+                    rel.append(len(bits) - res_bitpos[-1])
+                bits += "".join(rng.choice(["0", "1"], 6))      # bypass
+                bits += str(rng.choice(CB1)) + "".join(
+                    rng.choice(["0", "1"], 24))                 # ch0
+                bits += str(rng.choice(CB3)) + "".join(
+                    rng.choice(["0", "1"], 12))                 # ch1
+            sub_rel.append(rel)
+        stream = bytes(
+            int(bits[i : i + 8].ljust(8, "0"), 2)
+            for i in range(0, len(bits), 8))
+        sub = {
+            "NB": NB,
+            "codebook": np.tile(np.array([[1, 3]], np.int32), (NB, 1)),
+            "lsb_bits": np.tile(np.array([[24, 12]], np.int32), (NB, 1)),
+            "res_offset": np.tile(np.array([[-5, 3]], np.int32), (NB, 1)),
+            "quant": np.tile(np.array([[2, 0]], np.int32), (NB, 1)),
+            "len": np.full(NB, S0, np.int32),
+            "res_bitpos": np.array(res_bitpos, np.int32),
+            "byp_mask": np.full(NB, 0b111111, np.int32),  # all 6 slots
+        }
+        res_np, byp_np = decode_residuals_numpy(stream, sub, vals, lens)
+
+        from dvda_tpu.codecs.mlp.native_engine import _window_rows
+
+        span = max(r[1] - r[0] for r in sub_rel) + 45 * k  # generous
+        NW = _window_rows(span)
+        words = _stream_words(stream)
+        wpad = np.zeros(-len(words) % NW + NW, np.uint32)
+        bp = (np.array(res_bitpos, np.int32)[:, None]
+              + np.array(sub_rel, np.int32))
+        res_d, byp_d = decode_residuals_device(
+            jnp.asarray(np.concatenate([words, wpad])),
+            jnp.asarray(bp),
+            jnp.asarray(sub["codebook"]), jnp.asarray(sub["lsb_bits"]),
+            jnp.asarray(sub["res_offset"]), jnp.asarray(sub["quant"]),
+            jnp.asarray(np.full(NB, 6, np.int32)),
+            S0, n_ch + 1, k, NW)
+        res_d = np.asarray(res_d).transpose(1, 0, 2)
+        assert np.array_equal(res_d, res_np), align
+        byp_d = np.asarray(byp_d)
+        for b in range(NB):
+            for m in range(6):
+                assert np.array_equal((byp_d[b] >> (5 - m)) & 1,
+                                      byp_np[b, :, m]), (align, b, m)
