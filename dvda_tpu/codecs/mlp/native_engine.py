@@ -99,7 +99,7 @@ def _uniform_arena_pipeline(a4, a2, a1, spec):
     gathers at stream size were the dominant device cost.
     """
     from ...ops.huffman_decode import decode_residuals_device
-    from ...ops.mlp_filter import mlp_filter_blocks
+    from ...ops.mlp_filter import mlp_filter_blocks_tl
     from ...ops.rematrix import apply_output_stage, rematrix_frames
 
     arenas = {4: a4, 2: a2, 1: a1}
@@ -156,23 +156,21 @@ def _uniform_arena_pipeline(a4, a2, a1, spec):
     for d in dh:
         dh_out[d["i"]] = decode_residuals_device(
             arrs["words"], d["bp"], d["cb"], d["lsbb"], d["off"],
-            d["quant"], d["nbyp"], d["S0"], d["J"], d["K"], d["NW"])
+            d["quant"], d["nbyp"], d["S0"], d["J"], d["K"], d["NW"],
+            d["NB0"])
 
     packed = []   # per substream: (lane inputs..., Bc, n_ch, NB0, S0)
     byp6 = None
     for i in range(n_sub):
-        res_lanes = None
+        res_tl = None
         if f"s{i}_bitpos" in arrs:
             S0 = flags[f"s{i}_S"]
             cb = i32(f"s{i}_cb")
             Bc, NB0, n_ch = cb.shape
             Lc = Bc * NB0
-            res_k, byp_k = dh_out[i]       # [n_ch, Lc, S0], [Lc, S0]
-            # channel-major kernel output → filter lanes with ONE major
-            # permute (S0 stays minor; see ops/huffman_decode.py)
-            res_lanes = (res_k.reshape(n_ch, Bc, NB0, S0)
-                         .transpose(1, 0, 2, 3)
-                         .reshape(Bc * n_ch, NB0, S0))
+            # kernel emits filter-ready TIME-LEADING residuals directly
+            # (one well-shaped permute inside the kernel; see NB0 arg)
+            res_tl, byp_k = dh_out[i]      # [NB0, S0, n_ch*Bc], [Lc, S0]
             if f"s{i}_bypk" in arrs:
                 # slot m's bit is the kidx[m]-th bypass symbol of the
                 # packed burst field: a per-lane variable shift per slot
@@ -186,10 +184,12 @@ def _uniform_arena_pipeline(a4, a2, a1, spec):
         else:
             res = i32(f"s{i}_res")
             Bc, NB0, n_ch, S0 = res.shape
+            res_tl = (res.transpose(1, 3, 2, 0)
+                      .reshape(NB0, S0, n_ch * Bc))
 
-        def pack(x):  # [Bc, NB0, n_ch, ...] -> [Bc*n_ch, NB0, ...]
-            g = jnp.moveaxis(x, 2, 1)
-            return g.reshape((Bc * n_ch, NB0) + x.shape[3:])
+        def pack(x):  # [Bc, NB0, n_ch, ...] -> [n_ch*Bc, NB0, ...]
+            g = jnp.moveaxis(x, 2, 0)    # channel-major lane order
+            return g.reshape((n_ch * Bc, NB0) + x.shape[3:])
 
         state0 = jnp.zeros((Bc * n_ch, 8), jnp.int32)
         block_len = jnp.full((Bc * n_ch, NB0), S0, jnp.int32)
@@ -214,7 +214,7 @@ def _uniform_arena_pipeline(a4, a2, a1, spec):
             quant_b = i32(f"s{i}_quant")
             iir_init = i32(f"s{i}_iir_init")
             iir_reset = arrs[f"s{i}_iir_reset"] != 0
-        packed.append((res_lanes if res_lanes is not None else pack(res),
+        packed.append((res_tl,
                        pack(rc_fir), pack(rc_iir), pack(shift_b),
                        pack(quant_b), pack(iir_reset), pack(iir_init),
                        block_len, state0, Bc, n_ch, NB0, S0))
@@ -223,23 +223,28 @@ def _uniform_arena_pipeline(a4, a2, a1, spec):
         if "__pallas__" in flags:
             from ...ops.pallas_filter import mlp_filter_blocks_pallas
 
-            return mlp_filter_blocks_pallas(
-                *args8, interpret=bool(flags["__pallas__"]))
-        return mlp_filter_blocks(*args8, state0, state0)[0]
+            # the pallas kernel consumes lane-leading residuals
+            res_bl = jnp.moveaxis(args8[0], (0, 1), (1, 2))
+            out = mlp_filter_blocks_pallas(
+                res_bl, *args8[1:], interpret=bool(flags["__pallas__"]))
+            return jnp.moveaxis(out, (1, 2), (0, 1))
+        return mlp_filter_blocks_tl(*args8, state0, state0)[0]
 
     # substreams with identical (NB0, S0) fuse into ONE filter call —
     # lanes are independent, so concatenating them saves a second scan's
     # fixed per-step costs (the scans run back-to-back otherwise)
     fuse = len(packed) > 1 and len({(p[11], p[12]) for p in packed}) == 1
     if fuse:
-        cat = [jnp.concatenate([p[j] for p in packed], axis=0)
+        # residuals are time-leading [NB, S, B]: lanes concat on axis 2
+        cat = [jnp.concatenate([p[j] for p in packed],
+                               axis=2 if j == 0 else 0)
                for j in range(9)]
         out_all = run_filter(cat[:8], cat[8])
         outs, row = [], 0
         for p in packed:
             lanes = p[9] * p[10]
             outs.append(jax.lax.slice_in_dim(out_all, row, row + lanes,
-                                             axis=0))
+                                             axis=2))
             row += lanes
     else:
         outs = [run_filter(p[:8], p[8]) for p in packed]
@@ -247,8 +252,9 @@ def _uniform_arena_pipeline(a4, a2, a1, spec):
     series_rows = []
     for out, p in zip(outs, packed):
         Bc, n_ch, NB0, S0 = p[9], p[10], p[11], p[12]
-        out = out.reshape(Bc, n_ch, NB0 * S0)
-        series_rows.append(out.transpose(1, 0, 2).reshape(n_ch, -1))
+        # out is time-leading [NB0, S0, (c-major lanes)] → [n_ch, T]
+        # with time order (chain, block, sample) per channel row
+        series_rows.append(out.transpose(2, 0, 1).reshape(n_ch, -1))
 
     series = jnp.concatenate(series_rows, axis=0)
     T_pad = series.shape[1]
@@ -292,7 +298,7 @@ def _uniform_arena_pipeline(a4, a2, a1, spec):
     channels = rematrix_frames(channels, noise, i32("mat_coeff"),
                                i32("mat_noise"), i32("mat_out"),
                                arrs["mat_active"] != 0, i32("mat_quant"),
-                               byp)
+                               byp, flags.get("mat_mm", 6))
     staged = apply_output_stage(channels, i32("out_shift"), i32("wave_perm"))
     staged = staged.reshape(T_pad, staged.shape[-1])
     # device-side little-endian byte packing: [T_pad, C_out*nbytes]
@@ -682,6 +688,14 @@ def _decode_pipelined(inc, stream, boundaries, probe_end, parameters,
         return np.zeros((0, out_ch), dtype=np.int32)
     T = int(v.frame_len[:F].sum())
     return _finish_uniform(pending, T, out_ch, pack_bits, want_packed)
+
+
+def _max_matrix_slots(mat_active: np.ndarray) -> int:
+    """Highest active rematrix slot + 1 over a frame range [F, 6] — the
+    static unroll bound for rematrix_frames (slots beyond it are inactive
+    in every frame of the chunk, so skipping them is exact)."""
+    nz = np.nonzero(np.asarray(mat_active, bool).any(axis=0))[0]
+    return int(nz[-1]) + 1 if nz.size else 0
 
 
 def _window_rows(span_bits: int) -> int:
@@ -1203,6 +1217,7 @@ def _dispatch_chunk_native(parse, subs_info, c0, c1, CHUNK, period, L0,
     b.add_frame("mat_noise", "mat_noise", f0, f1, F_pad, (6, 2), np.int16)
     b.add_frame("mat_out", "mat_out", f0, f1, F_pad, (6,), np.int8)
     b.add_frame("mat_active", "mat_active", f0, f1, F_pad, (6,), np.int8)
+    b.mark("mat_mm", _max_matrix_slots(parse.mat_active[f0:f1]))
     b.add_frame("mat_quant", "mat_quant", f0, f1, F_pad, (6,), np.int8)
     b.add_frame("out_shift", "out_shift", f0, f1, F_pad, (8,), np.int8)
     b.add_host("wave_perm", _wave_perm(parse, out_ch).astype(np.int8))
@@ -1367,6 +1382,7 @@ def _dispatch_chunk_py(parse, subs_info, c0, c1, CHUNK, period, L0,
     b.add("mat_noise", padF(parse.mat_noise, np.int16))
     b.add("mat_out", padF(parse.mat_out, np.int8))
     b.add("mat_active", padF(parse.mat_active, np.int8))
+    b.mark("mat_mm", _max_matrix_slots(parse.mat_active[f0:f1]))
     b.add("mat_quant", padF(parse.mat_quant, np.int8))
     b.add("out_shift", padF(parse.out_shift, np.int8))
     b.add("wave_perm", _wave_perm(parse, out_ch).astype(np.int8))

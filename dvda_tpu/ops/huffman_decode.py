@@ -79,7 +79,7 @@ def codebook_arith_decode(cb_is1, cb_is2, cb_is3, p):
     return val, nb
 
 
-@partial(jax.jit, static_argnums=(7, 8, 9, 10, 11))
+@partial(jax.jit, static_argnums=(7, 8, 9, 10, 11, 12))
 def decode_residuals_device(
     words,      # uint32 [W]      chunk window, W a multiple of NW (+guard)
     bitpos0,    # int32  [L, nsub]  per-sub-lane absolute start bit
@@ -94,12 +94,19 @@ def decode_residuals_device(
     k: int,     # samples per sub-lane (static); nsub*k >= S0
     NW: int,    # window row words (static, power of two); a sub-lane's
                 # span + 64-bit guard must fit in NW*32 bits
+    NB0: int = 0,  # static: when > 0, L factors as (Bc, NB0) chain-major
+                # and residuals return TIME-LEADING [NB0, S0, C*Bc]
+                # (filter-ready, channel-major lanes) via ONE permute
+                # whose minor dims are (C, Bc) — the [C, L, S0] epilogue
+                # materializes a minor-40 intermediate that costs ~1 ms
+                # per chunk (measured, tools/devhuff_ablate.py konly)
     _ablate: str = "",  # measurement hook (tools/devhuff_ablate.py):
                 # comma-set of {nosel, noarith} stubbing scan stages to
                 # attribute device time.  NOT bit-exact — never set in
                 # production.
 ):
-    """Returns (residuals int32 [C, L, S0], byp_field int32 [L, S0]).
+    """Returns (residuals int32 [C, L, S0], byp_field int32 [L, S0]) —
+    or (residuals_tl int32 [NB0, S0, C*Bc], byp_field) when NB0 > 0.
 
     ``byp_field`` is the raw 6-bit burst field per sample (bit ``5-k`` =
     the ``k``-th bypassed-LSB symbol, bits ``k >= nbyp[lane]`` zeroed);
@@ -218,16 +225,26 @@ def decode_residuals_device(
 
     _, (outs, byps) = jax.lax.scan(step, local0, None, length=k)
 
-    # step i of sub-lane u is sample u*k+i.  One major permute puts
-    # channels leading and samples minor; every later slice is a free
-    # leading-axis index and S0 stays the minor dim end to end.
-    samp = (outs.reshape(k, C, L, nsub).transpose(1, 2, 3, 0)
-            .reshape(C, L, nsub * k)[:, :, :S0])        # [C, L, S0]
     if has_burst:
         byp = (byps.reshape(k, L, nsub).transpose(1, 2, 0)
                .reshape(L, nsub * k)[:, :S0])           # [L, S0]
-        return samp, byp
-    return samp, jnp.zeros((L, S0), jnp.int32)
+    else:
+        byp = jnp.zeros((L, S0), jnp.int32)
+
+    if NB0 > 0:
+        # step i of sub-lane u is sample u*k+i; one permute straight to
+        # the filter's time-leading layout, minor dims (C, Bc)
+        Bc = L // NB0
+        samp = (outs.reshape(k, C, Bc, NB0, nsub)
+                .transpose(3, 4, 0, 1, 2)               # [NB0,u,i,C,Bc]
+                .reshape(NB0, nsub * k, C * Bc)[:, :S0])
+        return samp, byp                                # [NB0, S0, C*Bc]
+
+    # one major permute puts channels leading and samples minor; every
+    # later slice is a free leading-axis index, S0 minor end to end
+    samp = (outs.reshape(k, C, L, nsub).transpose(1, 2, 3, 0)
+            .reshape(C, L, nsub * k)[:, :, :S0])        # [C, L, S0]
+    return samp, byp
 
 
 def decode_residuals_numpy(stream: bytes, sub: dict, lut_vals: np.ndarray,

@@ -33,24 +33,15 @@ import jax.numpy as jnp
 
 from .exact_int import limb_dot, mask_quant_i32, shift_right_trunc32
 
-__all__ = ["mlp_filter_blocks"]
+__all__ = ["mlp_filter_blocks", "mlp_filter_blocks_tl"]
 
 
-@jax.jit
-def mlp_filter_blocks(
-    residuals,   # int32 [B, NB, S]
-    rc_fir,      # int32 [B, NB, 8]  reversed taps (index 7 ↔ most recent)
-    rc_iir,      # int32 [B, NB, 8]
-    shift,       # int32 [B, NB]
-    quant,       # int32 [B, NB]
-    iir_reset,   # bool  [B, NB]
-    iir_init,    # int32 [B, NB, 8]
-    block_len,   # int32 [B, NB]
-    fir_state0,  # int32 [B, 8]
-    iir_state0,  # int32 [B, 8]
-):
-    """Run the batched filter; returns (out [B, NB, S], fir_state, iir_state)."""
-    B, NB, S = residuals.shape
+def _filter_core(residuals_tl, rc_fir, rc_iir, shift, quant, iir_reset,
+                 iir_init, block_len, fir_state0, iir_state0):
+    """Shared scan core over TIME-LEADING residuals [NB, S, B]; returns
+    (out_tl [NB, S, B], fir_state, iir_state).  Both scans consume their
+    natural leading axis — no residual transposes inside."""
+    NB, S, B = residuals_tl.shape
     pos = jnp.arange(S, dtype=jnp.int32)
 
     def block_step(carry, xs):
@@ -70,7 +61,7 @@ def mlp_filter_blocks(
             v = valid[:, None]
             return (jnp.where(v, nfs, fs), jnp.where(v, nis, is_)), value
 
-        valid = pos[None, :] < blen[:, None]            # [B, S]
+        valid = pos[:, None] < blen[None, :]            # [S, B]
         # NB: lax.scan(unroll=4) here is ~35% faster at run time on v5e
         # (2.9 vs 3.2 ms/chunk full-pipeline) but multiplies the
         # per-geometry first compile ~6× (80 s → 465 s) — a bad trade for
@@ -79,15 +70,15 @@ def mlp_filter_blocks(
         (fir_st, iir_st), out = jax.lax.scan(
             sample_step,
             (fir_st, iir_st),
-            (res_b.T, valid.T),  # scan over S
+            (res_b, valid),  # scan over S (leading)
         )
-        return (fir_st, iir_st), out.T  # [B, S]
+        return (fir_st, iir_st), out  # [S, B]
 
     (fir_f, iir_f), outs = jax.lax.scan(
         block_step,
         (fir_state0, iir_state0),
         (
-            jnp.moveaxis(residuals, 1, 0),
+            residuals_tl,
             jnp.moveaxis(rc_fir, 1, 0),
             jnp.moveaxis(rc_iir, 1, 0),
             shift.T,
@@ -97,4 +88,45 @@ def mlp_filter_blocks(
             block_len.T,
         ),
     )
-    return jnp.moveaxis(outs, 0, 1), fir_f, iir_f  # [B, NB, S]
+    return outs, fir_f, iir_f  # [NB, S, B]
+
+
+@jax.jit
+def mlp_filter_blocks_tl(
+    residuals_tl,  # int32 [NB, S, B]  time-leading (lanes minor)
+    rc_fir,      # int32 [B, NB, 8]  reversed taps (index 7 ↔ most recent)
+    rc_iir,      # int32 [B, NB, 8]
+    shift,       # int32 [B, NB]
+    quant,       # int32 [B, NB]
+    iir_reset,   # bool  [B, NB]
+    iir_init,    # int32 [B, NB, 8]
+    block_len,   # int32 [B, NB]
+    fir_state0,  # int32 [B, 8]
+    iir_state0,  # int32 [B, 8]
+):
+    """Time-leading entry: residuals and output stay [NB, S, B] (lanes on
+    the minor axis — the physically cheap layout on TPU), so neither the
+    producer nor this kernel pays a residual transpose."""
+    return _filter_core(residuals_tl, rc_fir, rc_iir, shift, quant,
+                        iir_reset, iir_init, block_len,
+                        fir_state0, iir_state0)
+
+
+@jax.jit
+def mlp_filter_blocks(
+    residuals,   # int32 [B, NB, S]
+    rc_fir,      # int32 [B, NB, 8]  reversed taps (index 7 ↔ most recent)
+    rc_iir,      # int32 [B, NB, 8]
+    shift,       # int32 [B, NB]
+    quant,       # int32 [B, NB]
+    iir_reset,   # bool  [B, NB]
+    iir_init,    # int32 [B, NB, 8]
+    block_len,   # int32 [B, NB]
+    fir_state0,  # int32 [B, 8]
+    iir_state0,  # int32 [B, 8]
+):
+    """Run the batched filter; returns (out [B, NB, S], fir_state, iir_state)."""
+    outs, fir_f, iir_f = _filter_core(
+        jnp.moveaxis(residuals, (1, 2), (0, 1)), rc_fir, rc_iir, shift,
+        quant, iir_reset, iir_init, block_len, fir_state0, iir_state0)
+    return jnp.moveaxis(outs, (0, 1), (1, 2)), fir_f, iir_f  # [B, NB, S]

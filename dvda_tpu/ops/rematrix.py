@@ -17,6 +17,8 @@ mlp.c:514-533) is fused here as well.
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 
@@ -27,7 +29,7 @@ __all__ = ["rematrix_frames", "apply_output_stage"]
 MAX_MATRICES = 6
 
 
-@jax.jit
+@partial(jax.jit, static_argnums=(8,))
 def rematrix_frames(
     channels,     # int32 [F, L, C]
     noise,        # int32 [F, L, 2]  (already << noise_shift)
@@ -37,12 +39,15 @@ def rematrix_frames(
     mat_active,   # bool  [F, 6]
     mat_quant,    # int32 [F, 6]     quant_step_size[out_channel]
     bypassed,     # int32 [F, 6, L]
+    n_mats: int = MAX_MATRICES,  # static: highest active slot + 1 over
+                                 # the batch (callers know it host-side;
+                                 # inactive slots beyond it are no-ops)
 ):
     """Apply the per-frame matrix chain; returns updated channels."""
     F, L, C = channels.shape
     cidx = jnp.arange(C, dtype=jnp.int32)
 
-    for m in range(MAX_MATRICES):
+    for m in range(n_mats):
         co = mat_coeff[:, m, :][:, None, :]           # [F, 1, C]
         l0, l1, l2, l3 = limb_dot(co, channels)       # [F, L]
         n0, n1, n2, n3 = limb_dot(mat_noise[:, m, :][:, None, :], noise)

@@ -39,12 +39,13 @@ def capture_kernel_args():
     calls = []
     orig = hd.decode_residuals_device
 
-    def spy(words, bp, cb, lsbb, off, quant, nbyp, S0, J, k, NW,
+    def spy(words, bp, cb, lsbb, off, quant, nbyp, S0, J, k, NW, NB0=0,
             _ablate=""):
         calls.append((tuple(np.asarray(a) for a in
                             (words, bp, cb, lsbb, off, quant, nbyp)),
-                      (S0, J, k, NW)))
-        return orig(words, bp, cb, lsbb, off, quant, nbyp, S0, J, k, NW)
+                      (S0, J, k, NW, NB0)))
+        return orig(words, bp, cb, lsbb, off, quant, nbyp, S0, J, k, NW,
+                    NB0)
 
     # native_engine imports the symbol inside the function body, so
     # patching the ops module is sufficient
@@ -84,15 +85,43 @@ def pipeline_times(audio):
     cap = B._capture_chunk_args(cfg, out_ch, device_huffman=True)
     (a4, a2, a1, spec), _ = cap
 
-    def stub(words, bp, cb, lsbb, off, quant, nbyp, S0, J, k, NW,
+    def _res_shape(cb, S0, NB0):
+        L, C = cb.shape
+        return (NB0, S0, C * (L // NB0)) if NB0 > 0 else (C, L, S0)
+
+    def stub(words, bp, cb, lsbb, off, quant, nbyp, S0, J, k, NW, NB0=0,
              _ablate=""):
         L, C = cb.shape
-        dep = bp[None, :, :1] + words[0].astype(jnp.int32)
-        res = jnp.broadcast_to(dep, (C, L, S0)).astype(jnp.int32)
-        byp = jnp.broadcast_to(dep[0] & 1, (L, S0)).astype(jnp.int32)
-        return res, byp
+        dep = (bp[0, 0] + words[0].astype(jnp.int32))
+        res = jnp.broadcast_to(dep, _res_shape(cb, S0, NB0))
+        byp = jnp.broadcast_to(dep & 1, (L, S0))
+        return res.astype(jnp.int32), byp.astype(jnp.int32)
 
-    for name, patch in (("pipe-full", None), ("pipe-stub", stub)):
+    def konly(words, bp, cb, lsbb, off, quant, nbyp, S0, J, k, NW, NB0=0,
+              _ablate=""):
+        # real kernel, output reduced to a scalar then re-broadcast:
+        # downstream layout folds to broadcasts, so konly - stub is the
+        # kernel-in-context cost and full - konly the cost of actually
+        # consuming its output layout
+        res, byp = hd_orig(words, bp, cb, lsbb, off, quant, nbyp,
+                           S0, J, k, NW, NB0)
+        L, C = cb.shape
+        dep = res.sum() + byp.sum()
+        res2 = jnp.broadcast_to(dep, _res_shape(cb, S0, NB0))
+        byp2 = jnp.broadcast_to(dep & 1, (L, S0))
+        return res2, byp2
+
+    def resonly(words, bp, cb, lsbb, off, quant, nbyp, S0, J, k, NW,
+                NB0=0, _ablate=""):
+        # real residuals, bypass field zeroed: full - resonly is the
+        # bypass-consumption cost (rows shifts + rematrix byp adds)
+        res, byp = hd_orig(words, bp, cb, lsbb, off, quant, nbyp,
+                           S0, J, k, NW, NB0)
+        return res, jnp.zeros_like(byp)
+
+    hd_orig = hd.decode_residuals_device
+    for name, patch in (("pipe-full", None), ("pipe-stub", stub),
+                        ("pipe-konly", konly), ("pipe-resonly", resonly)):
         orig = hd.decode_residuals_device
         if patch is not None:
             hd.decode_residuals_device = patch
@@ -127,11 +156,11 @@ def main():
     dev = jax.devices()[0]
     print(f"backend={jax.default_backend()} audio/chunk={audio:.2f}s")
     for ci, (args, static) in enumerate(calls):
-        S0, J, k, NW = static
+        S0, J, k, NW, NB0 = static
         L, C = args[2].shape
         nsub = args[1].shape[1]
         print(f"substream {ci}: L={L} C={C} nsub={nsub} "
-              f"S0={S0} J={J} k={k} NW={NW} "
+              f"S0={S0} J={J} k={k} NW={NW} NB0={NB0} "
               f"slots={L * nsub * k * J}")
 
     rng = np.random.default_rng(0)
@@ -139,7 +168,7 @@ def main():
         ab_arg = "" if ab == "full" else ab
         total = 0.0
         for ci, (args, static) in enumerate(calls):
-            S0, J, k, NW = static
+            S0, J, k, NW, NB0 = static
             # 8 perturbed word-buffer variants (distinct inputs so the
             # relay cannot elide identical executions)
             var = []
@@ -152,7 +181,7 @@ def main():
 
             def fn(*a, _st=static, _ab=ab_arg):
                 res, byp = hd.decode_residuals_device(
-                    *a, _st[0], _st[1], _st[2], _st[3], _ab)
+                    *a, _st[0], _st[1], _st[2], _st[3], _st[4], _ab)
                 return res.astype(jnp.int32).sum() + byp.sum()
 
             jfn = jax.jit(fn)
