@@ -228,7 +228,8 @@ def _uniform_arena_pipeline(a4, a2, a1, spec):
             out = mlp_filter_blocks_pallas(
                 res_bl, *args8[1:], interpret=bool(flags["__pallas__"]))
             return jnp.moveaxis(out, (1, 2), (0, 1))
-        return mlp_filter_blocks_tl(*args8, state0, state0)[0]
+        return mlp_filter_blocks_tl(*args8, state0, state0,
+                                    flags.get("__unroll__", 1))[0]
 
     # substreams with identical (NB0, S0) fuse into ONE filter call —
     # lanes are independent, so concatenating them saves a second scan's
@@ -599,6 +600,7 @@ def _decode_pipelined(inc, stream, boundaries, probe_end, parameters,
     # Pallas AR-filter variant: measured equal to the scan on v5e (see
     # docs/performance.md); flag-routable, interpreted off-TPU
     use_pallas = cfg.filter_kernel == "pallas"
+    unroll = max(1, cfg.filter_unroll)
 
     pending = []
     ci = 0
@@ -655,7 +657,8 @@ def _decode_pipelined(inc, stream, boundaries, probe_end, parameters,
                     pack_bits=pack_bits,
                     device=(devices[ci % len(devices)] if devices else None),
                     words_all=words_all, use_pallas=use_pallas,
-                    f_base=f0, t_base=t_base, native_pack=cfg.native_pack)
+                    f_base=f0, t_base=t_base, native_pack=cfg.native_pack,
+                    unroll=unroll)
                 try:
                     dev.copy_to_host_async()
                 except (AttributeError, NotImplementedError):
@@ -1052,7 +1055,8 @@ def _decode_devices(config: DecodeConfig | None = None):
 def _dispatch_uniform_chunk(parse, subs_info, c0, c1, CHUNK, period, L0,
                             out_ch, pack_bits=0, device=None,
                             words_all=None, use_pallas=False,
-                            f_base=0, t_base=0, native_pack=True):
+                            f_base=0, t_base=0, native_pack=True,
+                            unroll=1):
     """Build arenas for section-relative chains [c0, c1) and dispatch the
     pipeline (async); returns the device array ([CHUNK*period, C_out],
     valid rows first).  ``subs_info`` carries (sub, block_base, S0, NB0)
@@ -1073,14 +1077,16 @@ def _dispatch_uniform_chunk(parse, subs_info, c0, c1, CHUNK, period, L0,
         return _dispatch_chunk_native(
             parse, subs_info, c0, c1, CHUNK, period, L0, out_ch,
             pack_bits=pack_bits, device=device, words_all=words_all,
-            use_pallas=use_pallas, f_base=f_base, t_base=t_base)
+            use_pallas=use_pallas, f_base=f_base, t_base=t_base,
+            unroll=unroll)
     return _dispatch_chunk_py(
         parse, subs_info, c0, c1, CHUNK, period, L0, out_ch,
         pack_bits=pack_bits, device=device, words_all=words_all,
-        use_pallas=use_pallas, f_base=f_base, t_base=t_base)
+        use_pallas=use_pallas, f_base=f_base, t_base=t_base,
+        unroll=unroll)
 
 
-def _finish_dispatch(b, t_build, pack_bits, device, use_pallas):
+def _finish_dispatch(b, t_build, pack_bits, device, use_pallas, unroll=1):
     """Shared dispatch tail: pallas routing mark, arena finish, packing
     flag, device placement, async pipeline call."""
     import time as _time
@@ -1088,6 +1094,8 @@ def _finish_dispatch(b, t_build, pack_bits, device, use_pallas):
     if use_pallas:
         # the kernel tiles 128 lanes; Bc·n_ch is 128-aligned for CHUNK=512
         b.mark("__pallas__", 0 if jax.default_backend() == "tpu" else 1)
+    elif unroll > 1:
+        b.mark("__unroll__", unroll)
     global_timer.add("mlp/arena-build", _time.perf_counter() - t_build)
     with global_timer.stage("mlp/arena-finish"):
         (a4, a2, a1), spec = b.finish()
@@ -1105,7 +1113,7 @@ def _finish_dispatch(b, t_build, pack_bits, device, use_pallas):
 def _dispatch_chunk_native(parse, subs_info, c0, c1, CHUNK, period, L0,
                            out_ch, pack_bits=0, device=None,
                            words_all=None, use_pallas=False,
-                           f_base=0, t_base=0):
+                           f_base=0, t_base=0, unroll=1):
     """Native-pack dispatch (see _dispatch_uniform_chunk)."""
     from ...ops.lfsr import _jump_columns
 
@@ -1228,13 +1236,14 @@ def _dispatch_chunk_native(parse, subs_info, c0, c1, CHUNK, period, L0,
     K = max(1, int(np.ceil(np.log2(max(L0, 2)))))
     jumps = np.array([_jump_columns(k) for k in range(K)], dtype=np.uint32)
     b.add_host("jumps", jumps)
-    return _finish_dispatch(b, _t_build, pack_bits, device, use_pallas)
+    return _finish_dispatch(b, _t_build, pack_bits, device, use_pallas,
+                            unroll)
 
 
 def _dispatch_chunk_py(parse, subs_info, c0, c1, CHUNK, period, L0,
                        out_ch, pack_bits=0, device=None,
                        words_all=None, use_pallas=False,
-                       f_base=0, t_base=0):
+                       f_base=0, t_base=0, unroll=1):
     """Numpy-pack dispatch (fallback + differential reference for
     _dispatch_chunk_native; see _dispatch_uniform_chunk)."""
     from ...ops.lfsr import _jump_columns
@@ -1396,7 +1405,8 @@ def _dispatch_chunk_py(parse, subs_info, c0, c1, CHUNK, period, L0,
     jumps = np.array([_jump_columns(k) for k in range(K)], dtype=np.uint32)
     b.add("jumps", jumps)
 
-    return _finish_dispatch(b, _t_build, pack_bits, device, use_pallas)
+    return _finish_dispatch(b, _t_build, pack_bits, device, use_pallas,
+                            unroll)
 
 
 def _padded_residuals_range(sub, t_lo: int, t_hi: int, n_blocks: int,

@@ -70,6 +70,11 @@ class DecodeConfig:
     #: AR-filter kernel: "scan" (lax.scan; default) or "pallas"
     #: (ops/pallas_filter.py) — measured equal on v5e, see performance.md
     filter_kernel: str = "scan"
+    #: AR-filter scan unroll factor: 4 is ~35% faster per chunk on v5e
+    #: but multiplies the per-geometry first compile ~6× (80 s → 465 s) —
+    #: worth it for long-running service decoding, wrong for one-shot
+    #: jobs, so the default stays 1 (see docs/performance.md §headroom)
+    filter_unroll: int = 1
     #: restart chains per dispatched device chunk; smaller chunks start
     #: their d2h readback earlier (less un-overlapped tail) at the cost of
     #: more dispatches — see docs/performance.md for the sizing study
@@ -118,6 +123,8 @@ class DecodeConfig:
             native_pack=_env_off("DVDA_TPU_DISABLE_NATIVE_PACK"),
             device_huffman=not _env_off("DVDA_TPU_DEVICE_HUFFMAN"),
             filter_kernel=os.environ.get("DVDA_TPU_FILTER_KERNEL", "scan"),
+            filter_unroll=int(os.environ.get("DVDA_TPU_FILTER_UNROLL",
+                                             "1")),
             chunk_chains=int(os.environ.get("DVDA_TPU_CHUNK_CHAINS", "256")),
             parse_threads=int(os.environ.get("DVDA_TPU_PARSE_THREADS", "0")),
             huffman_split=int(os.environ.get("DVDA_TPU_HUFFMAN_SPLIT", "8")),

@@ -28,6 +28,8 @@ Arithmetic is exactly C's: int64 accumulate via limb decomposition, then
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 
@@ -37,7 +39,7 @@ __all__ = ["mlp_filter_blocks", "mlp_filter_blocks_tl"]
 
 
 def _filter_core(residuals_tl, rc_fir, rc_iir, shift, quant, iir_reset,
-                 iir_init, block_len, fir_state0, iir_state0):
+                 iir_init, block_len, fir_state0, iir_state0, unroll=1):
     """Shared scan core over TIME-LEADING residuals [NB, S, B]; returns
     (out_tl [NB, S, B], fir_state, iir_state).  Both scans consume their
     natural leading axis — no residual transposes inside."""
@@ -62,15 +64,17 @@ def _filter_core(residuals_tl, rc_fir, rc_iir, shift, quant, iir_reset,
             return (jnp.where(v, nfs, fs), jnp.where(v, nis, is_)), value
 
         valid = pos[:, None] < blen[None, :]            # [S, B]
-        # NB: lax.scan(unroll=4) here is ~35% faster at run time on v5e
-        # (2.9 vs 3.2 ms/chunk full-pipeline) but multiplies the
-        # per-geometry first compile ~6× (80 s → 465 s) — a bad trade for
-        # short decode jobs over bucketed geometries, so it stays off;
-        # see docs/performance.md "device headroom".
+        # NB: unroll=4 here is ~35% faster at run time on v5e (2.9 vs
+        # 3.2 ms/chunk full-pipeline) but multiplies the per-geometry
+        # first compile ~6× (80 s → 465 s) — a bad trade for short
+        # decode jobs over bucketed geometries, so the default stays 1;
+        # long-running services opt in via DecodeConfig.filter_unroll
+        # (see docs/performance.md "device headroom").
         (fir_st, iir_st), out = jax.lax.scan(
             sample_step,
             (fir_st, iir_st),
             (res_b, valid),  # scan over S (leading)
+            unroll=unroll,
         )
         return (fir_st, iir_st), out  # [S, B]
 
@@ -91,7 +95,7 @@ def _filter_core(residuals_tl, rc_fir, rc_iir, shift, quant, iir_reset,
     return outs, fir_f, iir_f  # [NB, S, B]
 
 
-@jax.jit
+@partial(jax.jit, static_argnums=(10,))
 def mlp_filter_blocks_tl(
     residuals_tl,  # int32 [NB, S, B]  time-leading (lanes minor)
     rc_fir,      # int32 [B, NB, 8]  reversed taps (index 7 ↔ most recent)
@@ -103,13 +107,14 @@ def mlp_filter_blocks_tl(
     block_len,   # int32 [B, NB]
     fir_state0,  # int32 [B, 8]
     iir_state0,  # int32 [B, 8]
+    unroll: int = 1,  # static: sample-scan unroll (see _filter_core)
 ):
     """Time-leading entry: residuals and output stay [NB, S, B] (lanes on
     the minor axis — the physically cheap layout on TPU), so neither the
     producer nor this kernel pays a residual transpose."""
     return _filter_core(residuals_tl, rc_fir, rc_iir, shift, quant,
                         iir_reset, iir_init, block_len,
-                        fir_state0, iir_state0)
+                        fir_state0, iir_state0, unroll)
 
 
 @jax.jit

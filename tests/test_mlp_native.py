@@ -628,3 +628,20 @@ def test_native_pack_matches_numpy_pack(devhuff, monkeypatch):
     assert np.array_equal(n2, p2)
     assert np.array_equal(n1, p1)
     parse.close()
+
+
+def test_native_filter_unroll_bit_equal():
+    """DecodeConfig.filter_unroll (DVDA_TPU_FILTER_UNROLL) trades compile
+    time for chunk throughput; output must stay bit-identical."""
+    from dvda_tpu.config import DecodeConfig
+
+    cfg = MlpSynthConfig(channel_assignment=17, substream_count=2,
+                         n_frames=24, seed=5)
+    stream = synth_mlp_stream(cfg)
+    params = stream_params(cfg)
+    spec = MlpDecoder(params)
+    spec.decode_bytes(stream)
+    a = spec.take_frames()
+    b = decode_native(stream, np.zeros(0, np.int64), len(stream), params,
+                      config=DecodeConfig(filter_unroll=4))
+    assert b is not None and np.array_equal(a, b)
