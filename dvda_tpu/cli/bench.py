@@ -596,6 +596,12 @@ def main(argv=None):
         log(f"tunnel before/after: {t_before} / {t_after}, "
             f"e2e ceiling {ceiling:.1f}x, device-compute {devx}x")
 
+        if not results:  # every DVDA_BENCH_ONLY name was unknown
+            known = ("pcm_2ch_48k pcm_hires mlp_stereo_96k mlp_51_96k "
+                     "disc_batch_cppm mlp_nonuniform parse_scaling")
+            print(json.dumps({"error": f"no bench matched "
+                              f"DVDA_BENCH_ONLY={only!r}; known: {known}"}))
+            return
         if "mlp_51_96k" not in results:  # diagnostic subset run
             name, first = next(iter(results.items()))
             print(json.dumps({"metric": name,

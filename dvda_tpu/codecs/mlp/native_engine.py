@@ -696,7 +696,11 @@ def _decode_pipelined(inc, stream, boundaries, probe_end, parameters,
 def _max_matrix_slots(mat_active: np.ndarray) -> int:
     """Highest active rematrix slot + 1 over a frame range [F, 6] — the
     static unroll bound for rematrix_frames (slots beyond it are inactive
-    in every frame of the chunk, so skipping them is exact)."""
+    in every frame of the chunk, so skipping them is exact).  Callers
+    pass all frames parsed so far ([:f1], not [f0:f1]) so the flag is
+    MONOTONE along a stream: it can step up a handful of times at most
+    (0→…→6) instead of oscillating per chunk, which would recompile the
+    chunk program mid-stream (review r3)."""
     nz = np.nonzero(np.asarray(mat_active, bool).any(axis=0))[0]
     return int(nz[-1]) + 1 if nz.size else 0
 
@@ -1027,7 +1031,10 @@ def _try_uniform(parse, F: int, frame_len: np.ndarray, T: int,
                                           pack_bits=pack_bits,
                                           device=(devices[ci % len(devices)]
                                                   if devices else None),
-                                          native_pack=cfg.native_pack)
+                                          use_pallas=(cfg.filter_kernel
+                                                      == "pallas"),
+                                          native_pack=cfg.native_pack,
+                                          unroll=max(1, cfg.filter_unroll))
             try:
                 dev.copy_to_host_async()  # overlap d2h with later chunks
             except (AttributeError, NotImplementedError):
@@ -1225,7 +1232,7 @@ def _dispatch_chunk_native(parse, subs_info, c0, c1, CHUNK, period, L0,
     b.add_frame("mat_noise", "mat_noise", f0, f1, F_pad, (6, 2), np.int16)
     b.add_frame("mat_out", "mat_out", f0, f1, F_pad, (6,), np.int8)
     b.add_frame("mat_active", "mat_active", f0, f1, F_pad, (6,), np.int8)
-    b.mark("mat_mm", _max_matrix_slots(parse.mat_active[f0:f1]))
+    b.mark("mat_mm", _max_matrix_slots(parse.mat_active[:f1]))
     b.add_frame("mat_quant", "mat_quant", f0, f1, F_pad, (6,), np.int8)
     b.add_frame("out_shift", "out_shift", f0, f1, F_pad, (8,), np.int8)
     b.add_host("wave_perm", _wave_perm(parse, out_ch).astype(np.int8))
@@ -1391,7 +1398,7 @@ def _dispatch_chunk_py(parse, subs_info, c0, c1, CHUNK, period, L0,
     b.add("mat_noise", padF(parse.mat_noise, np.int16))
     b.add("mat_out", padF(parse.mat_out, np.int8))
     b.add("mat_active", padF(parse.mat_active, np.int8))
-    b.mark("mat_mm", _max_matrix_slots(parse.mat_active[f0:f1]))
+    b.mark("mat_mm", _max_matrix_slots(parse.mat_active[:f1]))
     b.add("mat_quant", padF(parse.mat_quant, np.int8))
     b.add("out_shift", padF(parse.out_shift, np.int8))
     b.add("wave_perm", _wave_perm(parse, out_ch).astype(np.int8))

@@ -99,7 +99,8 @@ def _load():
         fn.argtypes = [c.c_void_p, c.c_int32]
     lib.mp_pack.restype = c.c_int32
     lib.mp_pack.argtypes = [c.c_void_p, c.c_void_p, c.c_int64,
-                            c.c_void_p, c.c_void_p, c.c_void_p]
+                            c.c_void_p, c.c_void_p, c.c_void_p,
+                            c.c_int64, c.c_int64, c.c_int64]
     lib.mp_sub_every.restype = c.c_int32
     lib.mp_sub_every.argtypes = [c.c_void_p]
     lib.mp_blk_sub_bitpos.restype = c.POINTER(c.c_int32)
@@ -301,7 +302,8 @@ class NativeParse:
             self._h, inst.ctypes.data_as(ctypes.c_void_p), inst.shape[0],
             a4.ctypes.data_as(ctypes.c_void_p),
             a2.ctypes.data_as(ctypes.c_void_p),
-            a1.ctypes.data_as(ctypes.c_void_p))
+            a1.ctypes.data_as(ctypes.c_void_p),
+            a4.size, a2.size, a1.size)
         if rc != 0:
             raise RuntimeError(f"mp_pack failed ({rc})")
 

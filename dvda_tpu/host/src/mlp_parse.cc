@@ -1318,14 +1318,29 @@ const void* pack_src(Result& o, int64_t src, int64_t sub, int* elt_size,
 extern "C" {
 
 int32_t mp_pack(void* h, const int64_t* inst, int64_t n_inst,
-                void* a4, void* a2, void* a1) {
+                void* a4, void* a2, void* a1,
+                int64_t n4, int64_t n2, int64_t n1) {
   Result& o = R(h);
   for (int64_t r = 0; r < n_inst; r++) {
     const int64_t* q = inst + r * 12;
     int64_t op = q[0], src = q[1], sub = q[2];
     int64_t a = q[3], b = q[4], c = q[5], d = q[6];
     int64_t f = q[8], g = q[9], width = q[10], off = q[11];
+    if (width != 4 && width != 2 && width != 1) return -3;
     void* dst = width == 4 ? a4 : width == 2 ? a2 : a1;
+    // destination bounds: reject before any write — a miscounting
+    // caller (arena sized smaller than the instruction list assumes)
+    // must get an error, not heap corruption (mirrors the source-range
+    // checks below); each case writes at most `need` elements from off
+    const int64_t dst_len = width == 4 ? n4 : width == 2 ? n2 : n1;
+    int64_t need = 0;
+    switch (op) {
+      case 0: case 2: need = (b - a) * d; break;
+      case 1: need = c > 0 ? ((b - a + c - 1) / c) * d : 0; break;
+      case 3: case 4: need = b - a; break;
+      case 5: need = (b - a) * d; break;
+    }
+    if (off < 0 || need < 0 || off + need > dst_len) return -3;
     // every case bounds-checks its source range against the actual
     // vector sizes (a miscounting caller must get an error, not a heap
     // over-read — the numpy path would have raised on the same slice)
@@ -1348,7 +1363,7 @@ int32_t mp_pack(void* h, const int64_t* inst, int64_t n_inst,
         int64_t sz = 0;
         const void* s = pack_src(o, src, sub, &es, &sz);
         if (!s || a < 0 || b < a || c <= 0 || b * d > sz) return -2;
-        int64_t rows = (b - a) / c;
+        int64_t rows = (b - a + c - 1) / c;  // every c-th row incl. tail
         for (int64_t i = 0; i < rows; i++) {
           int64_t ra = (a + i * c) * d;
           if (es == 4)

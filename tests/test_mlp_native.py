@@ -645,3 +645,35 @@ def test_native_filter_unroll_bit_equal():
     b = decode_native(stream, np.zeros(0, np.int64), len(stream), params,
                       config=DecodeConfig(filter_unroll=4))
     assert b is not None and np.array_equal(a, b)
+
+
+def test_mp_pack_rejects_undersized_arena():
+    """mp_pack must bounds-check DESTINATION writes: an arena smaller
+    than the instruction list assumes is a loud error, never heap
+    corruption (review r3)."""
+    from dvda_tpu import host
+
+    cfg = MlpSynthConfig(channel_assignment=1, n_frames=4, seed=3)
+    stream = synth_mlp_stream(cfg)
+    inc = host.parse_mlp_stream_begin(stream)
+    while inc.step(5):
+        pass
+    view = inc.view()
+    # CHAIN op: 1 block row of rc_fir (inner 8*... elements) at off 0
+    inst = np.zeros((1, 12), np.int64)
+    inst[0] = [0, 0, 0, 0, 1, 1, 16, 0, 0, 0, 4, 0]  # op=CHAIN width=4
+    ok4 = np.zeros(16, np.int32)
+    a2 = np.zeros(0, np.int16)
+    a1 = np.zeros(0, np.int8)
+    view.pack(inst, ok4, a2, a1)  # exactly fits
+    small = np.zeros(15, np.int32)
+    with pytest.raises(RuntimeError):
+        view.pack(inst, small, a2, a1)  # one element short
+    inst[0, 11] = 1  # off pushes past the end
+    with pytest.raises(RuntimeError):
+        view.pack(inst, ok4, a2, a1)
+    inst[0, 11] = 0
+    inst[0, 10] = 3  # invalid width
+    with pytest.raises(RuntimeError):
+        view.pack(inst, ok4, a2, a1)
+    inc.close()
