@@ -163,11 +163,16 @@ def bench_mlp_stereo(tmp, results):
     seconds = 20
     layout, audio = _mlp_disc(tmp, "mlpst", seconds, 1, 1, seed=5)
     ref = time_reference(layout.path, os.path.join(tmp, "mlpst"))
+    from ..config import default_config
+
+    mode = ("device_huffman" if default_config().resolved_device_huffman()
+            else "standard")
     _decode_track_packed(layout.path, use_device=True)  # warm (compile)
     best, times = _best(
         lambda: _decode_track_packed(layout.path, use_device=True), 3)
-    log(f"mlp_stereo runs: {[f'{t:.2f}' for t in times]}")
+    log(f"mlp_stereo runs ({mode}): {[f'{t:.2f}' for t in times]}")
     _record(results, "mlp_stereo_96k", audio, best, ref, times)
+    results["mlp_stereo_96k"]["mode"] = mode
 
 
 def bench_mlp_51(tmp, results):
@@ -177,8 +182,13 @@ def bench_mlp_51(tmp, results):
     layout, audio = _mlp_disc(tmp, "mlp51", seconds, 17, 2, seed=7)
     ref = time_reference(layout.path, os.path.join(tmp, "mlp51"))
 
+    # both production modes, explicitly pinned (the library default is
+    # auto — resolved_device_huffman picks by backend/core count)
+    from ..config import DecodeConfig
+
+    sc = DecodeConfig(device_huffman=False)
     t0 = time.perf_counter()
-    out = _decode_track_packed(layout.path, use_device=True)
+    out = _decode_track_packed(layout.path, True, sc)
     warm = time.perf_counter() - t0
     frames = len(out) // (6 * 3)
     log(f"mlp_51 warm-up (incl. compile): {warm:.1f}s, {frames} frames")
@@ -186,15 +196,13 @@ def bench_mlp_51(tmp, results):
 
     global_timer.reset()
     best, times = _best(
-        lambda: _decode_track_packed(layout.path, use_device=True), 5)
+        lambda: _decode_track_packed(layout.path, True, sc), 5)
     log(f"mlp_51 runs: {[f'{t:.2f}' for t in times]}")
     log("mlp_51 stage breakdown (timed runs only):\n" + global_timer.summary())
     _record(results, "mlp_51_96k", audio, best, ref, times)
 
     # same track with on-device Huffman residual decode (host parses
     # length-only; see ops/huffman_decode.py) for the measured comparison
-    from ..config import DecodeConfig
-
     hc = DecodeConfig(device_huffman=True)
     _decode_track_packed(layout.path, True, hc)  # warm (compile)
     best_h, times_h = _best(
@@ -275,13 +283,18 @@ def bench_mlp_nonuniform(tmp, results):
     from ..codecs.mlp import native_engine as ne
     from ..utils.profiling import global_timer
 
+    from ..config import default_config
+
+    mode = ("device_huffman" if default_config().resolved_device_huffman()
+            else "standard")
     global_timer.reset()
     best, times = _best(
         lambda: _decode_track_packed(layout.path, use_device=True), 3)
-    log(f"mlp_nonuniform runs: {[f'{t:.2f}' for t in times]}")
+    log(f"mlp_nonuniform runs ({mode}): {[f'{t:.2f}' for t in times]}")
     log(f"mlp_nonuniform pipeline: {ne._LAST_PIPELINE_INFO}")
     log("mlp_nonuniform stage breakdown:\n" + global_timer.summary())
     _record(results, "mlp_nonuniform", audio, best, ref, times)
+    results["mlp_nonuniform"]["mode"] = mode
 
 
 def bench_parse_scaling(results):

@@ -522,7 +522,7 @@ def decode_native(stream: bytes, boundaries: np.ndarray, probe_end: int,
     cfg = config if config is not None else default_config()
     # device-Huffman mode: residual bits walked length-only on the host,
     # values re-decoded on device from the raw stream (ops/huffman_decode)
-    skip_values = bool(cfg.device_huffman and cfg.use_device)
+    skip_values = cfg.resolved_device_huffman() and cfg.use_device
     inc = host.parse_mlp_stream_begin(
         stream, skip_values=skip_values,
         threads=cfg.resolved_parse_threads(),

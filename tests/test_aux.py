@@ -99,6 +99,38 @@ def test_config_env(monkeypatch):
     assert not cfg.use_native_demux and cfg.multi_device
 
 
+def test_config_device_huffman_auto(monkeypatch):
+    """device_huffman=None resolves by backend + host core count: off on
+    CPU backends (tests keep covering the standard path), on for a TPU
+    with fewer than 16 host cores per chip (the measured crossover —
+    docs/performance.md), and an explicit bool always wins."""
+    import jax
+
+    assert DecodeConfig(device_huffman=True).resolved_device_huffman()
+    assert not DecodeConfig(device_huffman=False).resolved_device_huffman()
+    assert not DecodeConfig(use_device=False).resolved_device_huffman()
+    # this test session runs on the CPU backend → auto off
+    assert jax.default_backend() == "cpu"
+    assert not DecodeConfig().resolved_device_huffman()
+    # pretend the backend is a TPU: auto follows the core threshold
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(os, "cpu_count", lambda: 4)
+    assert DecodeConfig().resolved_device_huffman()
+    monkeypatch.setattr(os, "cpu_count", lambda: 32)
+    assert not DecodeConfig().resolved_device_huffman()
+    # multi-device raises the threshold to 16 cores per chip
+    n = len(jax.local_devices())
+    monkeypatch.setattr(os, "cpu_count", lambda: 16 * n - 1)
+    assert DecodeConfig(multi_device=True).resolved_device_huffman()
+    # env: explicit 1/0 force, unset = auto (None)
+    monkeypatch.setenv("DVDA_TPU_DEVICE_HUFFMAN", "1")
+    assert DecodeConfig.from_env().device_huffman is True
+    monkeypatch.setenv("DVDA_TPU_DEVICE_HUFFMAN", "0")
+    assert DecodeConfig.from_env().device_huffman is False
+    monkeypatch.delenv("DVDA_TPU_DEVICE_HUFFMAN")
+    assert DecodeConfig.from_env().device_huffman is None
+
+
 def test_config_object_toggles_decode_paths(tmp_path):
     """An explicit DecodeConfig threaded from open_disc selects the decode
     path — all three engine tiers must agree bit-exactly."""
