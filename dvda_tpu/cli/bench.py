@@ -386,9 +386,11 @@ def _capture_chunk_args(mlp_cfg, out_ch, use_pallas=False,
         closer = inc
     else:
         parse = closer = host.parse_mlp_stream(stream)
-    if parse is None or parse.status != 0:
+    if parse is None:
         return None
     try:
+        if parse.status != 0:
+            return None
         F = ne._frame_cut(parse.frame_end, np.zeros(0, np.int64), len(stream))
         frame_len = parse.frame_len[:F]
         L0 = int(frame_len[0])
@@ -574,10 +576,14 @@ def main(argv=None):
             bench_pcm_hires(tmp, results)
         if want("mlp_stereo_96k"):
             bench_mlp_stereo(tmp, results)
-        t_before = probe_tunnel()  # the shared relay swings ~20× hourly:
-        if not selected or "mlp_51_96k" in selected:
+        run_headline = not selected or "mlp_51_96k" in selected
+        # the shared relay swings ~20× hourly: bracket the headline with
+        # tunnel probes (skipped with the headline — diagnostic subset
+        # runs shouldn't pay two relay round-trips for an unused number)
+        t_before = probe_tunnel() if run_headline else None
+        if run_headline:
             bench_mlp_51(tmp, results)  # headline (default runs)
-        t_after = probe_tunnel()   # bracket the headline with probes
+        t_after = probe_tunnel() if run_headline else None
         if want("disc_batch_cppm"):
             bench_disc_batch_cppm(tmp, results)
         if want("mlp_nonuniform"):
@@ -585,7 +591,8 @@ def main(argv=None):
         if selected and "parse_scaling" in selected:  # opt-in mode only
             bench_parse_scaling(results)
 
-        d2h = max(t_before["d2h_MBps"], t_after["d2h_MBps"])
+        d2h = (max(t_before["d2h_MBps"], t_after["d2h_MBps"])
+               if run_headline else 0.0)
         ceiling = d2h / (AUDIO_BYTES_PER_SEC / 1e6)
         # per-config d2h ceilings: each config's WAV output rate (MB per
         # second of audio) sets its own tunnel wall — relay weather is
@@ -600,14 +607,16 @@ def main(argv=None):
             "disc_batch_cppm": (1.728 + 0.576 + 1.728) / 3,
             "mlp_nonuniform": 48000 * 6 * 3 / 1e6,
         }
-        for name, entry in results.items():
-            rate = out_mb_per_sec.get(name)
-            if rate:
-                entry["tunnel_ceiling_x_realtime"] = round(d2h / rate, 1)
+        if d2h:
+            for name, entry in results.items():
+                rate = out_mb_per_sec.get(name)
+                if rate:
+                    entry["tunnel_ceiling_x_realtime"] = round(d2h / rate, 1)
         devx = bench_device_compute(results) if "mlp_51_96k" in results \
             else None
-        log(f"tunnel before/after: {t_before} / {t_after}, "
-            f"e2e ceiling {ceiling:.1f}x, device-compute {devx}x")
+        if run_headline:
+            log(f"tunnel before/after: {t_before} / {t_after}, "
+                f"e2e ceiling {ceiling:.1f}x, device-compute {devx}x")
 
         if not results:  # every DVDA_BENCH_ONLY name was unknown
             known = ("pcm_2ch_48k pcm_hires mlp_stereo_96k mlp_51_96k "

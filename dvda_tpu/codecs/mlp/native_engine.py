@@ -122,55 +122,42 @@ def _uniform_arena_pipeline(a4, a2, a1, spec):
 
     n_sub = max(int(name[1]) for name in arrs if name.startswith("s")) + 1
 
-    # ---- device-Huffman residual decode (ops/huffman_decode.py) --------
-    # NOTE: fusing substreams into one padded kernel call (like the
-    # filter fuse) was measured SLOWER on v5e (19.0 vs 16.8 ms/chunk):
-    # the scan is VPU-throughput-bound, so padding the 2-ch substream to
-    # the 4-ch one's J/C adds real work while saving only a second
-    # scan's fixed costs.  Substreams therefore decode separately.
-    dh = []
-    for i in range(n_sub):
-        if f"s{i}_bitpos" not in arrs:
-            continue
-        cb = i32(f"s{i}_cb")
-        Bc, NB0, n_ch = cb.shape
-        Lc = Bc * NB0
-        if f"s{i}_quant_c" in arrs:
-            quantb = jnp.broadcast_to(
-                i32(f"s{i}_quant_c")[:, None], (Bc, NB0, n_ch))
-        else:
-            quantb = i32(f"s{i}_quant")
-        bp = i32(f"s{i}_bitpos")
-        dh.append(dict(
-            i=i, S0=flags[f"s{i}_S"], J=flags[f"s{i}_J"],
-            K=flags.get(f"s{i}_k", flags[f"s{i}_S"]),
-            NW=flags.get(f"s{i}_NW", 32),
-            Bc=Bc, NB0=NB0, n_ch=n_ch, Lc=Lc,
-            bp=bp.reshape(Lc, bp.shape[-1]),
-            cb=cb.reshape(Lc, n_ch),
-            lsbb=i32(f"s{i}_lsbb").reshape(Lc, n_ch),
-            off=i32(f"s{i}_off").reshape(Lc, n_ch),
-            quant=quantb.reshape(Lc, n_ch),
-            nbyp=i32(f"s{i}_nbyp").reshape(Lc)))
-    dh_out = {}
-    for d in dh:
-        dh_out[d["i"]] = decode_residuals_device(
-            arrs["words"], d["bp"], d["cb"], d["lsbb"], d["off"],
-            d["quant"], d["nbyp"], d["S0"], d["J"], d["K"], d["NW"],
-            d["NB0"])
-
     packed = []   # per substream: (lane inputs..., Bc, n_ch, NB0, S0)
     byp6 = None
     for i in range(n_sub):
         res_tl = None
         if f"s{i}_bitpos" in arrs:
+            # device-Huffman residual decode (ops/huffman_decode.py).
+            # NOTE: fusing substreams into one padded kernel call (like
+            # the filter fuse) was measured SLOWER on v5e (19.0 vs 16.8
+            # ms/chunk): the scan is VPU-throughput-bound, so padding the
+            # 2-ch substream to the 4-ch one's J/C adds real work while
+            # saving only a second scan's fixed costs.  Substreams
+            # therefore decode separately, inline where consumed
+            # (everything traces into one XLA program under jit anyway).
             S0 = flags[f"s{i}_S"]
             cb = i32(f"s{i}_cb")
             Bc, NB0, n_ch = cb.shape
             Lc = Bc * NB0
+            if f"s{i}_quant_c" in arrs:
+                quantb = jnp.broadcast_to(
+                    i32(f"s{i}_quant_c")[:, None], (Bc, NB0, n_ch))
+            else:
+                quantb = i32(f"s{i}_quant")
+            bp = i32(f"s{i}_bitpos")
             # kernel emits filter-ready TIME-LEADING residuals directly
             # (one well-shaped permute inside the kernel; see NB0 arg)
-            res_tl, byp_k = dh_out[i]      # [NB0, S0, n_ch*Bc], [Lc, S0]
+            res_tl, byp_k = decode_residuals_device(
+                arrs["words"], bp.reshape(Lc, bp.shape[-1]),
+                cb.reshape(Lc, n_ch),
+                i32(f"s{i}_lsbb").reshape(Lc, n_ch),
+                i32(f"s{i}_off").reshape(Lc, n_ch),
+                quantb.reshape(Lc, n_ch),
+                i32(f"s{i}_nbyp").reshape(Lc),
+                S0, flags[f"s{i}_J"],
+                flags.get(f"s{i}_k", flags[f"s{i}_S"]),
+                flags.get(f"s{i}_NW", 32),
+                NB0)                       # [NB0, S0, n_ch*Bc], [Lc, S0]
             if f"s{i}_bypk" in arrs:
                 # slot m's bit is the kidx[m]-th bypass symbol of the
                 # packed burst field: a per-lane variable shift per slot
@@ -604,6 +591,7 @@ def _decode_pipelined(inc, stream, boundaries, probe_end, parameters,
 
     pending = []
     ci = 0
+    mat_mm = 0                               # running rematrix unroll bound
     f0 = 0                                   # frame base of the section
     blk0s = [0] * st["v"].substream_count    # per-substream block bases
     suboffs = [0] * st["v"].substream_count  # flat sub_bitpos offsets
@@ -652,13 +640,15 @@ def _decode_pipelined(inc, stream, boundaries, probe_end, parameters,
             with global_timer.stage("mlp/stage+dispatch"):
                 subs_info = [(v.sub[s], blk0s[s], S0, NB0, suboffs[s])
                              for s, S0, NB0 in struct]
+                mat_mm = max(mat_mm, _max_matrix_slots(
+                    v.mat_active[f0 + c0 * fpc : f0 + c1 * fpc]))
                 dev = _dispatch_uniform_chunk(
                     v, subs_info, c0, c1, CHUNK, period, L0, out_ch,
                     pack_bits=pack_bits,
                     device=(devices[ci % len(devices)] if devices else None),
                     words_all=words_all, use_pallas=use_pallas,
                     f_base=f0, t_base=t_base, native_pack=cfg.native_pack,
-                    unroll=unroll)
+                    unroll=unroll, mat_mm=mat_mm)
                 try:
                     dev.copy_to_host_async()
                 except (AttributeError, NotImplementedError):
@@ -696,8 +686,10 @@ def _decode_pipelined(inc, stream, boundaries, probe_end, parameters,
 def _max_matrix_slots(mat_active: np.ndarray) -> int:
     """Highest active rematrix slot + 1 over a frame range [F, 6] — the
     static unroll bound for rematrix_frames (slots beyond it are inactive
-    in every frame of the chunk, so skipping them is exact).  Callers
-    pass all frames parsed so far ([:f1], not [f0:f1]) so the flag is
+    in every frame of the chunk, so skipping them is exact).  The
+    pipelined/monolithic drivers fold each chunk's local value into a
+    RUNNING max (each chunk scans only its own frames — O(stream), not
+    O(stream²)) and pass that down as ``mat_mm``, so the flag is
     MONOTONE along a stream: it can step up a handful of times at most
     (0→…→6) instead of oscillating per chunk, which would recompile the
     chunk program mid-stream (review r3)."""
@@ -714,6 +706,29 @@ def _window_rows(span_bits: int) -> int:
     chunk window to at least NW rows."""
     need = (int(span_bits) + 64 + 31) // 32
     return _bucket(need, lo=8)
+
+
+def _chunk_window(parse, subs_info, words_all, f_base, c0, c1, fpc):
+    """Device-Huffman chunk window: the uint32 slice of the raw stream
+    covering every residual bit chains [c0, c1) read — from the first
+    block's bit position to the end of the chunk's last frame, plus a
+    guard for the kernel's 64-bit window loads.  Length is bucketed to
+    a multiple of (and at least) the largest substream NW so the
+    kernel's [W/NW, NW] reshape is valid even for huge spans.  Shared
+    by the native/numpy dispatchers (a differential pair — one copy so
+    the window math cannot drift).  Returns (window, base_bit)."""
+    bit0 = min(int(si[0]["res_bitpos"][si[1] + c0 * si[3]])
+               for si in subs_info)
+    w0 = bit0 >> 5
+    end_byte = int(parse.frame_end[f_base + c1 * fpc - 1]) + 8
+    w1 = min(words_all.shape[0], (end_byte + 3) // 4 + 1)
+    nw_max = max(_window_rows(si[0].get("sub_span_max", 0))
+                 for si in subs_info)
+    wlen = _bucket(max(w1 - w0, 1), lo=max(1024, nw_max))
+    win = np.zeros(wlen, np.uint32)
+    seg = words_all[w0 : min(w1, w0 + wlen)]
+    win[: seg.shape[0]] = seg
+    return win, w0 * 32
 
 
 def _pack_bits(bits_per_sample: int) -> int:
@@ -1023,9 +1038,13 @@ def _try_uniform(parse, F: int, frame_len: np.ndarray, T: int,
     pack_bits = _pack_bits(bits_per_sample)
     devices = _decode_devices(config)
     pending = []
+    fpc = period // L0
+    mat_mm = 0
     with global_timer.stage("mlp/stage+dispatch"):
         for ci, c0 in enumerate(range(0, n_chains, CHUNK)):
             c1 = min(c0 + CHUNK, n_chains)
+            mat_mm = max(mat_mm, _max_matrix_slots(
+                parse.mat_active[c0 * fpc : c1 * fpc]))
             dev = _dispatch_uniform_chunk(parse, subs_info, c0, c1, CHUNK,
                                           period, L0, out_ch,
                                           pack_bits=pack_bits,
@@ -1034,7 +1053,8 @@ def _try_uniform(parse, F: int, frame_len: np.ndarray, T: int,
                                           use_pallas=(cfg.filter_kernel
                                                       == "pallas"),
                                           native_pack=cfg.native_pack,
-                                          unroll=max(1, cfg.filter_unroll))
+                                          unroll=max(1, cfg.filter_unroll),
+                                          mat_mm=mat_mm)
             try:
                 dev.copy_to_host_async()  # overlap d2h with later chunks
             except (AttributeError, NotImplementedError):
@@ -1063,7 +1083,7 @@ def _dispatch_uniform_chunk(parse, subs_info, c0, c1, CHUNK, period, L0,
                             out_ch, pack_bits=0, device=None,
                             words_all=None, use_pallas=False,
                             f_base=0, t_base=0, native_pack=True,
-                            unroll=1):
+                            unroll=1, mat_mm=None):
     """Build arenas for section-relative chains [c0, c1) and dispatch the
     pipeline (async); returns the device array ([CHUNK*period, C_out],
     valid rows first).  ``subs_info`` carries (sub, block_base, S0, NB0)
@@ -1085,12 +1105,12 @@ def _dispatch_uniform_chunk(parse, subs_info, c0, c1, CHUNK, period, L0,
             parse, subs_info, c0, c1, CHUNK, period, L0, out_ch,
             pack_bits=pack_bits, device=device, words_all=words_all,
             use_pallas=use_pallas, f_base=f_base, t_base=t_base,
-            unroll=unroll)
+            unroll=unroll, mat_mm=mat_mm)
     return _dispatch_chunk_py(
         parse, subs_info, c0, c1, CHUNK, period, L0, out_ch,
         pack_bits=pack_bits, device=device, words_all=words_all,
         use_pallas=use_pallas, f_base=f_base, t_base=t_base,
-        unroll=unroll)
+        unroll=unroll, mat_mm=mat_mm)
 
 
 def _finish_dispatch(b, t_build, pack_bits, device, use_pallas, unroll=1):
@@ -1120,7 +1140,7 @@ def _finish_dispatch(b, t_build, pack_bits, device, use_pallas, unroll=1):
 def _dispatch_chunk_native(parse, subs_info, c0, c1, CHUNK, period, L0,
                            out_ch, pack_bits=0, device=None,
                            words_all=None, use_pallas=False,
-                           f_base=0, t_base=0, unroll=1):
+                           f_base=0, t_base=0, unroll=1, mat_mm=None):
     """Native-pack dispatch (see _dispatch_uniform_chunk)."""
     from ...ops.lfsr import _jump_columns
 
@@ -1134,21 +1154,9 @@ def _dispatch_chunk_native(parse, subs_info, c0, c1, CHUNK, period, L0,
     _t_build = _time.perf_counter()
     base_bit = 0
     if words_all is not None:
-        bit0 = min(int(si[0]["res_bitpos"][si[1] + c0 * si[3]])
-                   for si in subs_info)
-        w0 = bit0 >> 5
-        end_byte = int(parse.frame_end[f_base + c1 * fpc - 1]) + 8
-        w1 = min(words_all.shape[0], (end_byte + 3) // 4 + 1)
-        # window length: multiple of (and at least) the largest NW so the
-        # kernel's [W/NW, NW] reshape is valid even for huge spans
-        nw_max = max(_window_rows(si[0].get("sub_span_max", 0))
-                     for si in subs_info)
-        wlen = _bucket(max(w1 - w0, 1), lo=max(1024, nw_max))
-        win = np.zeros(wlen, np.uint32)
-        seg = words_all[w0 : min(w1, w0 + wlen)]
-        win[: seg.shape[0]] = seg
+        win, base_bit = _chunk_window(parse, subs_info, words_all,
+                                      f_base, c0, c1, fpc)
         b.add_host("words", win)
-        base_bit = w0 * 32
     for s_idx, si in enumerate(subs_info):
         sub, blk_base, S0, NB0 = si[:4]
         suboff_base = si[4] if len(si) > 4 else None
@@ -1232,7 +1240,8 @@ def _dispatch_chunk_native(parse, subs_info, c0, c1, CHUNK, period, L0,
     b.add_frame("mat_noise", "mat_noise", f0, f1, F_pad, (6, 2), np.int16)
     b.add_frame("mat_out", "mat_out", f0, f1, F_pad, (6,), np.int8)
     b.add_frame("mat_active", "mat_active", f0, f1, F_pad, (6,), np.int8)
-    b.mark("mat_mm", _max_matrix_slots(parse.mat_active[:f1]))
+    b.mark("mat_mm", mat_mm if mat_mm is not None
+           else _max_matrix_slots(parse.mat_active[:f1]))
     b.add_frame("mat_quant", "mat_quant", f0, f1, F_pad, (6,), np.int8)
     b.add_frame("out_shift", "out_shift", f0, f1, F_pad, (8,), np.int8)
     b.add_host("wave_perm", _wave_perm(parse, out_ch).astype(np.int8))
@@ -1250,7 +1259,7 @@ def _dispatch_chunk_native(parse, subs_info, c0, c1, CHUNK, period, L0,
 def _dispatch_chunk_py(parse, subs_info, c0, c1, CHUNK, period, L0,
                        out_ch, pack_bits=0, device=None,
                        words_all=None, use_pallas=False,
-                       f_base=0, t_base=0, unroll=1):
+                       f_base=0, t_base=0, unroll=1, mat_mm=None):
     """Numpy-pack dispatch (fallback + differential reference for
     _dispatch_chunk_native; see _dispatch_uniform_chunk)."""
     from ...ops.lfsr import _jump_columns
@@ -1266,24 +1275,9 @@ def _dispatch_chunk_py(parse, subs_info, c0, c1, CHUNK, period, L0,
     _t_build = _time.perf_counter()
     base_bit = 0
     if words_all is not None:
-        # stream window covering every residual bit this chunk reads:
-        # from the first block's bit position to the end of the chunk's
-        # last frame (+ guard for the 64-bit window loads)
-        bit0 = min(int(si[0]["res_bitpos"][si[1] + c0 * si[3]])
-                   for si in subs_info)
-        w0 = bit0 >> 5
-        end_byte = int(parse.frame_end[f_base + c1 * fpc - 1]) + 8
-        w1 = min(words_all.shape[0], (end_byte + 3) // 4 + 1)
-        # window length: multiple of (and at least) the largest NW so the
-        # kernel's [W/NW, NW] reshape is valid even for huge spans
-        nw_max = max(_window_rows(si[0].get("sub_span_max", 0))
-                     for si in subs_info)
-        wlen = _bucket(max(w1 - w0, 1), lo=max(1024, nw_max))
-        win = np.zeros(wlen, np.uint32)
-        seg = words_all[w0 : min(w1, w0 + wlen)]
-        win[: seg.shape[0]] = seg
+        win, base_bit = _chunk_window(parse, subs_info, words_all,
+                                      f_base, c0, c1, fpc)
         b.add("words", win)
-        base_bit = w0 * 32
     for s_idx, si in enumerate(subs_info):
         sub, blk_base, S0, NB0 = si[:4]
         suboff_base = si[4] if len(si) > 4 else None
@@ -1398,7 +1392,8 @@ def _dispatch_chunk_py(parse, subs_info, c0, c1, CHUNK, period, L0,
     b.add("mat_noise", padF(parse.mat_noise, np.int16))
     b.add("mat_out", padF(parse.mat_out, np.int8))
     b.add("mat_active", padF(parse.mat_active, np.int8))
-    b.mark("mat_mm", _max_matrix_slots(parse.mat_active[:f1]))
+    b.mark("mat_mm", mat_mm if mat_mm is not None
+           else _max_matrix_slots(parse.mat_active[:f1]))
     b.add("mat_quant", padF(parse.mat_quant, np.int8))
     b.add("out_shift", padF(parse.out_shift, np.int8))
     b.add("wave_perm", _wave_perm(parse, out_ch).astype(np.int8))

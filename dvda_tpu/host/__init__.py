@@ -410,12 +410,14 @@ def parse_mlp_stream_begin(data: bytes, skip_values: bool = False,
     lib = _load()
     if lib is None:
         return None
+    if not 0 <= int(sub_every) <= 255:
+        raise ValueError(f"sub_every must be in 0..255, got {sub_every}")
     vals, lens = _luts()
     h = lib.mlp_parse_begin_mt(data, len(data),
                                vals.ctypes.data_as(ctypes.c_void_p),
                                lens.ctypes.data_as(ctypes.c_void_p),
                                (1 if skip_values else 0)
-                               | ((int(sub_every) & 0xFF) << 8),
+                               | (int(sub_every) << 8),
                                max(1, int(threads)))
     return IncrementalParse(lib, h)
 
