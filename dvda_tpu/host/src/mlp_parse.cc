@@ -57,6 +57,21 @@ const uint8_t kCrc8[256] = {
     0x87, 0xE4, 0x41, 0x22, 0x68, 0x0B, 0xAE, 0xCD, 0x3A, 0x59, 0xFC, 0x9F,
     0xD5, 0xB6, 0x13, 0x70};
 
+// tbl[k][b]: kCrc8 applied k+1 times to b — the distance-(k+1) byte
+// contribution for the slice-by-8 CRC fold in decode_substream (valid
+// because kCrc8 is GF(2)-linear: kCrc8[a^b] == kCrc8[a]^kCrc8[b])
+const uint8_t (*crc8_powers())[256] {
+  static uint8_t tbl[8][256];
+  static const bool init = [] {
+    for (int b = 0; b < 256; b++) tbl[0][b] = kCrc8[b];
+    for (int k = 1; k < 8; k++)
+      for (int b = 0; b < 256; b++) tbl[k][b] = kCrc8[tbl[k - 1][b]];
+    return true;
+  }();
+  (void)init;
+  return tbl;
+}
+
 struct ParseError {};  // frame-local error -> frame dropped
 
 // MSB-first big-endian bit reader over a byte span.
@@ -527,9 +542,37 @@ struct Parser {
     if (checkdata) {
       if (nbytes < 2) throw ParseError{};
       body_len = nbytes - 2;
-      uint8_t parity = 0, crc = 0x3C, final = 0;
-      for (int64_t i = 0; i < body_len; i++) {
-        parity ^= data[i];
+      // parity: whole-buffer XOR, word-at-a-time (independent of the CRC)
+      uint8_t parity = 0;
+      {
+        uint64_t acc = 0;
+        int64_t i = 0;
+        for (; i + 8 <= body_len; i += 8) {
+          uint64_t w;
+          std::memcpy(&w, data + i, 8);
+          acc ^= w;
+        }
+        acc ^= acc >> 32;
+        acc ^= acc >> 16;
+        acc ^= acc >> 8;
+        parity = uint8_t(acc);
+        for (; i < body_len; i++) parity ^= data[i];
+      }
+      // CRC-8: slice-by-8.  kCrc8 is GF(2)-linear (T[a^b] = T[a]^T[b]),
+      // so 8 bytes fold with 8 INDEPENDENT table loads instead of an
+      // 8-deep serial load chain — the byte-serial walk was a full pass
+      // over the stream and a top parse cost.  The scalar tail (>=8
+      // bytes) also recovers `final`, the pre-table value of the last
+      // step that the stream's trailing CRC byte must match.
+      uint8_t crc = 0x3C, final = 0;
+      const uint8_t(*T)[256] = crc8_powers();
+      int64_t i = 0;
+      for (; i + 16 <= body_len; i += 8) {
+        crc = T[7][crc ^ data[i]] ^ T[6][data[i + 1]] ^ T[5][data[i + 2]] ^
+              T[4][data[i + 3]] ^ T[3][data[i + 4]] ^ T[2][data[i + 5]] ^
+              T[1][data[i + 6]] ^ T[0][data[i + 7]];
+      }
+      for (; i < body_len; i++) {
         final = crc ^ data[i];
         crc = kCrc8[final];
       }
@@ -819,22 +862,36 @@ struct Parser {
     // hot loop: one 64-bit window load covers a channel's whole symbol —
     // the ≤9-bit Huffman code plus the ≤24-bit LSB field (≤33 bits total),
     // so each (sample, channel) costs one load + one LUT line + shifts.
-    // Reads validate against nbits only after the fact (the window loads
-    // themselves are always in-bounds thanks to the 8-byte zero pad).
+    // Bounds are validated ONCE per sample against the sample's worst-case
+    // bit cost (fixed fields + ≤9 bits per Huffman code); a sample that
+    // could overrun re-runs with the exact per-channel check, so streams
+    // that end flush with the frame still parse.  Window loads stay
+    // in-bounds either way (the 8-byte zero pad covers pos ≤ nbits).
     int32_t quants[kMaxChannels];
-    for (int i = 0; i < n_ch; i++) quants[i] = u.quant[u.min_ch + i];
+    int32_t worst = 0;
+    for (int i = 0; i < n_ch; i++) {
+      quants[i] = u.quant[u.min_ch + i];
+      worst += lsb_bits[i] + (codebooks_[i] ? 9 : 0);
+    }
+    worst += u.matrix_len;  // ≤1 bypass bit per slot
     int bs = u.block_size;
+    // bypassed LSBs: pre-size once, write by index (frame-local buffers,
+    // cleared at frame start — see decode_frame)
+    size_t byp0[kMaxMatrices];
+    for (int m = 0; m < u.matrix_len; m++) {
+      byp0[m] = u.mats[m].bypassed.size();
+      u.mats[m].bypassed.resize(byp0[m] + size_t(bs), 0);
+    }
     int64_t pos = r.pos;
     const int64_t nbits = r.nbits;
     int32_t am = *amax;
     for (int i = 0; i < bs; i++) {
+      const bool careful = pos + worst > nbits;
       for (int m = 0; m < u.matrix_len; m++) {
         MatrixSlot& ms = u.mats[m];
         if (ms.lsb_bypass) {
-          ms.bypassed.push_back(uint8_t(r.window(pos) >> 63));
+          ms.bypassed[byp0[m] + i] = uint8_t(r.window(pos) >> 63);
           pos += 1;
-        } else {
-          ms.bypassed.push_back(0);
         }
       }
       for (int ci = 0; ci < n_ch; ci++) {
@@ -852,7 +909,7 @@ struct Parser {
         }
         uint32_t lsb = lb ? uint32_t(w >> (64 - lb)) : 0;
         pos += lb;
-        if (pos > nbits) { r.pos = pos; throw ParseError{}; }
+        if (careful && pos > nbits) { r.pos = pos; throw ParseError{}; }
         int32_t v = int32_t(
             uint32_t(uint32_t((msb << lb) + int32_t(lsb) + offsets[ci]))
             << quants[ci]);
@@ -883,12 +940,32 @@ struct Parser {
 
     int32_t lsb_bits[kMaxChannels];
     int32_t codebooks[kMaxChannels];
+    // length-only walk: only Huffman-coded channels have data-dependent
+    // widths, so fold every fixed field (bypass bits + all LSB fields)
+    // into per-code constant gaps — gap[h] is the fixed bit count between
+    // code h-1's end and code h's start (gap[0] from the sample start,
+    // gap[n_huf] to the sample end).  Channels with codebook 0 then cost
+    // nothing per sample.
+    int32_t gap[kMaxChannels + 1];
+    int32_t hufcb[kMaxChannels];
+    int n_huf = 0;
+    int32_t acc = nbyp;       // running fixed gap
+    int32_t worst = nbyp;     // worst-case bits per sample (codes ≤9)
     for (int i = 0; i < n_ch; i++) {
       ChannelParams& cp = u.ch[u.min_ch + i];
       int lb = cp.huffman_lsbs - int(u.quant[u.min_ch + i]);
       if (lb < 0) throw ParseError{};
       lsb_bits[i] = lb;
       codebooks[i] = cp.codebook;
+      worst += lb;
+      if (cp.codebook) {
+        gap[n_huf] = acc;
+        hufcb[n_huf++] = cp.codebook;
+        worst += 9;
+        acc = lb;             // the code's own LSB field follows it
+      } else {
+        acc += lb;
+      }
       int64_t off;
       if (cp.codebook) {
         int sign_shift = lb + 2 - cp.codebook;
@@ -903,32 +980,78 @@ struct Parser {
       out.blk_lsb_bits[s].push_back(lb);
       out.blk_res_offset[s].push_back(int32_t(off));
     }
-    // same single-window hot loop as read_residuals, length-only
+    gap[n_huf] = acc;
     int bs = u.block_size;
     int64_t pos = r.pos;
     const int64_t pos0 = pos;
     const int64_t nbits = r.nbits;
     const int k = sub_every;
+
+    if (n_huf == 0) {
+      // fixed-rate block: every sample costs exactly gap[0] bits —
+      // advance in O(1) and emit the (affine) sub-lane offsets directly
+      const int64_t cbits = gap[0];
+      const int64_t end = pos + cbits * bs;
+      if (end > nbits) { r.pos = end; throw ParseError{}; }
+      if (k > 0)
+        for (int i = 0; i < bs; i += k)
+          out.blk_sub_bitpos[s].push_back(int32_t(cbits * i));
+      // max sub-lane span: k samples between split points, the whole
+      // block when not splitting (sizes the kernel's window rows)
+      int32_t span = int32_t(cbits * (k > 0 && k < bs ? k : bs));
+      if (span > out.sub_span_max[s]) out.sub_span_max[s] = span;
+      r.pos = end;
+      return;
+    }
+
+    // same single-window hot loop as read_residuals, length-only, with
+    // the same once-per-sample worst-case bounds check + careful rerun
+    uint64_t w = r.window(pos);  // rolling 64-bit window over [wbase, +64)
+    int64_t wbase = pos;
     int64_t mark = pos;
+    int sub_cnt = k > 0 ? 1 : bs + 1;  // fires at i == 0 when splitting
     for (int i = 0; i < bs; i++) {
-      if (k > 0 && i % k == 0) {
+      if (--sub_cnt == 0) {
+        sub_cnt = k;
         out.blk_sub_bitpos[s].push_back(int32_t(pos - pos0));
         if (int32_t(pos - mark) > out.sub_span_max[s])
           out.sub_span_max[s] = int32_t(pos - mark);
         mark = pos;
       }
-      pos += nbyp;
-      for (int ci = 0; ci < n_ch; ci++) {
-        int cb = codebooks[ci];
-        if (cb) {
-          uint32_t peek = uint32_t(r.window(pos) >> 55);
-          int32_t n = lut_len[cb * 512 + peek];
-          if (n == 0) { r.pos = pos; throw ParseError{}; }
-          pos += n;
+      if (pos + worst > nbits) {  // rare: the stream may end flush — walk
+        pos += nbyp;              // this sample with exact checks
+        for (int ci = 0; ci < n_ch; ci++) {
+          int cb = codebooks[ci];
+          if (cb) {
+            uint32_t peek = uint32_t(r.window(pos) >> 55);
+            int32_t n = lut_len[cb * 512 + peek];
+            if (n == 0) { r.pos = pos; throw ParseError{}; }
+            pos += n;
+          }
+          pos += lsb_bits[ci];
+          if (pos > nbits) { r.pos = pos; throw ParseError{}; }
         }
-        pos += lsb_bits[ci];
-        if (pos > nbits) { r.pos = pos; throw ParseError{}; }
+        continue;
       }
+      for (int h = 0; h < n_huf; h++) {
+        pos += gap[h];
+        // rolling window: reuse the last 64-bit load while the next code
+        // still fits (shifting a register beats re-walking addr->load->
+        // bswap in the serial pos chain).  window() pre-shifts by
+        // (wbase & 7), so only 64-7 = 57 bits are guaranteed valid; a
+        // <=9-bit code therefore needs shift <= 48
+        int64_t shift = pos - wbase;
+        if (shift > 48) {
+          w = r.window(pos);
+          wbase = pos;
+          shift = 0;
+        }
+        uint32_t peek = uint32_t((w << shift) >> 55);
+        int32_t n = lut_len[hufcb[h] * 512 + peek];
+        if (n == 0) { r.pos = pos; throw ParseError{}; }
+        pos += n;
+      }
+      pos += gap[n_huf];
     }
     if (int32_t(pos - mark) > out.sub_span_max[s])
       out.sub_span_max[s] = int32_t(pos - mark);  // tail sub-lane span
@@ -973,29 +1096,33 @@ struct Parser {
       out.mat_noise.push_back(act ? ms.coeff[fu.mmc + 1] : 0);
       out.mat_noise.push_back(act ? ms.coeff[fu.mmc + 2] : 0);
     }
-    // bypassed LSBs, sample-major [t*6+m]; slots may have accumulated fewer
-    // entries than L (mid-frame activation); missing = 0 like the spec
-    for (int32_t i = 0; i < L; i++) {
-      uint8_t packed = 0;
-      for (int m = 0; m < kMaxMatrices; m++) {
-        MatrixSlot& ms = fu.mats[m];
-        if (m < fu.matrix_len && size_t(i) < ms.bypassed.size() &&
-            ms.bypassed[i]) {
-          packed |= uint8_t(1) << m;
-        }
-      }
-      out.bypassed.push_back(packed);
+    // bypassed LSBs, sample-major [t*6+m] bit-packed; slots may have
+    // accumulated fewer entries than L (mid-frame activation); missing = 0
+    // like the spec.  Resize + indexed writes: per-sample push_back was a
+    // measurable share of the parse (slot bits are rare — skip-values mode
+    // never fills them at all, so the common case is the memset alone).
+    size_t b0 = out.bypassed.size();
+    out.bypassed.resize(b0 + size_t(L), 0);
+    for (int m = 0; m < fu.matrix_len; m++) {
+      MatrixSlot& ms = fu.mats[m];
+      int32_t n = int32_t(ms.bypassed.size() < size_t(L)
+                          ? ms.bypassed.size() : size_t(L));
+      for (int32_t i = 0; i < n; i++)
+        if (ms.bypassed[i]) out.bypassed[b0 + i] |= uint8_t(1) << m;
     }
-    // noise for this frame
+    // noise for this frame (written, not pushed, for the same reason)
     out.frame_seed.push_back(fu.noise_seed);
     out.frame_nshift.push_back(fu.noise_shift);
+    size_t n0 = out.noise0.size();
+    out.noise0.resize(n0 + size_t(L));
+    out.noise1.resize(n0 + size_t(L));
+    int32_t* pn0 = out.noise0.data() + n0;
+    int32_t* pn1 = out.noise1.data() + n0;
     uint32_t seed = fu.noise_seed;
     for (int32_t i = 0; i < L; i++) {
       uint32_t shifted = (seed >> 7) & 0xFFFF;
-      int8_t b0 = int8_t(uint8_t(seed >> 15));
-      int8_t b1 = int8_t(uint8_t(shifted));
-      out.noise0.push_back(int32_t(b0) << fu.noise_shift);
-      out.noise1.push_back(int32_t(b1) << fu.noise_shift);
+      pn0[i] = int32_t(int8_t(uint8_t(seed >> 15))) << fu.noise_shift;
+      pn1[i] = int32_t(int8_t(uint8_t(shifted))) << fu.noise_shift;
       seed = ((seed << 16) ^ shifted ^ (shifted << 5)) & 0xFFFFFFFFu;
     }
     fu.noise_seed = seed;
