@@ -59,6 +59,9 @@ class MlpSynthConfig:
     # (real encoders mostly set parameters at restarts; 0.3 stresses the
     # sticky state machine)
     params_update_prob: float = 0.3
+    # codebooks drawn per channel at parameter updates; narrow to (0,) to
+    # pin the parser's fixed-rate (no Huffman codes) block fast path
+    codebook_choices: tuple = (0, 1, 2, 3)
 
     @property
     def channels(self) -> int:
@@ -193,7 +196,8 @@ class _GenSubstream:
         if self.flags[1]:
             w.write(1, 1)
             w.write_signed(15, rng.randrange(-100, 101))
-        cb = rng.randrange(0, 4)
+        cb = self.cfg.codebook_choices[
+            rng.randrange(len(self.cfg.codebook_choices))]
         self.codebook[c] = cb
         q = self.quant[c]
         lsbs = rng.randrange(q + 1, q + 6)  # LSB_bits = lsbs - q in [1, 5]

@@ -132,6 +132,53 @@ def test_device_huffman_pipeline_bit_exact():
         assert b is not None and np.array_equal(a, b), (assign, nsub, nfr)
 
 
+@pytest.mark.parametrize("choices", [(0,), (0, 2)])
+def test_device_huffman_fixed_rate_blocks_bit_exact(choices):
+    """Streams whose channels use codebook 0 (no Huffman codes) hit the
+    parser's O(1) fixed-rate block path (mlp_parse.cc skip_residuals:
+    every sample costs a constant bit count, sub-lane offsets are
+    affine); mixed (0, 2) streams exercise the constant-gap folding
+    around the remaining coded channels.  Both must stay bit-exact vs
+    the spec decoder through the device-Huffman pipeline."""
+    from dvda_tpu.codecs.mlp.native_engine import decode_native
+    from dvda_tpu.codecs.mlp.spec import MlpDecoder
+    from dvda_tpu.config import DecodeConfig
+    from dvda_tpu.testutil.synth import BPS_CODE, RATE_CODE
+    from dvda_tpu.codecs.params import StreamParameters as SP
+
+    cfg = MlpSynthConfig(channel_assignment=17, substream_count=2,
+                         n_frames=48, restart_every=2, major_sync_every=2,
+                         seed=9, fir_across_restart=False,
+                         params_update_prob=0.0, codebook_choices=choices)
+    stream = synth_mlp_stream(cfg)
+    params = SP(BPS_CODE[cfg.bits_per_sample], 0xF,
+                RATE_CODE[cfg.sample_rate], 0xF, cfg.channel_assignment)
+    # pin the expectation: with (0,) every parsed block is codebook-free
+    inc = host.parse_mlp_stream_begin(stream, skip_values=True, sub_every=8)
+    assert inc is not None
+    inc.step(0)
+    v = inc.view()
+    assert v.status == 0
+    if choices == (0,):
+        for s in range(v.substream_count):
+            assert not v.sub[s]["codebook"].any()
+        # fixed-rate sub-lane offsets are affine within each block
+        for s in range(v.substream_count):
+            sub = v.sub[s]
+            per = -(-int(sub["len"][0]) // 8)
+            bp = np.asarray(sub["sub_bitpos"][: per * 4]).reshape(4, per)
+            if per > 1:
+                d = np.diff(bp, axis=1)
+                assert (d == d[:, :1]).all()
+    inc.close()
+    spec = MlpDecoder(params)
+    spec.decode_bytes(stream)
+    a = spec.take_frames()
+    b = decode_native(stream, np.zeros(0, np.int64), len(stream), params,
+                      config=DecodeConfig(device_huffman=True))
+    assert b is not None and np.array_equal(a, b)
+
+
 def test_device_huffman_nonuniform_falls_back():
     """Non-uniform streams under device_huffman re-parse in value mode and
     still decode bit-exactly through the general path."""
