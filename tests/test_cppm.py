@@ -122,6 +122,33 @@ def test_sector_encrypt_decrypt_roundtrip():
     assert np.array_equal(dec, sectors)
 
 
+def test_cci_reset_native_matches_numpy(monkeypatch):
+    """preserve_cci=False: the native path (c2.cc reset_cci, which runs
+    after ALL sectors are plaintext since PES walks can cross into the
+    decrypted payload) must produce byte-identical sectors to the numpy
+    spec path."""
+    from dvda_tpu import host
+
+    media_key = 0x00DEADBEEFCAFE42
+    album = 0x1122334455667788
+    sectors = _synthetic_sectors(n=9)
+    enc = encrypt_sectors(sectors, media_key, album)
+    if host._load() is None:
+        import pytest
+
+        pytest.skip("native host library unavailable")
+    a = CppmDecryptor(media_key, album,
+                      preserve_cci=False).decrypt_sectors(enc.copy())
+    monkeypatch.setattr(host, "c2_decrypt_sectors",
+                        lambda *args, **kw: None)
+    b = CppmDecryptor(media_key, album,
+                      preserve_cci=False).decrypt_sectors(enc.copy())
+    assert np.array_equal(a, b)
+    # both equal the plaintext except (possibly) CCI bytes; sanity: the
+    # audio payload region survives
+    assert np.array_equal(a[:, 128:], sectors[:, 128:])
+
+
 def test_decryptor_passes_unencrypted_through():
     sectors = _synthetic_sectors()
     dec = CppmDecryptor(1, 2, preserve_cci=True).decrypt_sectors(sectors)
