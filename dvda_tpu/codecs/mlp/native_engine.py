@@ -583,7 +583,7 @@ def _decode_pipelined(inc, stream, boundaries, probe_end, parameters,
 
     devices = _decode_devices(config)
     cfg = config if config is not None else default_config()
-    CHUNK = cfg.resolved_chunk_chains()
+    CHUNK = cfg.resolved_chunk_chains(out_ch)
     # Pallas AR-filter variant: measured equal to the scan on v5e (see
     # docs/performance.md); flag-routable, interpreted off-TPU
     use_pallas = cfg.filter_kernel == "pallas"
@@ -1034,7 +1034,7 @@ def _try_uniform(parse, F: int, frame_len: np.ndarray, T: int,
     # chains per chunk: fixed so every chunk shares one compiled program;
     # large enough that per-chunk dispatch round-trips stay negligible
     cfg = config if config is not None else default_config()
-    CHUNK = cfg.resolved_chunk_chains()
+    CHUNK = cfg.resolved_chunk_chains(out_ch)
     pack_bits = _pack_bits(bits_per_sample)
     devices = _decode_devices(config)
     pending = []

@@ -79,9 +79,15 @@ class DecodeConfig:
     #: worth it for long-running service decoding, wrong for one-shot
     #: jobs, so the default stays 1 (see docs/performance.md §headroom)
     filter_unroll: int = 1
-    #: restart chains per dispatched device chunk; smaller chunks start
-    #: their d2h readback earlier (less un-overlapped tail) at the cost of
-    #: more dispatches — see docs/performance.md for the sizing study
+    #: restart chains per dispatched device chunk **at 6-channel output**
+    #: (the shape the 64/128/256/512 hardware sweep tuned); the resolver
+    #: scales it inversely with the stream's channel count so chunk byte
+    #: volume — and with it the dispatch-count/readback-overlap balance —
+    #: stays constant across channel widths (a stereo chunk carries 1/3
+    #: the bytes of a 5.1 chunk, so it gets 3× the chains rather than 3×
+    #: the per-chunk fixed dispatch cost).  Smaller chunks start their
+    #: d2h readback earlier at the cost of more dispatches — see
+    #: docs/performance.md for the sizing study
     chunk_chains: int = 256
     #: host parse threads: >1 splits the MLP stream at full-restart frames
     #: (parser state-reset points) and parses sections concurrently in the
@@ -123,11 +129,14 @@ class DecodeConfig:
             return False
         return (os.cpu_count() or 1) < 16 * n_dev
 
-    def resolved_chunk_chains(self) -> int:
-        """``chunk_chains`` clamped to >=1 — a zero/negative value (env
-        typo or programmatic) would make ``range(0, n, CHUNK)`` raise or
-        build zero-sized arenas (advisor r2)."""
-        return max(1, self.chunk_chains)
+    def resolved_chunk_chains(self, out_ch: int = 6) -> int:
+        """``chunk_chains`` clamped to >=1 (a zero/negative value — env
+        typo or programmatic — would make ``range(0, n, CHUNK)`` raise or
+        build zero-sized arenas, advisor r2), then scaled by the stream's
+        output channel count so per-chunk byte volume matches the
+        6-channel shape the default was swept at (decode output is
+        bit-identical for any chunk size — test_chunk_chains_invariance)."""
+        return max(1, self.chunk_chains) * max(1, 6 // max(1, out_ch))
 
     #: device-Huffman sub-lane stride: the skip-values parser emits every
     #: k-th sample's bit offset so the residual kernel decodes each

@@ -99,6 +99,20 @@ def test_config_env(monkeypatch):
     assert not cfg.use_native_demux and cfg.multi_device
 
 
+def test_config_chunk_chains_resolver():
+    """chunk_chains is clamped to >=1 (advisor r2) and scaled inversely
+    with the stream's output channel count so per-chunk byte volume
+    matches the 6-channel shape the default was swept at."""
+    cfg = DecodeConfig()  # default 256, tuned at 6-ch
+    assert cfg.resolved_chunk_chains(6) == 256
+    assert cfg.resolved_chunk_chains(2) == 256 * 3  # stereo: 1/3 bytes/chain
+    assert cfg.resolved_chunk_chains(1) == 256 * 6
+    assert cfg.resolved_chunk_chains() == 256  # default = tuned shape
+    # clamps: zero/negative chunk_chains or out_ch never break range()
+    assert DecodeConfig(chunk_chains=0).resolved_chunk_chains(6) == 1
+    assert DecodeConfig(chunk_chains=-4).resolved_chunk_chains(0) >= 1
+
+
 def test_config_device_huffman_auto(monkeypatch):
     """device_huffman=None resolves by backend + host core count: off on
     CPU backends (tests keep covering the standard path), on for a TPU
