@@ -587,7 +587,7 @@ def _decode_pipelined(inc, stream, boundaries, probe_end, parameters,
     # Pallas AR-filter variant: measured equal to the scan on v5e (see
     # docs/performance.md); flag-routable, interpreted off-TPU
     use_pallas = cfg.filter_kernel == "pallas"
-    unroll = max(1, cfg.filter_unroll)
+    unroll = cfg.resolved_filter_unroll()
 
     pending = []
     ci = 0
@@ -1053,7 +1053,7 @@ def _try_uniform(parse, F: int, frame_len: np.ndarray, T: int,
                                           use_pallas=(cfg.filter_kernel
                                                       == "pallas"),
                                           native_pack=cfg.native_pack,
-                                          unroll=max(1, cfg.filter_unroll),
+                                          unroll=cfg.resolved_filter_unroll(),
                                           mat_mm=mat_mm)
             try:
                 dev.copy_to_host_async()  # overlap d2h with later chunks

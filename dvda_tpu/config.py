@@ -53,6 +53,19 @@ def _env_off(name: str) -> bool:
     return os.environ.get(name, "0") != "1"
 
 
+def _env_tristate(name: str) -> bool | None:
+    """``1``/``0``/unset → True/False/None (auto).  Any other value is an
+    error: silently mapping e.g. ``true`` to auto would flip the decode
+    mode (and its compile/throughput profile) away from what the operator
+    pinned, with nothing logged."""
+    raw = os.environ.get(name, "")
+    if raw in ("1", ""):
+        return True if raw == "1" else None
+    if raw == "0":
+        return False
+    raise ValueError(f"{name}={raw!r}: expected '1', '0', or unset (auto)")
+
+
 @dataclass
 class DecodeConfig:
     #: run the device (JAX) kernels; False = pure host decode
@@ -129,14 +142,32 @@ class DecodeConfig:
             return False
         return (os.cpu_count() or 1) < 16 * n_dev
 
+    def resolved_filter_unroll(self) -> int:
+        """``filter_unroll`` clamped to >=1.  The unroll knob belongs to
+        the lax.scan filter only; the Pallas kernel carries its full time
+        recursion in-kernel and has no unroll axis, so combining the two
+        warns (once per config resolution) instead of silently dropping
+        the knob a service operator believes is active."""
+        unroll = max(1, self.filter_unroll)
+        if unroll > 1 and self.filter_kernel == "pallas":
+            from .utils.log import logger
+
+            logger.warning(
+                "filter_unroll=%d has no effect with filter_kernel="
+                "'pallas' (the Pallas kernel has no unroll axis); "
+                "using the kernel as-is", unroll)
+            return 1
+        return unroll
+
     def resolved_chunk_chains(self, out_ch: int = 6) -> int:
         """``chunk_chains`` clamped to >=1 (a zero/negative value — env
         typo or programmatic — would make ``range(0, n, CHUNK)`` raise or
-        build zero-sized arenas, advisor r2), then scaled by the stream's
-        output channel count so per-chunk byte volume matches the
-        6-channel shape the default was swept at (decode output is
+        build zero-sized arenas, advisor r2), then scaled by ``6/out_ch``
+        (rounded) so per-chunk byte volume matches the 6-channel shape
+        the default was swept at, for any channel count — more chains for
+        narrow streams, fewer for 7/8-channel ones (decode output is
         bit-identical for any chunk size — test_chunk_chains_invariance)."""
-        return max(1, self.chunk_chains) * max(1, 6 // max(1, out_ch))
+        return max(1, round(max(1, self.chunk_chains) * 6 / max(1, out_ch)))
 
     #: device-Huffman sub-lane stride: the skip-values parser emits every
     #: k-th sample's bit offset so the residual kernel decodes each
@@ -162,8 +193,7 @@ class DecodeConfig:
             use_native_demux=_env_off("DVDA_TPU_DISABLE_NATIVE_DEMUX"),
             multi_device=not _env_off("DVDA_TPU_MULTI_DEVICE"),
             native_pack=_env_off("DVDA_TPU_DISABLE_NATIVE_PACK"),
-            device_huffman={"1": True, "0": False}.get(
-                os.environ.get("DVDA_TPU_DEVICE_HUFFMAN", "")),
+            device_huffman=_env_tristate("DVDA_TPU_DEVICE_HUFFMAN"),
             filter_kernel=os.environ.get("DVDA_TPU_FILTER_KERNEL", "scan"),
             filter_unroll=int(os.environ.get("DVDA_TPU_FILTER_UNROLL",
                                              "1")),

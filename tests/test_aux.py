@@ -100,17 +100,42 @@ def test_config_env(monkeypatch):
 
 
 def test_config_chunk_chains_resolver():
-    """chunk_chains is clamped to >=1 (advisor r2) and scaled inversely
-    with the stream's output channel count so per-chunk byte volume
-    matches the 6-channel shape the default was swept at."""
+    """chunk_chains is clamped to >=1 (advisor r2) and scaled by 6/out_ch
+    (rounded) so per-chunk byte volume matches the 6-channel shape the
+    default was swept at — for any channel count, not just divisors of 6."""
     cfg = DecodeConfig()  # default 256, tuned at 6-ch
     assert cfg.resolved_chunk_chains(6) == 256
     assert cfg.resolved_chunk_chains(2) == 256 * 3  # stereo: 1/3 bytes/chain
     assert cfg.resolved_chunk_chains(1) == 256 * 6
+    assert cfg.resolved_chunk_chains(8) == 192      # wider than tuned: fewer
+    assert cfg.resolved_chunk_chains(4) == 384
     assert cfg.resolved_chunk_chains() == 256  # default = tuned shape
     # clamps: zero/negative chunk_chains or out_ch never break range()
     assert DecodeConfig(chunk_chains=0).resolved_chunk_chains(6) == 1
     assert DecodeConfig(chunk_chains=-4).resolved_chunk_chains(0) >= 1
+
+
+def test_config_filter_unroll_resolver(caplog):
+    """filter_unroll only applies to the scan kernel; with the Pallas
+    kernel it resolves to 1 with a warning instead of being silently
+    dropped in the dispatch chain."""
+    assert DecodeConfig(filter_unroll=4).resolved_filter_unroll() == 4
+    assert DecodeConfig(filter_unroll=0).resolved_filter_unroll() == 1
+    cfg = DecodeConfig(filter_kernel="pallas", filter_unroll=4)
+    with caplog.at_level("WARNING", logger="dvda_tpu"):
+        assert cfg.resolved_filter_unroll() == 1
+    assert any("no effect" in r.message for r in caplog.records)
+
+
+def test_config_device_huffman_env_strict(monkeypatch):
+    """Unrecognized DVDA_TPU_DEVICE_HUFFMAN values raise instead of
+    silently meaning auto (which could flip the decode mode away from
+    what the operator pinned)."""
+    import pytest
+
+    monkeypatch.setenv("DVDA_TPU_DEVICE_HUFFMAN", "true")
+    with pytest.raises(ValueError, match="DVDA_TPU_DEVICE_HUFFMAN"):
+        DecodeConfig.from_env()
 
 
 def test_config_device_huffman_auto(monkeypatch):
