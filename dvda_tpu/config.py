@@ -36,6 +36,11 @@ CLIs and benchmarks:
                                     sections split at full-restart
                                     frames)
     ``DVDA_TPU_LOG=<level>``        log level (utils/log.py)
+    ``DVDA_TPU_COMPILE_CACHE=dir``  persistent XLA compilation-cache
+                                    directory (``0`` disables; unset =
+                                    ``$XDG_CACHE_HOME/dvda_tpu/jax``) —
+                                    process-global, applied by
+                                    utils/jaxcache.py at first op import
     ==============================  =====================================
 
 No other module reads ``DVDA_TPU_*`` variables directly (VERDICT r1 #7).
@@ -211,3 +216,18 @@ def default_config() -> DecodeConfig:
 def env_log_level(default: str = "WARNING") -> str:
     """Log level from ``DVDA_TPU_LOG`` (consumed by utils/log.py)."""
     return os.environ.get("DVDA_TPU_LOG", default)
+
+
+def env_compile_cache() -> str:
+    """Persistent-compilation-cache directory from
+    ``DVDA_TPU_COMPILE_CACHE`` (consumed by utils/jaxcache.py).
+    Process-global JAX state rather than per-decode, hence env-only.
+    ``0``/``off`` → disabled (empty string); unset → the XDG default."""
+    raw = os.environ.get("DVDA_TPU_COMPILE_CACHE", "")
+    if raw in ("0", "off"):
+        return ""
+    if raw:
+        return raw
+    base = os.environ.get("XDG_CACHE_HOME",
+                          os.path.expanduser("~/.cache"))
+    return os.path.join(base, "dvda_tpu", "jax")

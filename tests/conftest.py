@@ -15,6 +15,15 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
+# keep the persistent compilation cache inside the repo for test runs
+# (XLA programs are deterministic in the geometry, so repeat suite runs
+# skip their first-compiles); tests that set DVDA_TPU_* decode knobs
+# never touch this one
+os.environ.setdefault(
+    "DVDA_TPU_COMPILE_CACHE",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jaxcache"))
+
 # The container's sitecustomize imports jax at interpreter start and forces
 # jax_platforms="axon,cpu" via jax.config — env vars alone are then a no-op.
 # Backends initialise lazily, so overriding the config before the first

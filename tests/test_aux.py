@@ -99,6 +99,32 @@ def test_config_env(monkeypatch):
     assert not cfg.use_native_demux and cfg.multi_device
 
 
+def test_config_compile_cache_env(monkeypatch, tmp_path):
+    from dvda_tpu.config import env_compile_cache
+
+    monkeypatch.setenv("DVDA_TPU_COMPILE_CACHE", "0")
+    assert env_compile_cache() == ""
+    monkeypatch.setenv("DVDA_TPU_COMPILE_CACHE", str(tmp_path / "cc"))
+    assert env_compile_cache() == str(tmp_path / "cc")
+    monkeypatch.delenv("DVDA_TPU_COMPILE_CACHE")
+    monkeypatch.setenv("XDG_CACHE_HOME", str(tmp_path / "xdg"))
+    assert env_compile_cache() == str(tmp_path / "xdg" / "dvda_tpu" / "jax")
+
+
+def test_compile_cache_applied():
+    # conftest points DVDA_TPU_COMPILE_CACHE at the repo-local .jaxcache
+    # and the ops package enables it at import; the helper is idempotent
+    import jax
+
+    from dvda_tpu import ops  # noqa: F401  (triggers ensure at import)
+    from dvda_tpu.utils.jaxcache import ensure_compile_cache
+
+    active = ensure_compile_cache()
+    assert active == ensure_compile_cache()  # idempotent
+    if active:
+        assert jax.config.jax_compilation_cache_dir == active
+
+
 def test_config_chunk_chains_resolver():
     """chunk_chains is clamped to >=1 (advisor r2) and scaled by 6/out_ch
     (rounded) so per-chunk byte volume matches the 6-channel shape the
