@@ -183,10 +183,14 @@ def bench_mlp_51(tmp, results):
     ref = time_reference(layout.path, os.path.join(tmp, "mlp51"))
 
     # both production modes, explicitly pinned (the library default is
-    # auto — resolved_device_huffman picks by backend/core count)
+    # auto — resolved_device_huffman picks by backend/core count); pin
+    # ONLY the mode: other DVDA_TPU_* env tuning must keep applying to
+    # the headline exactly as it does to the sibling configs
+    from dataclasses import replace
+
     from ..config import DecodeConfig
 
-    sc = DecodeConfig(device_huffman=False)
+    sc = replace(DecodeConfig.from_env(), device_huffman=False)
     t0 = time.perf_counter()
     out = _decode_track_packed(layout.path, True, sc)
     warm = time.perf_counter() - t0
@@ -203,7 +207,7 @@ def bench_mlp_51(tmp, results):
 
     # same track with on-device Huffman residual decode (host parses
     # length-only; see ops/huffman_decode.py) for the measured comparison
-    hc = DecodeConfig(device_huffman=True)
+    hc = replace(DecodeConfig.from_env(), device_huffman=True)
     _decode_track_packed(layout.path, True, hc)  # warm (compile)
     best_h, times_h = _best(
         lambda: _decode_track_packed(layout.path, True, hc), 3)

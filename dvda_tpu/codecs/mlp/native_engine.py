@@ -525,6 +525,7 @@ def decode_native(stream: bytes, boundaries: np.ndarray, probe_end: int,
         if skip_values:
             # the general path needs residual values: re-parse normally
             inc.close()
+            inc = None  # the finally guard must not re-close (or None-deref)
             inc = host.parse_mlp_stream_begin(stream,
                                               threads=cfg.resolved_parse_threads())
             if inc is None:
@@ -537,7 +538,8 @@ def decode_native(stream: bytes, boundaries: np.ndarray, probe_end: int,
         return _decode_parsed(parse, boundaries, probe_end, parameters,
                               want_packed, config)
     finally:
-        inc.close()  # frees the zero-copy parse buffers
+        if inc is not None:
+            inc.close()  # frees the zero-copy parse buffers
 
 
 def _decode_pipelined(inc, stream, boundaries, probe_end, parameters,

@@ -189,8 +189,12 @@ def decode_residuals_device(
                 w2 = sel(idx + 2)
                 hi2 = (w1 << b) | jnp.where(nz, w2 >> inv, u32(0))
                 sh = nbyp_u
+                # mask like every other shift here: nbyp==0 lanes feed
+                # the discarded where-branch a shift of 32 otherwise
+                # (implementation-defined under XLA shift semantics)
                 hi = jnp.where(nbyp_l > 0,
-                               (hi << sh) | (hi2 >> (u32(32) - sh)), hi)
+                               (hi << sh) | (hi2 >> ((u32(32) - sh)
+                                                     & u32(31))), hi)
                 # window bit 32 (after the shift) = hi2 bit nbyp
                 ext = (hi2 >> (u32(31) - sh)) & u32(1)
                 adv0 = nbyp_l

@@ -46,7 +46,13 @@ def ensure_compile_cache() -> str | None:
     except Exception as exc:  # unwritable dir, ancient jax, ...
         from .log import logger
 
-        logger.debug("compile cache disabled (%s): %s", path, exc)
+        if os.environ.get("DVDA_TPU_COMPILE_CACHE"):
+            # the operator pinned this path: a typo'd/unwritable dir
+            # silently repaying every first-compile must be visible
+            logger.warning("compile cache disabled (DVDA_TPU_COMPILE_"
+                           "CACHE=%s): %s", path, exc)
+        else:
+            logger.debug("compile cache disabled (%s): %s", path, exc)
         _applied = ""
         return None
     _applied = path

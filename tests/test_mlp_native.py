@@ -572,7 +572,9 @@ def _chunk_inputs(stream, skip_values=False, sub_every=0):
                                           sub_every=sub_every)
         inc.step(0)
         parse = inc.view()
-        parse._closer = inc  # keep the handle alive with the view
+        # the view is borrowed (its close() is a no-op): route close()
+        # to the owning handle so callers' parse.close() actually frees
+        parse.close = inc.close
     else:
         parse = host.parse_mlp_stream(stream)
     assert parse is not None and parse.status == 0
