@@ -100,7 +100,7 @@ def _uniform_arena_pipeline(a4, a2, a1, spec):
     """
     from ...ops.huffman_decode import decode_residuals_device
     from ...ops.mlp_filter import mlp_filter_blocks_tl
-    from ...ops.rematrix import apply_output_stage, rematrix_frames
+    from ...ops.rematrix import apply_output_stage_tl, rematrix_frames_tl
 
     arenas = {4: a4, 2: a2, 1: a1}
     arrs = {}
@@ -160,14 +160,19 @@ def _uniform_arena_pipeline(a4, a2, a1, spec):
                 NB0)                       # [NB0, S0, n_ch*Bc], [Lc, S0]
             if f"s{i}_bypk" in arrs:
                 # slot m's bit is the kidx[m]-th bypass symbol of the
-                # packed burst field: a per-lane variable shift per slot
-                # ([Lc, S0] each, S0 minor) — the former [Lc, S0, 6]
-                # masked sum ran at 6/128 lane utilization
-                kidx = i32(f"s{i}_bypk").reshape(Lc, 6)
-                vld = i32(f"s{i}_bypv").reshape(Lc, 6)
-                rows = [((byp_k >> (5 - kidx[:, m])[:, None]) & 1)
+                # packed burst field: a per-lane variable shift per slot.
+                # One [T]-size permute puts the burst field time-leading
+                # (chains minor) so the shifts run at full lane width and
+                # the result feeds rematrix_frames_tl with no reorder.
+                kb = (byp_k.reshape(Bc, NB0, S0)
+                      .transpose(1, 2, 0))               # [NB0, S0, Bc]
+                kidx = (i32(f"s{i}_bypk").reshape(Bc, NB0, 6)
+                        .transpose(1, 2, 0))             # [NB0, 6, Bc]
+                vld = (i32(f"s{i}_bypv").reshape(Bc, NB0, 6)
+                       .transpose(1, 2, 0))
+                rows = [((kb >> (5 - kidx[:, m])[:, None]) & 1)
                         * vld[:, m][:, None] for m in range(6)]
-                byp6 = jnp.stack(rows, 0).reshape(6, Lc * S0)  # [6, T]
+                byp6 = jnp.stack(rows, 2)        # [NB0, S0, 6, Bc]
         else:
             res = i32(f"s{i}_res")
             Bc, NB0, n_ch, S0 = res.shape
@@ -237,25 +242,35 @@ def _uniform_arena_pipeline(a4, a2, a1, spec):
     else:
         outs = [run_filter(p[:8], p[8]) for p in packed]
 
-    series_rows = []
+    # --- time-leading join: chains stay on the minor (lane) axis -------
+    # Time order within a chain is (block, sample) = (frame, in-frame
+    # sample), so [NB0, S0, ...] leading axes flatten to the per-chain
+    # period and re-split as [fpc, L0] for FREE — the old [n_ch, T] /
+    # [F, L0, 8] join paid two stream-size permutes and then ran the
+    # rematrix with 8 channels on the 128-lane axis (see rematrix_tl).
+    Bc0 = packed[0][9]
+    parts = []
     for out, p in zip(outs, packed):
         Bc, n_ch, NB0, S0 = p[9], p[10], p[11], p[12]
-        # out is time-leading [NB0, S0, (c-major lanes)] → [n_ch, T]
-        # with time order (chain, block, sample) per channel row
-        series_rows.append(out.transpose(2, 0, 1).reshape(n_ch, -1))
-
-    series = jnp.concatenate(series_rows, axis=0)
-    T_pad = series.shape[1]
-    if series.shape[0] < 8:
-        series = jnp.concatenate(
-            [series, jnp.zeros((8 - series.shape[0], T_pad), jnp.int32)],
-            axis=0)
+        # [NB0, S0, n_ch*Bc] (c-major lanes) → [period, n_ch, Bc]: free
+        parts.append(out.reshape(NB0 * S0, n_ch, Bc))
+    series_tl = jnp.concatenate(parts, axis=1)          # [period, C, Bc]
+    period, C_tot = series_tl.shape[0], series_tl.shape[1]
+    T_pad = Bc0 * period
+    if C_tot < 8:
+        series_tl = jnp.concatenate(
+            [series_tl,
+             jnp.zeros((period, 8 - C_tot, Bc0), jnp.int32)], axis=1)
     F_pad = arrs["mat_coeff"].shape[0]
-    L0 = T_pad // F_pad
-    channels = series.reshape(8, F_pad, L0).transpose(1, 2, 0)  # [F, L0, 8]
+    fpc = F_pad // Bc0                                  # frames per chain
+    L0 = period // fpc
+    channels = series_tl.reshape(fpc, L0, 8, Bc0)
+
+    def tlf(x):  # [F_pad, ...] chain-major frame arrays → [fpc, ..., Bc]
+        return jnp.moveaxis(x.reshape((Bc0, fpc) + x.shape[1:]), 0, -1)
 
     # LFSR noise expanded on device from per-frame seeds by jump doubling
-    seeds = arrs["frame_seed"][:, None]                 # [F_pad, 1] uint32
+    seeds = tlf(arrs["frame_seed"])[:, None, :]         # [fpc, 1, Bc]
     jumps = arrs["jumps"]                               # [K, 32] uint32
     width, k = 1, 0
     while width < L0:
@@ -270,33 +285,38 @@ def _uniform_arena_pipeline(a4, a2, a1, spec):
     shifted = (seeds >> jnp.uint32(7)) & jnp.uint32(0xFFFF)
     b0 = ((seeds >> jnp.uint32(15)) & jnp.uint32(0xFF)).astype(jnp.int32)
     b1 = (shifted & jnp.uint32(0xFF)).astype(jnp.int32)
-    nshift = i32("frame_nshift")[:, None]
+    nshift = tlf(i32("frame_nshift"))[:, None, :]       # [fpc, 1, Bc]
     n0 = (((b0 ^ 0x80) - 0x80) << nshift)
     n1 = (((b1 ^ 0x80) - 0x80) << nshift)
-    noise = jnp.stack([n0, n1], axis=-1)                # [F_pad, L0, 2]
+    noise = jnp.stack([n0, n1], axis=2)                 # [fpc, L0, 2, Bc]
 
     if "byp" in arrs:
-        byp_bits = i32("byp")                           # [T_pad]
-        byp = ((byp_bits[:, None] >> jnp.arange(6, dtype=jnp.int32)) & 1)
-        byp = byp.reshape(F_pad, L0, 6).transpose(0, 2, 1)
+        # one [T]-size 2D transpose (chains to the minor axis), then the
+        # six slot bits broadcast out with chains on lanes
+        bits = i32("byp").reshape(Bc0, period).T.reshape(fpc, L0, 1, Bc0)
+        byp = ((bits >> jnp.arange(6, dtype=jnp.int32)[None, None, :,
+                                                       None]) & 1)
     else:  # device-Huffman mode: bits decoded on device (final substream)
-        byp = byp6.reshape(6, F_pad, L0).transpose(1, 0, 2)
-    # either way: [F_pad, 6, L0], L0 minor
+        byp = byp6.reshape(fpc, L0, 6, byp6.shape[-1])
+    # either way: [fpc, L0, 6, Bc]
 
-    channels = rematrix_frames(channels, noise, i32("mat_coeff"),
-                               i32("mat_noise"), i32("mat_out"),
-                               arrs["mat_active"] != 0, i32("mat_quant"),
-                               byp, flags.get("mat_mm", 6))
-    staged = apply_output_stage(channels, i32("out_shift"), i32("wave_perm"))
-    staged = staged.reshape(T_pad, staged.shape[-1])
-    # device-side little-endian byte packing: [T_pad, C_out*nbytes]
+    channels = rematrix_frames_tl(
+        channels, noise, tlf(i32("mat_coeff")), tlf(i32("mat_noise")),
+        tlf(i32("mat_out")), tlf(arrs["mat_active"] != 0),
+        tlf(i32("mat_quant")), byp, flags.get("mat_mm", 6))
+    staged = apply_output_stage_tl(channels, tlf(i32("out_shift")),
+                                   i32("wave_perm"))    # [fpc,L0,C_out,Bc]
+    # device-side little-endian byte packing, then ONE output permute to
+    # WAV time order (chain, frame, sample) on the byte-packed tensor —
+    # 3/4 the bytes of an int32 permute for 24-bit streams
     nbytes = 3 if "__pack24__" in flags else 2 if "__pack16__" in flags else 0
     if nbytes:
-        packed = jnp.stack(
+        pk = jnp.stack(
             [((staged >> (8 * k)) & 0xFF).astype(jnp.uint8)
-             for k in range(nbytes)], axis=-1)
-        return packed.reshape(T_pad, -1)
-    return staged
+             for k in range(nbytes)], axis=3)       # [fpc,L0,C_out,nb,Bc]
+        return pk.transpose(4, 0, 1, 2, 3).reshape(T_pad, -1)
+    return (staged.transpose(3, 0, 1, 2)
+            .reshape(T_pad, staged.shape[2]))
 
 
 class _ArenaBuilder:

@@ -24,7 +24,8 @@ import jax.numpy as jnp
 
 from .exact_int import limb_dot, mask_quant_i32, shift_right_trunc32
 
-__all__ = ["rematrix_frames", "apply_output_stage"]
+__all__ = ["rematrix_frames", "apply_output_stage",
+           "rematrix_frames_tl", "apply_output_stage_tl"]
 
 MAX_MATRICES = 6
 
@@ -60,6 +61,53 @@ def rematrix_frames(
             & mat_active[:, m][:, None, None]
         channels = jnp.where(sel, val[:, :, None], channels)
     return channels
+
+
+@partial(jax.jit, static_argnums=(8,))
+def rematrix_frames_tl(
+    channels,     # int32 [Fc, L, C, Bc]  (chains on the minor/lane axis)
+    noise,        # int32 [Fc, L, 2, Bc]
+    mat_coeff,    # int32 [Fc, 6, C, Bc]
+    mat_noise,    # int32 [Fc, 6, 2, Bc]
+    mat_out,      # int32 [Fc, 6, Bc]
+    mat_active,   # bool  [Fc, 6, Bc]
+    mat_quant,    # int32 [Fc, 6, Bc]
+    bypassed,     # int32 [Fc, L, 6, Bc]
+    n_mats: int = MAX_MATRICES,
+):
+    """Time-leading :func:`rematrix_frames`: the frame batch [F, L, C]
+    factors as F = Bc·Fc with the C channels on sublanes and the Bc
+    restart chains on the 128-lane axis.  Bit-identical semantics; the
+    C-minor form ran at 8/128 lane utilization (measured 1.7× slower at
+    the production chunk shape) and forced two stream-size permutes
+    around it in the uniform pipeline."""
+    Fc, L, C, Bc = channels.shape
+    cidx = jnp.arange(C, dtype=jnp.int32)
+
+    for m in range(n_mats):
+        co = mat_coeff[:, m][:, None]                  # [Fc, 1, C, Bc]
+        l0, l1, l2, l3 = limb_dot(co, channels, axis=2)        # [Fc,L,Bc]
+        n0, n1, n2, n3 = limb_dot(mat_noise[:, m][:, None], noise, axis=2)
+        shifted = shift_right_trunc32(
+            (l0 + n0, l1 + n1, l2 + n2, l3 + n3), jnp.int32(14)
+        )
+        val = mask_quant_i32(shifted, mat_quant[:, m][:, None]) \
+            + bypassed[:, :, m]                        # [Fc, L, Bc]
+        sel = (cidx[None, None, :, None] == mat_out[:, m][:, None, None]) \
+            & mat_active[:, m][:, None, None]
+        channels = jnp.where(sel, val[:, :, None], channels)
+    return channels
+
+
+@jax.jit
+def apply_output_stage_tl(
+    channels,      # int32 [Fc, L, C, Bc]
+    output_shift,  # int32 [Fc, C, Bc]
+    wave_perm,     # int32 [C_out]
+):
+    """Time-leading :func:`apply_output_stage`; returns [Fc, L, C_out, Bc]."""
+    shifted = channels << output_shift[:, None]
+    return jnp.take(shifted, wave_perm, axis=2)
 
 
 @jax.jit
