@@ -42,25 +42,33 @@ def _filter_core(residuals_tl, rc_fir, rc_iir, shift, quant, iir_reset,
                  iir_init, block_len, fir_state0, iir_state0, unroll=1):
     """Shared scan core over TIME-LEADING residuals [NB, S, B]; returns
     (out_tl [NB, S, B], fir_state, iir_state).  Both scans consume their
-    natural leading axis — no residual transposes inside."""
+    natural leading axis — no residual transposes inside.
+
+    Inside the scan the 8-tap state/coefficient vectors are carried
+    TAPS-LEADING ([8, B]: taps on sublanes, lanes on the 128-lane axis),
+    so each tap dot reduces across sublanes at full lane width — the
+    [B, 8] form ran every product at 8/128 lane utilization (measured
+    1.76× slower for the whole scan at the production chunk shape).
+    External shapes stay [B, ..., 8]; the flips are one-time transposes
+    of the small parameter tensors."""
     NB, S, B = residuals_tl.shape
     pos = jnp.arange(S, dtype=jnp.int32)
 
     def block_step(carry, xs):
-        fir_st, iir_st = carry
+        fir_st, iir_st = carry                          # [8, B]
         res_b, fir_c, iir_c, sh, q, irst, iinit, blen = xs
-        iir_st = jnp.where(irst[:, None], iinit, iir_st)
+        iir_st = jnp.where(irst[None, :], iinit, iir_st)
 
         def sample_step(st, res_i):
             fs, is_ = st
             res, valid = res_i
-            l0, l1, l2, l3 = limb_dot(fir_c, fs)
-            m0, m1, m2, m3 = limb_dot(iir_c, is_)
+            l0, l1, l2, l3 = limb_dot(fir_c, fs, axis=0)
+            m0, m1, m2, m3 = limb_dot(iir_c, is_, axis=0)
             shifted = shift_right_trunc32((l0 + m0, l1 + m1, l2 + m2, l3 + m3), sh)
             value = mask_quant_i32(shifted + res, q)
-            nfs = jnp.concatenate([fs[:, 1:], value[:, None]], axis=1)
-            nis = jnp.concatenate([is_[:, 1:], (value - shifted)[:, None]], axis=1)
-            v = valid[:, None]
+            nfs = jnp.concatenate([fs[1:], value[None]], axis=0)
+            nis = jnp.concatenate([is_[1:], (value - shifted)[None]], axis=0)
+            v = valid[None, :]
             return (jnp.where(v, nfs, fs), jnp.where(v, nis, is_)), value
 
         valid = pos[:, None] < blen[None, :]            # [S, B]
@@ -80,19 +88,19 @@ def _filter_core(residuals_tl, rc_fir, rc_iir, shift, quant, iir_reset,
 
     (fir_f, iir_f), outs = jax.lax.scan(
         block_step,
-        (fir_state0, iir_state0),
+        (fir_state0.T, iir_state0.T),
         (
             residuals_tl,
-            jnp.moveaxis(rc_fir, 1, 0),
-            jnp.moveaxis(rc_iir, 1, 0),
+            jnp.moveaxis(rc_fir, (1, 2), (0, 1)),       # [NB, 8, B]
+            jnp.moveaxis(rc_iir, (1, 2), (0, 1)),
             shift.T,
             quant.T,
             iir_reset.T,
-            jnp.moveaxis(iir_init, 1, 0),
+            jnp.moveaxis(iir_init, (1, 2), (0, 1)),
             block_len.T,
         ),
     )
-    return outs, fir_f, iir_f  # [NB, S, B]
+    return outs, fir_f.T, iir_f.T  # [NB, S, B], [B, 8], [B, 8]
 
 
 @partial(jax.jit, static_argnums=(10,))
