@@ -92,10 +92,11 @@ class DecodeConfig:
     #: AR-filter kernel: "scan" (lax.scan; default) or "pallas"
     #: (ops/pallas_filter.py) — measured equal on v5e, see performance.md
     filter_kernel: str = "scan"
-    #: AR-filter scan unroll factor: 4 is ~35% faster per chunk on v5e
-    #: but multiplies the per-geometry first compile ~6× (80 s → 465 s) —
-    #: worth it for long-running service decoding, wrong for one-shot
-    #: jobs, so the default stays 1 (see docs/performance.md §headroom)
+    #: AR-filter scan unroll factor.  Historical: unroll=4 bought ~9%
+    #: per chunk before the taps-leading state rework; re-measured after
+    #: it the unroll is NEUTRAL on v5e (2.92 vs 2.94 ms/chunk) while
+    #: still multiplying the per-geometry first compile — default stays
+    #: 1; the knob remains for shapes where scan step overhead returns
     filter_unroll: int = 1
     #: restart chains per dispatched device chunk **at 6-channel output**
     #: (the shape the 64/128/256/512 hardware sweep tuned); the resolver
@@ -126,8 +127,8 @@ class DecodeConfig:
         device compute (docs/performance.md).  Measured on v5e: the
         skip-values parse runs ~2× the full parse rate (~150× vs ~75×
         realtime per core for MLP 5.1/96k) while the device-Huffman
-        chunk program runs ~693×/chip vs the standard program's
-        ~1104×/chip — so the standard mode only wins once ≥ ~15
+        chunk program runs ~730×/chip vs the standard program's
+        ~1156×/chip — so the standard mode only wins once ≥ ~15
         full-parse cores feed each chip.  Auto therefore enables
         device_huffman on a real TPU backend when the host has fewer
         than 16 cores per participating chip; on non-TPU backends the

@@ -72,12 +72,12 @@ def _filter_core(residuals_tl, rc_fir, rc_iir, shift, quant, iir_reset,
             return (jnp.where(v, nfs, fs), jnp.where(v, nis, is_)), value
 
         valid = pos[:, None] < blen[None, :]            # [S, B]
-        # NB: unroll=4 here is ~35% faster at run time on v5e (2.9 vs
-        # 3.2 ms/chunk full-pipeline) but multiplies the per-geometry
-        # first compile ~6× (80 s → 465 s) — a bad trade for short
-        # decode jobs over bucketed geometries, so the default stays 1;
-        # long-running services opt in via DecodeConfig.filter_unroll
-        # (see docs/performance.md "device headroom").
+        # NB: with the taps-leading state unroll=4 measures NEUTRAL
+        # on v5e (2.92 vs 2.94 ms/chunk full-pipeline; before the rework
+        # it bought ~9% by amortising per-step overhead) while still
+        # multiplying the per-geometry first compile — the default stays
+        # 1 and DecodeConfig.filter_unroll remains for shapes where the
+        # step overhead returns (docs/performance.md "device headroom").
         (fir_st, iir_st), out = jax.lax.scan(
             sample_step,
             (fir_st, iir_st),
