@@ -377,6 +377,7 @@ def _capture_chunk_args(mlp_cfg, out_ch, use_pallas=False,
 
     from .. import host
     from ..codecs.mlp import native_engine as ne
+    from ..config import DecodeConfig
     from ..testutil.mlp_synth import synth_mlp_stream
 
     stream = synth_mlp_stream(mlp_cfg)
@@ -432,7 +433,9 @@ def _capture_chunk_args(mlp_cfg, out_ch, use_pallas=False,
             ne._dispatch_uniform_chunk(parse, subs_info, 0, CHUNK, CHUNK,
                                        period, L0, out_ch, pack_bits=24,
                                        words_all=words_all,
-                                       use_pallas=use_pallas)
+                                       use_pallas=use_pallas,
+                                       narrow=DecodeConfig.from_env()
+                                       .resolved_narrow_d2h())
         finally:
             ne._uniform_arena_pipeline = orig
         audio_per_chunk = CHUNK * period / mlp_cfg.sample_rate
@@ -471,9 +474,12 @@ def _ramp_time_per_exec(args):
         variants.append(tuple(jax.device_put(x, dev)
                               for x in (v4, a2, a1)))
     jax.block_until_ready(variants)
-    summ = jax.jit(
-        lambda a4, a2, a1: orig(a4, a2, a1, spec)
-        .astype(jnp.int32).sum())
+    def _reduce(o):  # narrow-d2h programs return (narrow+flag, wide)
+        if isinstance(o, tuple):
+            return sum(x.astype(jnp.int32).sum() for x in o)
+        return o.astype(jnp.int32).sum()
+
+    summ = jax.jit(lambda a4, a2, a1: _reduce(orig(a4, a2, a1, spec)))
     np.asarray(summ(*variants[0]))  # warm (compile)
 
     def run(n):

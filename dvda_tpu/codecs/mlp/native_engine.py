@@ -311,10 +311,34 @@ def _uniform_arena_pipeline(a4, a2, a1, spec):
     # 3/4 the bytes of an int32 permute for 24-bit streams
     nbytes = 3 if "__pack24__" in flags else 2 if "__pack16__" in flags else 0
     if nbytes:
-        pk = jnp.stack(
-            [((staged >> (8 * k)) & 0xFF).astype(jnp.uint8)
-             for k in range(nbytes)], axis=3)       # [fpc,L0,C_out,nb,Bc]
-        return pk.transpose(4, 0, 1, 2, 3).reshape(T_pad, -1)
+        def bytepack(nb):  # [fpc,L0,C_out,Bc] → uint8 [T_pad, C_out*nb]
+            pk = jnp.stack(
+                [((staged >> (8 * k)) & 0xFF).astype(jnp.uint8)
+                 for k in range(nb)], axis=3)       # [fpc,L0,C_out,nb,Bc]
+            return pk.transpose(4, 0, 1, 2, 3).reshape(T_pad, -1)
+
+        if nbytes == 3 and "__narrow__" in flags:
+            # narrow-d2h (config.narrow_d2h): int16-packed output plus an
+            # on-device fits-flag, flattened together so the host learns
+            # the flag from the SAME fetch (no extra round-trip through
+            # the relay).  Padding lanes are zero, so they never widen
+            # the range.  ONLY the narrow buffer is produced — a dual
+            # narrow+wide program gives `staged` two byte-pack consumers
+            # and XLA stops fusing the output permute (+2.7 ms/chunk,
+            # measured); chunks that overflow int16 are REDISPATCHED
+            # through the wide program by the drain (_finish_uniform)
+            # from their still-alive device arenas.
+            fits = jnp.logical_and(staged.min() >= -(1 << 15),
+                                   staged.max() < (1 << 15))
+            narrow = bytepack(2)                    # [T_pad, C_out*2]
+            # the flag rides as 8 trailing ROWS: a major-axis concat is
+            # layout-preserving (~free), where flattening narrow to 1-D
+            # to append the flag forced a full relayout copy (+1.6 ms
+            # per chunk, measured)
+            flag_rows = jnp.broadcast_to(fits.astype(jnp.uint8),
+                                         (8, narrow.shape[1]))
+            return jnp.concatenate([narrow, flag_rows], axis=0)
+        return bytepack(nbytes)
     return (staged.transpose(3, 0, 1, 2)
             .reshape(T_pad, staged.shape[2]))
 
@@ -610,6 +634,7 @@ def _decode_pipelined(inc, stream, boundaries, probe_end, parameters,
     # docs/performance.md); flag-routable, interpreted off-TPU
     use_pallas = cfg.filter_kernel == "pallas"
     unroll = cfg.resolved_filter_unroll()
+    narrow = pack_bits == 24 and cfg.resolved_narrow_d2h()
 
     pending = []
     ci = 0
@@ -670,11 +695,8 @@ def _decode_pipelined(inc, stream, boundaries, probe_end, parameters,
                     device=(devices[ci % len(devices)] if devices else None),
                     words_all=words_all, use_pallas=use_pallas,
                     f_base=f0, t_base=t_base, native_pack=cfg.native_pack,
-                    unroll=unroll, mat_mm=mat_mm)
-                try:
-                    dev.copy_to_host_async()
-                except (AttributeError, NotImplementedError):
-                    pass
+                    unroll=unroll, mat_mm=mat_mm, narrow=narrow)
+                _start_d2h(dev)
                 pending.append((dev, n_ok * period))
             ci += 1
             if n_ok < want - c0:  # verification truncated: geometry broke
@@ -850,11 +872,29 @@ def _verified_chains(v, struct, L0, fpc, f0, blk0s, c0, c1, done) -> int:
     return int(bad[0]) if bad.size else nc
 
 
+def _start_d2h(dev):
+    """Begin the async device→host copy for a dispatched chunk (a plain
+    array, or the (narrow+flag, redo) pair from a narrow-d2h dispatch —
+    only the narrow buffer starts copying; the wide program only runs if
+    the drain discovers the chunk overflowed int16)."""
+    target = dev[0] if isinstance(dev, tuple) else dev
+    try:
+        target.copy_to_host_async()
+    except (AttributeError, NotImplementedError):
+        pass
+
+
 def _finish_uniform(pending, T, out_ch, pack_bits, want_packed):
     """Drain dispatched chunks and assemble the final [T, ...] output.
 
     Chunks copy straight into one preallocated array (a concatenate here
-    double-copied 52 MB per 30 s track)."""
+    double-copied 52 MB per 30 s track).  Narrow-d2h chunks (see
+    config.narrow_d2h) arrive as int16 bytes + an embedded fits-flag and
+    are widened to the 24-bit WAV layout here — the third byte is the
+    arithmetic sign extension of the int16 high byte; a chunk whose flag
+    says some sample overflowed int16 is REDISPATCHED through the wide
+    program from its still-alive device arenas, so output bytes are
+    identical either way."""
     with global_timer.stage("mlp/device+d2h"):
         nbytes = pack_bits // 8
         width = out_ch * nbytes if pack_bits else out_ch
@@ -863,7 +903,18 @@ def _finish_uniform(pending, T, out_ch, pack_bits, want_packed):
         for dev, n in pending:
             take = min(n, T - row)
             if take > 0:
-                raw[row : row + take] = np.asarray(dev)[:take]
+                if isinstance(dev, tuple):
+                    got = np.asarray(dev[0])        # [T_pad+8, C*2]
+                    if got[-1, -1]:
+                        pairs = got[:-8].reshape(-1, out_ch, 2)[:take]
+                        dst = raw[row : row + take].reshape(take, out_ch, 3)
+                        dst[:, :, :2] = pairs
+                        dst[:, :, 2] = (pairs[:, :, 1].view(np.int8)
+                                        >> 7).view(np.uint8)
+                    else:  # chunk overflowed int16: rare wide redispatch
+                        raw[row : row + take] = np.asarray(dev[1]())[:take]
+                else:
+                    raw[row : row + take] = np.asarray(dev)[:take]
             row += take
             if row >= T:
                 break
@@ -1058,6 +1109,7 @@ def _try_uniform(parse, F: int, frame_len: np.ndarray, T: int,
     cfg = config if config is not None else default_config()
     CHUNK = cfg.resolved_chunk_chains(out_ch)
     pack_bits = _pack_bits(bits_per_sample)
+    narrow = pack_bits == 24 and cfg.resolved_narrow_d2h()
     devices = _decode_devices(config)
     pending = []
     fpc = period // L0
@@ -1076,11 +1128,8 @@ def _try_uniform(parse, F: int, frame_len: np.ndarray, T: int,
                                                       == "pallas"),
                                           native_pack=cfg.native_pack,
                                           unroll=cfg.resolved_filter_unroll(),
-                                          mat_mm=mat_mm)
-            try:
-                dev.copy_to_host_async()  # overlap d2h with later chunks
-            except (AttributeError, NotImplementedError):
-                pass
+                                          mat_mm=mat_mm, narrow=narrow)
+            _start_d2h(dev)  # overlap d2h with later chunks
             pending.append((dev, (c1 - c0) * period))
     return _finish_uniform(pending, T, out_ch, pack_bits, want_packed)
 
@@ -1105,7 +1154,7 @@ def _dispatch_uniform_chunk(parse, subs_info, c0, c1, CHUNK, period, L0,
                             out_ch, pack_bits=0, device=None,
                             words_all=None, use_pallas=False,
                             f_base=0, t_base=0, native_pack=True,
-                            unroll=1, mat_mm=None):
+                            unroll=1, mat_mm=None, narrow=False):
     """Build arenas for section-relative chains [c0, c1) and dispatch the
     pipeline (async); returns the device array ([CHUNK*period, C_out],
     valid rows first).  ``subs_info`` carries (sub, block_base, S0, NB0)
@@ -1127,15 +1176,16 @@ def _dispatch_uniform_chunk(parse, subs_info, c0, c1, CHUNK, period, L0,
             parse, subs_info, c0, c1, CHUNK, period, L0, out_ch,
             pack_bits=pack_bits, device=device, words_all=words_all,
             use_pallas=use_pallas, f_base=f_base, t_base=t_base,
-            unroll=unroll, mat_mm=mat_mm)
+            unroll=unroll, mat_mm=mat_mm, narrow=narrow)
     return _dispatch_chunk_py(
         parse, subs_info, c0, c1, CHUNK, period, L0, out_ch,
         pack_bits=pack_bits, device=device, words_all=words_all,
         use_pallas=use_pallas, f_base=f_base, t_base=t_base,
-        unroll=unroll, mat_mm=mat_mm)
+        unroll=unroll, mat_mm=mat_mm, narrow=narrow)
 
 
-def _finish_dispatch(b, t_build, pack_bits, device, use_pallas, unroll=1):
+def _finish_dispatch(b, t_build, pack_bits, device, use_pallas, unroll=1,
+                     narrow=False):
     """Shared dispatch tail: pallas routing mark, arena finish, packing
     flag, device placement, async pipeline call."""
     import time as _time
@@ -1151,18 +1201,32 @@ def _finish_dispatch(b, t_build, pack_bits, device, use_pallas, unroll=1):
     # 24-/16-bit streams return device-packed WAV-width samples
     # (25% / 50% less d2h than raw int32)
     if pack_bits:
-        spec = spec + ((f"__pack{pack_bits}__", 0, 0, (), "flag"),)
+        wide_spec = spec + ((f"__pack{pack_bits}__", 0, 0, (), "flag"),)
+        spec = wide_spec
+        if narrow and pack_bits == 24:
+            spec = wide_spec + (("__narrow__", 0, 0, (), "flag"),)
     with global_timer.stage("mlp/jit-call"):
         if device is not None:
             # committed inputs pin the chunk's program to this device
             a4, a2, a1 = (jax.device_put(a, device) for a in (a4, a2, a1))
-        return _uniform_arena_pipeline(a4, a2, a1, spec)
+        out = _uniform_arena_pipeline(a4, a2, a1, spec)
+        if narrow and pack_bits == 24:
+            # keep the chunk's (device-resident) arenas alive so the
+            # drain can rerun the wide program if the flag says any
+            # sample overflowed int16 (the wide program for this
+            # geometry is exactly the narrow_d2h=False program, shared
+            # with the compile cache)
+            def redo(a4=a4, a2=a2, a1=a1, spec=wide_spec):
+                return _uniform_arena_pipeline(a4, a2, a1, spec)
+
+            return out, redo
+        return out
 
 
 def _dispatch_chunk_native(parse, subs_info, c0, c1, CHUNK, period, L0,
                            out_ch, pack_bits=0, device=None,
                            words_all=None, use_pallas=False,
-                           f_base=0, t_base=0, unroll=1, mat_mm=None):
+                           f_base=0, t_base=0, unroll=1, mat_mm=None, narrow=False):
     """Native-pack dispatch (see _dispatch_uniform_chunk)."""
     from ...ops.lfsr import _jump_columns
 
@@ -1275,13 +1339,13 @@ def _dispatch_chunk_native(parse, subs_info, c0, c1, CHUNK, period, L0,
     jumps = np.array([_jump_columns(k) for k in range(K)], dtype=np.uint32)
     b.add_host("jumps", jumps)
     return _finish_dispatch(b, _t_build, pack_bits, device, use_pallas,
-                            unroll)
+                            unroll, narrow=narrow)
 
 
 def _dispatch_chunk_py(parse, subs_info, c0, c1, CHUNK, period, L0,
                        out_ch, pack_bits=0, device=None,
                        words_all=None, use_pallas=False,
-                       f_base=0, t_base=0, unroll=1, mat_mm=None):
+                       f_base=0, t_base=0, unroll=1, mat_mm=None, narrow=False):
     """Numpy-pack dispatch (fallback + differential reference for
     _dispatch_chunk_native; see _dispatch_uniform_chunk)."""
     from ...ops.lfsr import _jump_columns
@@ -1430,7 +1494,7 @@ def _dispatch_chunk_py(parse, subs_info, c0, c1, CHUNK, period, L0,
     b.add("jumps", jumps)
 
     return _finish_dispatch(b, _t_build, pack_bits, device, use_pallas,
-                            unroll)
+                            unroll, narrow=narrow)
 
 
 def _padded_residuals_range(sub, t_lo: int, t_hi: int, n_blocks: int,

@@ -184,6 +184,20 @@ class DecodeConfig:
 
     def resolved_huffman_split(self) -> int:
         return min(255, max(0, self.huffman_split))
+    #: narrow d2h readback for 24-bit streams: the chunk program also
+    #: emits an int16-packed copy of the output plus an on-device
+    #: "fits in int16" flag; the host drains the half-size buffer and
+    #: widens to 24-bit during assembly, falling back to the full-width
+    #: buffer per chunk when any sample exceeds int16 (lossless either
+    #: way).  Halves readback bytes whenever the audio's true dynamic
+    #: range fits 16 bits — on PCIe hosts that's half the DMA traffic;
+    #: through this environment's relay (whose drain costs ~25 ms of
+    #: host CPU per MB) it removes ~half the dominant e2e cost.  None =
+    #: auto (on).
+    narrow_d2h: bool | None = None
+
+    def resolved_narrow_d2h(self) -> bool:
+        return True if self.narrow_d2h is None else self.narrow_d2h
     #: sectors per host I/O batch when walking a track
     io_batch_sectors: int = 4096
     #: decrypt CPPM-protected sectors when a device/MKB is available
@@ -206,6 +220,7 @@ class DecodeConfig:
             chunk_chains=int(os.environ.get("DVDA_TPU_CHUNK_CHAINS", "256")),
             parse_threads=int(os.environ.get("DVDA_TPU_PARSE_THREADS", "0")),
             huffman_split=int(os.environ.get("DVDA_TPU_HUFFMAN_SPLIT", "8")),
+            narrow_d2h=_env_tristate("DVDA_TPU_NARROW_D2H"),
         )
 
 

@@ -62,6 +62,12 @@ class MlpSynthConfig:
     # codebooks drawn per channel at parameter updates; narrow to (0,) to
     # pin the parser's fixed-rate (no Huffman codes) block fast path
     codebook_choices: tuple = (0, 1, 2, 3)
+    # half-open range output shifts are drawn from (mlp.c applies them as
+    # left shifts at the output stage).  The default keeps samples inside
+    # a 16-bit WAV range; raise it (e.g. (6, 8)) to synthesise LOUD
+    # streams whose 24-bit samples overflow int16 — pins the narrow-d2h
+    # wide-buffer fallback (native_engine._finish_uniform)
+    out_shift_range: tuple = (0, 2)
 
     @property
     def channels(self) -> int:
@@ -251,12 +257,14 @@ class _GenSubstream:
                     self.emit_matrices(w)
                 else:
                     w.write(1, 0)
-            # output shifts (small, to keep outputs in WAV sample range)
+            # output shifts (out_shift_range; default small, to keep
+            # outputs in WAV sample range)
             if self.flags[5]:
                 if rng.random() < 0.5:
                     w.write(1, 1)
                     for _c in range(self.mmc + 1):
-                        w.write_signed(4, rng.randrange(0, 2))
+                        w.write_signed(4, rng.randrange(
+                            *self.cfg.out_shift_range))
                 else:
                     w.write(1, 0)
             # quant step sizes (capped below each channel's sticky lsbs so

@@ -679,3 +679,40 @@ def test_mp_pack_rejects_undersized_arena():
     with pytest.raises(RuntimeError):
         view.pack(inst, ok4, a2, a1)
     inc.close()
+
+
+@pytest.mark.parametrize("devhuff", [False, True])
+def test_narrow_d2h_parity_quiet_and_loud(devhuff):
+    """narrow_d2h (config.py) is lossless both ways: a quiet stream rides
+    the int16 buffer (flag set on device), a LOUD stream — samples beyond
+    int16, synthesised via out_shift_range — trips the per-chunk wide
+    fallback in _finish_uniform.  Both must be byte-identical to the
+    narrow_d2h=False decode and to the sequential spec."""
+    from dataclasses import replace
+
+    from dvda_tpu.config import DecodeConfig
+
+    base = DecodeConfig.from_env()
+    for loud in (False, True):
+        cfg = MlpSynthConfig(channel_assignment=17, substream_count=2,
+                             n_frames=24, seed=11,
+                             out_shift_range=(6, 8) if loud else (0, 2))
+        stream = synth_mlp_stream(cfg)
+        params = stream_params(cfg)
+        spec = MlpDecoder(params)
+        spec.decode_bytes(stream)
+        ref = spec.take_frames()
+        # the loud knob must actually overflow int16, else the fallback
+        # branch isn't what's being tested
+        assert (np.abs(ref).max() > 32767) == loud
+        on = decode_native(stream, np.zeros(0, np.int64), len(stream),
+                           params, want_packed=True,
+                           config=replace(base, narrow_d2h=True,
+                                          device_huffman=devhuff))
+        off = decode_native(stream, np.zeros(0, np.int64), len(stream),
+                            params, want_packed=True,
+                            config=replace(base, narrow_d2h=False,
+                                           device_huffman=devhuff))
+        assert on is not None and off is not None
+        assert bytes(on) == bytes(off)
+        assert bytes(on) == bytes(pack_samples_le(ref, 24))
