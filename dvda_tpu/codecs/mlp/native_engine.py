@@ -906,11 +906,15 @@ def _finish_uniform(pending, T, out_ch, pack_bits, want_packed):
                 if isinstance(dev, tuple):
                     got = np.asarray(dev[0])        # [T_pad+8, C*2]
                     if got[-1, -1]:
-                        pairs = got[:-8].reshape(-1, out_ch, 2)[:take]
-                        dst = raw[row : row + take].reshape(take, out_ch, 3)
-                        dst[:, :, :2] = pairs
-                        dst[:, :, 2] = (pairs[:, :, 1].view(np.int8)
-                                        >> 7).view(np.uint8)
+                        nb2 = take * out_ch * 2
+                        flat = got.reshape(-1)[:nb2]
+                        dst = raw[row : row + take]
+                        if not host.widen24(flat, dst.reshape(-1)):
+                            pairs = flat.reshape(take, out_ch, 2)
+                            d3 = dst.reshape(take, out_ch, 3)
+                            d3[:, :, :2] = pairs
+                            d3[:, :, 2] = (pairs[:, :, 1].view(np.int8)
+                                           >> 7).view(np.uint8)
                     else:  # chunk overflowed int16: rare wide redispatch
                         raw[row : row + take] = np.asarray(dev[1]())[:take]
                 else:

@@ -101,6 +101,8 @@ def _load():
     lib.mp_pack.argtypes = [c.c_void_p, c.c_void_p, c.c_int64,
                             c.c_void_p, c.c_void_p, c.c_void_p,
                             c.c_int64, c.c_int64, c.c_int64]
+    lib.mp_widen24.restype = None
+    lib.mp_widen24.argtypes = [c.c_void_p, c.c_int64, c.c_void_p]
     lib.mp_sub_every.restype = c.c_int32
     lib.mp_sub_every.argtypes = [c.c_void_p]
     lib.mp_blk_sub_bitpos.restype = c.POINTER(c.c_int32)
@@ -172,6 +174,24 @@ def _load():
 
 def available() -> bool:
     return _load() is not None
+
+
+def widen24(pairs: np.ndarray, dst: np.ndarray) -> bool:
+    """Widen contiguous little-endian int16 sample bytes (``pairs``,
+    uint8 [n, 2] or flat [2n]) into the 24-bit WAV byte layout ``dst``
+    (uint8, 3n bytes, C-contiguous): triple = (lo, hi, sign-ext of hi).
+    Returns False when the native library is unavailable (caller falls
+    back to numpy)."""
+    lib = _load()
+    if lib is None:
+        return False
+    pairs = np.ascontiguousarray(pairs, dtype=np.uint8)
+    assert dst.flags["C_CONTIGUOUS"] and dst.dtype == np.uint8
+    n = pairs.size // 2
+    assert dst.size == 3 * n
+    lib.mp_widen24(pairs.ctypes.data_as(ctypes.c_void_p), n,
+                   dst.ctypes.data_as(ctypes.c_void_p))
+    return True
 
 
 # Wrapping C pointers via memoryviews: np.ctypeslib.as_array builds a new

@@ -1538,4 +1538,41 @@ int32_t mp_pack(void* h, const int64_t* inst, int64_t n_inst,
   return 0;
 }
 
+// Widen little-endian int16 sample bytes to the 24-bit WAV layout: each
+// output triple is (lo, hi, arithmetic sign extension of hi).  This is
+// the narrow-d2h drain's widen (native_engine._finish_uniform) — the
+// numpy strided-assignment version cost ~0.33 s of the contended host
+// core per 30 s track; this loop vectorises and runs at memcpy speed.
+void mp_widen24(const uint8_t* pairs, int64_t n, uint8_t* dst) {
+  // 4 samples per iteration: one unaligned u64 load, three u32 stores
+  // composed in registers (the naive 3-byte-stride byte loop does not
+  // vectorise and ran at ~160 MB/s; this runs several× faster)
+  int64_t i = 0;
+  for (; i + 4 <= n; i += 4) {
+    uint64_t w;
+    std::memcpy(&w, pairs + 2 * i, 8);
+    uint32_t lo0 = w & 0xFF, hi0 = (w >> 8) & 0xFF;
+    uint32_t lo1 = (w >> 16) & 0xFF, hi1 = (w >> 24) & 0xFF;
+    uint32_t lo2 = (w >> 32) & 0xFF, hi2 = (w >> 40) & 0xFF;
+    uint32_t lo3 = (w >> 48) & 0xFF, hi3 = (w >> 56) & 0xFF;
+    uint32_t s0 = uint32_t(uint8_t(int8_t(hi0) >> 7));
+    uint32_t s1 = uint32_t(uint8_t(int8_t(hi1) >> 7));
+    uint32_t s2 = uint32_t(uint8_t(int8_t(hi2) >> 7));
+    uint32_t s3 = uint32_t(uint8_t(int8_t(hi3) >> 7));
+    uint32_t o0 = lo0 | (hi0 << 8) | (s0 << 16) | (lo1 << 24);
+    uint32_t o1 = hi1 | (s1 << 8) | (lo2 << 16) | (hi2 << 24);
+    uint32_t o2 = s2 | (lo3 << 8) | (hi3 << 16) | (s3 << 24);
+    uint8_t* d = dst + 3 * i;
+    std::memcpy(d, &o0, 4);
+    std::memcpy(d + 4, &o1, 4);
+    std::memcpy(d + 8, &o2, 4);
+  }
+  for (; i < n; i++) {
+    uint8_t lo = pairs[2 * i], hi = pairs[2 * i + 1];
+    dst[3 * i] = lo;
+    dst[3 * i + 1] = hi;
+    dst[3 * i + 2] = uint8_t(int8_t(hi) >> 7);
+  }
+}
+
 }  // extern "C"

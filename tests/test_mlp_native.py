@@ -716,3 +716,23 @@ def test_narrow_d2h_parity_quiet_and_loud(devhuff):
         assert on is not None and off is not None
         assert bytes(on) == bytes(off)
         assert bytes(on) == bytes(pack_samples_le(ref, 24))
+
+
+def test_host_widen24_matches_numpy():
+    """mp_widen24 (the narrow-d2h drain's int16 -> 24-bit WAV widen) is
+    byte-exact vs the numpy formula, including the scalar tail for
+    n % 4 != 0 and sign extension of negative highs."""
+    from dvda_tpu import host
+
+    if not host.available():
+        pytest.skip("native host library unavailable")
+    rng = np.random.default_rng(7)
+    for n in (1, 2, 3, 4, 5, 7, 64, 1001):
+        pairs = rng.integers(0, 256, size=(n, 2), dtype=np.uint8)
+        pairs[: min(n, 4), 1] = 0xFF  # force negative sign extensions
+        dst = np.empty(3 * n, np.uint8)
+        assert host.widen24(pairs, dst)
+        want = np.empty((n, 3), np.uint8)
+        want[:, :2] = pairs
+        want[:, 2] = (pairs[:, 1].view(np.int8) >> 7).view(np.uint8)
+        assert np.array_equal(dst.reshape(n, 3), want)
