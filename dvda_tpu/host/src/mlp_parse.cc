@@ -161,6 +161,45 @@ struct Substream {
   bool restart_seen = false;
 };
 
+// The parser appends tens of millions of elements that are written
+// immediately after they are grown (residuals, tap rows, noise):
+// std::vector's value-initializing growth made it touch every output
+// byte twice (zero pass + write pass), and geometric reallocs copied
+// the multi-MB arrays a further log2(n) times — measured as the single
+// largest parse cost, ahead of the Huffman walk itself.  NoInit elides
+// default construction on growth (trivial element types only; fill/copy
+// construction still initializes), `bump` grows-and-returns a write
+// pointer, and reserve_after_first_frame() sizes every array once.
+template <class T>
+struct NoInit {
+  using value_type = T;
+  T* allocate(size_t n) {
+    return static_cast<T*>(::operator new(n * sizeof(T)));
+  }
+  void deallocate(T* p, size_t) noexcept { ::operator delete(p); }
+  template <class U, class... A>
+  void construct(U* p, A&&... a) noexcept {
+    if constexpr (sizeof...(A) > 0)
+      ::new (static_cast<void*>(p)) U(std::forward<A>(a)...);
+  }
+  template <class U>
+  struct rebind {
+    using other = NoInit<U>;
+  };
+  bool operator==(const NoInit&) const { return true; }
+  bool operator!=(const NoInit&) const { return false; }
+};
+template <class T>
+using rawvec = std::vector<T, NoInit<T>>;
+
+// Append n default (uninitialized) elements, return the write pointer.
+template <class T>
+static inline T* bump(rawvec<T>& v, size_t n) {
+  size_t o = v.size();
+  v.resize(o + n);
+  return v.data() + o;
+}
+
 struct Result {
   int status = 0;  // 0 ok, 1 bail -> python fallback
   int substream_count = 0;
@@ -170,47 +209,47 @@ struct Result {
   int max_ch[2] = {-1, -1};
 
   // frame-level
-  std::vector<int32_t> frame_len;
-  std::vector<int64_t> frame_end;          // byte offset after the frame
-  std::vector<int32_t> out_shift;          // [F*8]
-  std::vector<uint8_t> mat_active;         // [F*6]
-  std::vector<int32_t> mat_out, mat_quant; // [F*6]
-  std::vector<int32_t> mat_coeff;          // [F*6*8]
-  std::vector<int32_t> mat_noise;          // [F*6*2]
-  std::vector<int32_t> noise0, noise1;     // [T]
-  std::vector<uint32_t> frame_seed;        // [F] LFSR seed at frame start
-  std::vector<int32_t> frame_nshift;       // [F] noise shift
-  std::vector<uint8_t> bypassed;           // [T] bit-packed (bit m = slot m)
+  rawvec<int32_t> frame_len;
+  rawvec<int64_t> frame_end;          // byte offset after the frame
+  rawvec<int32_t> out_shift;          // [F*8]
+  rawvec<uint8_t> mat_active;         // [F*6]
+  rawvec<int32_t> mat_out, mat_quant; // [F*6]
+  rawvec<int32_t> mat_coeff;          // [F*6*8]
+  rawvec<int32_t> mat_noise;          // [F*6*2]
+  rawvec<int32_t> noise0, noise1;     // [T]
+  rawvec<uint32_t> frame_seed;        // [F] LFSR seed at frame start
+  rawvec<int32_t> frame_nshift;       // [F] noise shift
+  rawvec<uint8_t> bypassed;           // [T] bit-packed (bit m = slot m)
 
   // per-substream block-level
-  std::vector<int32_t> fr_nblocks[2];  // blocks contributed per frame
-  std::vector<uint8_t> blk_restart[2];
-  std::vector<uint8_t> blk_param_update[2];  // block re-read decoding params
-  std::vector<uint8_t> blk_fir_any[2];       // any nonzero FIR tap in block
-  std::vector<int32_t> blk_len[2];
-  std::vector<int32_t> blk_shift[2], blk_quant[2];   // [NB*n_ch]
-  std::vector<uint8_t> blk_iir_reset[2];             // [NB*n_ch]
-  std::vector<int32_t> blk_rc_fir[2], blk_rc_iir[2]; // [NB*n_ch*8]
-  std::vector<int32_t> blk_iir_init[2];              // [NB*n_ch*8]
-  std::vector<int32_t> residuals[2];                 // ragged (blk, ch, sample)
+  rawvec<int32_t> fr_nblocks[2];  // blocks contributed per frame
+  rawvec<uint8_t> blk_restart[2];
+  rawvec<uint8_t> blk_param_update[2];  // block re-read decoding params
+  rawvec<uint8_t> blk_fir_any[2];       // any nonzero FIR tap in block
+  rawvec<int32_t> blk_len[2];
+  rawvec<int32_t> blk_shift[2], blk_quant[2];   // [NB*n_ch]
+  rawvec<uint8_t> blk_iir_reset[2];             // [NB*n_ch]
+  rawvec<int32_t> blk_rc_fir[2], blk_rc_iir[2]; // [NB*n_ch*8]
+  rawvec<int32_t> blk_iir_init[2];              // [NB*n_ch*8]
+  rawvec<int32_t> residuals[2];                 // ragged (blk, ch, sample)
   int32_t res_amax[2] = {0, 0};  // max |residual| seen (monotone; includes
                                  // rolled-back frames — only used to pick a
                                  // safe transfer dtype, so overcount is fine)
 
   // skip-values mode (device Huffman decode): instead of residual values,
   // per-block decode tables for the on-device residual kernel
-  std::vector<int64_t> blk_res_bitpos[2];  // [NB] absolute bit offset of the
-                                           // block's residual data in stream
-  std::vector<int32_t> blk_codebook[2];    // [NB*n_ch]
-  std::vector<int32_t> blk_lsb_bits[2];    // [NB*n_ch]
-  std::vector<int32_t> blk_res_offset[2];  // [NB*n_ch] signed huffman offset
-  std::vector<uint8_t> blk_nbyp[2];        // [NB] bypass bits per sample
-  std::vector<uint8_t> blk_byp_mask[2];    // [NB] bit m = slot m has bypass
+  rawvec<int64_t> blk_res_bitpos[2];  // [NB] absolute bit offset of the
+                                      // block's residual data in stream
+  rawvec<int32_t> blk_codebook[2];    // [NB*n_ch]
+  rawvec<int32_t> blk_lsb_bits[2];    // [NB*n_ch]
+  rawvec<int32_t> blk_res_offset[2];  // [NB*n_ch] signed huffman offset
+  rawvec<uint8_t> blk_nbyp[2];        // [NB] bypass bits per sample
+  rawvec<uint8_t> blk_byp_mask[2];    // [NB] bit m = slot m has bypass
   // sub-lane split (sub_every = k > 0): bit offset of every k-th sample's
   // first symbol, RELATIVE to the block's res_bitpos — ceil(len/k) entries
   // per block (first always 0).  Lets the device kernel decode each run of
   // k samples as an independent lane (k*J scan steps instead of S0*J).
-  std::vector<int32_t> blk_sub_bitpos[2];
+  rawvec<int32_t> blk_sub_bitpos[2];
   // max bits spanned by any single sub-lane (monotone, incl. rolled-back
   // frames — only used to size the kernel's aligned window rows)
   int32_t sub_span_max[2] = {0, 0};
@@ -305,6 +344,54 @@ struct Parser {
 
   int64_t off_ = 0;   // resume offset for incremental parsing
   bool done_ = false;
+  bool reserved_ = false;
+
+  // Size every output array once from the first frame's footprint (the
+  // arrays grow linearly with the stream, so first-frame-size * remaining
+  // frames is a tight estimate; 6% slack covers frame-size variance and
+  // vectors still grow geometrically if it falls short).  Avoids the
+  // log2(n) growth reallocs that copied the multi-MB arrays repeatedly.
+  void reserve_after_first_frame(int64_t frame_bytes) {
+    double n = double(size - off_) / double(frame_bytes) + 1.0;
+    double f = (n < 1 ? 1 : n) * 1.06 + 1;
+    auto rsv = [&](auto& v) {
+      v.reserve(size_t(double(v.size()) * f) + 8);
+    };
+    rsv(out.frame_len);
+    rsv(out.frame_end);
+    rsv(out.out_shift);
+    rsv(out.mat_active);
+    rsv(out.mat_out);
+    rsv(out.mat_quant);
+    rsv(out.mat_coeff);
+    rsv(out.mat_noise);
+    rsv(out.noise0);
+    rsv(out.noise1);
+    rsv(out.frame_seed);
+    rsv(out.frame_nshift);
+    rsv(out.bypassed);
+    for (int s = 0; s < kMaxSubstreams; s++) {
+      rsv(out.fr_nblocks[s]);
+      rsv(out.blk_restart[s]);
+      rsv(out.blk_param_update[s]);
+      rsv(out.blk_fir_any[s]);
+      rsv(out.blk_len[s]);
+      rsv(out.blk_shift[s]);
+      rsv(out.blk_quant[s]);
+      rsv(out.blk_iir_reset[s]);
+      rsv(out.blk_rc_fir[s]);
+      rsv(out.blk_rc_iir[s]);
+      rsv(out.blk_iir_init[s]);
+      rsv(out.residuals[s]);
+      rsv(out.blk_res_bitpos[s]);
+      rsv(out.blk_codebook[s]);
+      rsv(out.blk_lsb_bits[s]);
+      rsv(out.blk_res_offset[s]);
+      rsv(out.blk_nbyp[s]);
+      rsv(out.blk_byp_mask[s]);
+      rsv(out.blk_sub_bitpos[s]);
+    }
+  }
   int64_t dropped = 0;  // frames rolled back (ParseError)
 
   // Parse up to max_frames more frames (<= 0 means all remaining).
@@ -333,6 +420,10 @@ struct Parser {
       if (out.status) { done_ = true; break; }
       off_ += total;
       parsed += 1;  // attempted frames (dropped ones count: bounded work)
+      if (!reserved_ && !out.frame_len.empty()) {
+        reserved_ = true;
+        reserve_after_first_frame(total);
+      }
     }
     return done_ ? 0 : 1;
   }
@@ -608,29 +699,27 @@ struct Parser {
       out.status = 1;  // stream must begin with a restart header
       throw ParseError{};
     }
-    // write the block's tensors straight into the output arrays
+    // write the block's tensors straight into the output arrays (every
+    // bumped element is stored below: the tap rows are zeroed explicitly
+    // in-cache, so no value-initializing resize pass is needed)
     int n_ch = u.max_ch - u.min_ch + 1;
-    out.blk_restart[s].push_back(restart ? 1 : 0);
-    out.blk_param_update[s].push_back(has_params ? 1 : 0);
-    out.blk_len[s].push_back(u.block_size);
-    size_t chan0 = out.blk_shift[s].size();
-    size_t tap0 = out.blk_rc_fir[s].size();
-    out.blk_shift[s].resize(chan0 + n_ch);
-    out.blk_quant[s].resize(chan0 + n_ch);
-    out.blk_iir_reset[s].resize(chan0 + n_ch, 0);
-    out.blk_rc_fir[s].resize(tap0 + size_t(n_ch) * 8, 0);
-    out.blk_rc_iir[s].resize(tap0 + size_t(n_ch) * 8, 0);
-    out.blk_iir_init[s].resize(tap0 + size_t(n_ch) * 8, 0);
+    *bump(out.blk_restart[s], 1) = restart ? 1 : 0;
+    *bump(out.blk_param_update[s], 1) = has_params ? 1 : 0;
+    *bump(out.blk_len[s], 1) = u.block_size;
+
+    int32_t* p_shift = bump(out.blk_shift[s], size_t(n_ch));
+    int32_t* p_quant = bump(out.blk_quant[s], size_t(n_ch));
+    uint8_t* p_irst = bump(out.blk_iir_reset[s], size_t(n_ch));
+    int32_t* p_fir = bump(out.blk_rc_fir[s], size_t(n_ch) * 8);
+    int32_t* p_iir = bump(out.blk_rc_iir[s], size_t(n_ch) * 8);
+    int32_t* p_init = bump(out.blk_iir_init[s], size_t(n_ch) * 8);
+    std::memset(p_irst, 0, size_t(n_ch));
+    std::memset(p_fir, 0, size_t(n_ch) * 8 * sizeof(int32_t));
+    std::memset(p_iir, 0, size_t(n_ch) * 8 * sizeof(int32_t));
+    std::memset(p_init, 0, size_t(n_ch) * 8 * sizeof(int32_t));
     size_t res0 = out.residuals[s].size();
     if (!skip_values)
       out.residuals[s].resize(res0 + size_t(n_ch) * u.block_size);
-
-    int32_t* p_shift = out.blk_shift[s].data() + chan0;
-    int32_t* p_quant = out.blk_quant[s].data() + chan0;
-    uint8_t* p_irst = out.blk_iir_reset[s].data() + chan0;
-    int32_t* p_fir = out.blk_rc_fir[s].data() + tap0;
-    int32_t* p_iir = out.blk_rc_iir[s].data() + tap0;
-    int32_t* p_init = out.blk_iir_init[s].data() + tap0;
 
     uint8_t fir_any = 0;
     for (int i = 0; i < n_ch; i++) {
@@ -926,7 +1015,7 @@ struct Parser {
   // read_residuals would, validating the same failure conditions, and emit
   // the per-block decode tables the device residual kernel needs.
   void skip_residuals(int s, Substream& u, BitReader& r, int n_ch) {
-    out.blk_res_bitpos[s].push_back((r.data - stream) * 8 + r.pos);
+    *bump(out.blk_res_bitpos[s], 1) = (r.data - stream) * 8 + r.pos;
     int nbyp = 0;
     uint8_t mask = 0;
     for (int m = 0; m < u.matrix_len; m++) {
@@ -935,8 +1024,8 @@ struct Parser {
         mask |= uint8_t(1) << m;
       }
     }
-    out.blk_nbyp[s].push_back(uint8_t(nbyp));
-    out.blk_byp_mask[s].push_back(mask);
+    *bump(out.blk_nbyp[s], 1) = uint8_t(nbyp);
+    *bump(out.blk_byp_mask[s], 1) = mask;
 
     int32_t lsb_bits[kMaxChannels];
     int32_t codebooks[kMaxChannels];
@@ -948,6 +1037,9 @@ struct Parser {
     // nothing per sample.
     int32_t gap[kMaxChannels + 1];
     int32_t hufcb[kMaxChannels];
+    int32_t* p_cb = bump(out.blk_codebook[s], size_t(n_ch));
+    int32_t* p_lb = bump(out.blk_lsb_bits[s], size_t(n_ch));
+    int32_t* p_off = bump(out.blk_res_offset[s], size_t(n_ch));
     int n_huf = 0;
     int32_t acc = nbyp;       // running fixed gap
     int32_t worst = nbyp;     // worst-case bits per sample (codes ≤9)
@@ -976,9 +1068,9 @@ struct Parser {
         off = cp.huffman_offset;
         if (sign_shift >= 0) off -= int64_t(1) << sign_shift;
       }
-      out.blk_codebook[s].push_back(cp.codebook);
-      out.blk_lsb_bits[s].push_back(lb);
-      out.blk_res_offset[s].push_back(int32_t(off));
+      p_cb[i] = cp.codebook;
+      p_lb[i] = lb;
+      p_off[i] = int32_t(off);
     }
     gap[n_huf] = acc;
     int bs = u.block_size;
@@ -993,9 +1085,12 @@ struct Parser {
       const int64_t cbits = gap[0];
       const int64_t end = pos + cbits * bs;
       if (end > nbits) { r.pos = end; throw ParseError{}; }
-      if (k > 0)
-        for (int i = 0; i < bs; i += k)
-          out.blk_sub_bitpos[s].push_back(int32_t(cbits * i));
+      if (k > 0) {
+        int nsub = (bs + k - 1) / k;
+        int32_t* p_sub = bump(out.blk_sub_bitpos[s], size_t(nsub));
+        for (int i = 0, j = 0; i < bs; i += k, j++)
+          p_sub[j] = int32_t(cbits * i);
+      }
       // max sub-lane span: k samples between split points, the whole
       // block when not splitting (sizes the kernel's window rows)
       int32_t span = int32_t(cbits * (k > 0 && k < bs ? k : bs));
@@ -1009,11 +1104,13 @@ struct Parser {
     uint64_t w = r.window(pos);  // rolling 64-bit window over [wbase, +64)
     int64_t wbase = pos;
     int64_t mark = pos;
+    int32_t* p_sub = k > 0
+        ? bump(out.blk_sub_bitpos[s], size_t((bs + k - 1) / k)) : nullptr;
     int sub_cnt = k > 0 ? 1 : bs + 1;  // fires at i == 0 when splitting
     for (int i = 0; i < bs; i++) {
       if (--sub_cnt == 0) {
         sub_cnt = k;
-        out.blk_sub_bitpos[s].push_back(int32_t(pos - pos0));
+        *p_sub++ = int32_t(pos - pos0);
         if (int32_t(pos - mark) > out.sub_span_max[s])
           out.sub_span_max[s] = int32_t(pos - mark);
         mark = pos;
@@ -1078,23 +1175,27 @@ struct Parser {
     }
 
     int32_t L = frames0;
-    out.frame_len.push_back(L);
-    out.frame_end.push_back(end_off);
-    for (int c = 0; c < kMaxChannels; c++) {
-      int32_t sh = (c <= fu.mmc) ? (fu.output_shift[c] & 31) : 0;
-      out.out_shift.push_back(sh);
-    }
+    *bump(out.frame_len, 1) = L;
+    *bump(out.frame_end, 1) = end_off;
+    int32_t* p_osh = bump(out.out_shift, kMaxChannels);
+    for (int c = 0; c < kMaxChannels; c++)
+      p_osh[c] = (c <= fu.mmc) ? (fu.output_shift[c] & 31) : 0;
+    uint8_t* p_mact = bump(out.mat_active, kMaxMatrices);
+    int32_t* p_mout = bump(out.mat_out, kMaxMatrices);
+    int32_t* p_mq = bump(out.mat_quant, kMaxMatrices);
+    int32_t* p_mc = bump(out.mat_coeff, size_t(kMaxMatrices) * kMaxChannels);
+    int32_t* p_mn = bump(out.mat_noise, size_t(kMaxMatrices) * 2);
     for (int m = 0; m < kMaxMatrices; m++) {
       bool act = m < fu.matrix_len;
       MatrixSlot& ms = fu.mats[m];
-      out.mat_active.push_back(act ? 1 : 0);
-      out.mat_out.push_back(act ? ms.out_channel : 0);
-      out.mat_quant.push_back(act ? fu.quant[ms.out_channel] : 0);
-      for (int c = 0; c < kMaxChannels; c++) {
-        out.mat_coeff.push_back(act && c <= fu.mmc ? ms.coeff[c] : 0);
-      }
-      out.mat_noise.push_back(act ? ms.coeff[fu.mmc + 1] : 0);
-      out.mat_noise.push_back(act ? ms.coeff[fu.mmc + 2] : 0);
+      p_mact[m] = act ? 1 : 0;
+      p_mout[m] = act ? ms.out_channel : 0;
+      p_mq[m] = act ? fu.quant[ms.out_channel] : 0;
+      for (int c = 0; c < kMaxChannels; c++)
+        p_mc[size_t(m) * kMaxChannels + c] =
+            act && c <= fu.mmc ? ms.coeff[c] : 0;
+      p_mn[m * 2] = act ? ms.coeff[fu.mmc + 1] : 0;
+      p_mn[m * 2 + 1] = act ? ms.coeff[fu.mmc + 2] : 0;
     }
     // bypassed LSBs, sample-major [t*6+m] bit-packed; slots may have
     // accumulated fewer entries than L (mid-frame activation); missing = 0
@@ -1111,13 +1212,10 @@ struct Parser {
         if (ms.bypassed[i]) out.bypassed[b0 + i] |= uint8_t(1) << m;
     }
     // noise for this frame (written, not pushed, for the same reason)
-    out.frame_seed.push_back(fu.noise_seed);
-    out.frame_nshift.push_back(fu.noise_shift);
-    size_t n0 = out.noise0.size();
-    out.noise0.resize(n0 + size_t(L));
-    out.noise1.resize(n0 + size_t(L));
-    int32_t* pn0 = out.noise0.data() + n0;
-    int32_t* pn1 = out.noise1.data() + n0;
+    *bump(out.frame_seed, 1) = fu.noise_seed;
+    *bump(out.frame_nshift, 1) = fu.noise_shift;
+    int32_t* pn0 = bump(out.noise0, size_t(L));
+    int32_t* pn1 = bump(out.noise1, size_t(L));
     uint32_t seed = fu.noise_seed;
     for (int32_t i = 0; i < L; i++) {
       uint32_t shifted = (seed >> 7) & 0xFFFF;
@@ -1128,7 +1226,7 @@ struct Parser {
     fu.noise_seed = seed;
 
     for (int s = 0; s < substream_count; s++) {
-      out.fr_nblocks[s].push_back(marks.blocks[s]);
+      *bump(out.fr_nblocks[s], 1) = marks.blocks[s];
     }
   }
 };
