@@ -105,6 +105,8 @@ def _load():
     lib.mp_widen24.argtypes = [c.c_void_p, c.c_int64, c.c_void_p]
     lib.mp_sub_every.restype = c.c_int32
     lib.mp_sub_every.argtypes = [c.c_void_p]
+    lib.mp_fill_noise.restype = None
+    lib.mp_fill_noise.argtypes = [c.c_void_p]
     lib.mp_blk_sub_bitpos.restype = c.POINTER(c.c_int32)
     lib.mp_blk_sub_bitpos.argtypes = [c.c_void_p, c.c_int32]
     lib.mp_blk_sub_bitpos_size.restype = c.c_int64
@@ -234,6 +236,25 @@ class NativeParse:
     which dominated the parse stage.  Small semantically-boolean arrays
     are converted (copied) for engine ergonomics."""
 
+    @property
+    def noise0(self) -> np.ndarray:
+        """Per-sample noise channel 0 [T] (mlp.c noise generator).  The
+        parser defers this 2xT expansion (the device pipeline expands
+        noise on-chip from ``frame_seed``); first access fills it
+        on demand.  Like every other view, re-fetch after step()."""
+        if self._h is None:
+            return np.zeros(0, np.int32)
+        self._lib.mp_fill_noise(self._h)
+        return _as_view(self._lib.mp_noise0(self._h), (self.T,))
+
+    @property
+    def noise1(self) -> np.ndarray:
+        """Per-sample noise channel 1 [T]; see :attr:`noise0`."""
+        if self._h is None:
+            return np.zeros(0, np.int32)
+        self._lib.mp_fill_noise(self._h)
+        return _as_view(self._lib.mp_noise1(self._h), (self.T,))
+
     def __init__(self, lib, h, owns: bool = True):
         self._owns = owns
         self._lib, self._h = lib, (h if lib.mp_status(h) == 0 else None)
@@ -256,8 +277,6 @@ class NativeParse:
         self.mat_quant = _as_view(lib.mp_mat_quant(h), (F, 6))
         self.mat_coeff = _as_view(lib.mp_mat_coeff(h), (F, 6, 8))
         self.mat_noise = _as_view(lib.mp_mat_noise(h), (F, 6, 2))
-        self.noise0 = _as_view(lib.mp_noise0(h), (T,))
-        self.noise1 = _as_view(lib.mp_noise1(h), (T,))
         self.frame_seed = _as_view(lib.mp_frame_seed(h), (F,))
         self.frame_nshift = _as_view(lib.mp_frame_nshift(h), (F,))
         self.bypassed_packed = _as_view(lib.mp_bypassed(h), (T,))

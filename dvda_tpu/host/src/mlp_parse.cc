@@ -971,32 +971,58 @@ struct Parser {
       byp0[m] = u.mats[m].bypassed.size();
       u.mats[m].bypassed.resize(byp0[m] + size_t(bs), 0);
     }
+    // bypass slots with data bits this block, in matrix order (slots
+    // without lsb_bypass stay 0 from the zeroing resize above)
+    uint8_t* byp_dst[kMaxMatrices];
+    int nbyp = 0;
+    for (int m = 0; m < u.matrix_len; m++) {
+      if (u.mats[m].lsb_bypass)
+        byp_dst[nbyp++] = u.mats[m].bypassed.data() + byp0[m];
+    }
     int64_t pos = r.pos;
     const int64_t nbits = r.nbits;
     int32_t am = *amax;
+    // rolling 64-bit window (same scheme as skip_residuals): window()
+    // pre-shifts by (wbase & 7), so 57 bits are guaranteed valid; a
+    // channel consumes <=33 bits (<=9-bit code + <=24-bit LSB field),
+    // so shift <= 24 keeps the whole symbol in the register, and the
+    // <=6 fused bypass bits need shift <= 51
+    uint64_t w = r.window(pos);
+    int64_t wbase = pos;
     for (int i = 0; i < bs; i++) {
       const bool careful = pos + worst > nbits;
-      for (int m = 0; m < u.matrix_len; m++) {
-        MatrixSlot& ms = u.mats[m];
-        if (ms.lsb_bypass) {
-          ms.bypassed[byp0[m] + i] = uint8_t(r.window(pos) >> 63);
-          pos += 1;
+      if (nbyp) {
+        int64_t shift = pos - wbase;
+        if (shift > 57 - nbyp) {
+          w = r.window(pos);
+          wbase = pos;
+          shift = 0;
         }
+        uint32_t bits = uint32_t((w << shift) >> (64 - nbyp));
+        for (int j = 0; j < nbyp; j++)
+          byp_dst[j][i] = uint8_t((bits >> (nbyp - 1 - j)) & 1);
+        pos += nbyp;
       }
       for (int ci = 0; ci < n_ch; ci++) {
-        uint64_t w = r.window(pos);
-        int32_t msb = 0;
         int lb = lsb_bits[ci];
         int cb = codebooks_[ci];
+        int64_t shift = pos - wbase;
+        if (shift > 24) {
+          w = r.window(pos);
+          wbase = pos;
+          shift = 0;
+        }
+        uint64_t ww = w << shift;
+        int32_t msb = 0;
         if (cb) {
-          uint32_t peek = uint32_t(w >> 55);
+          uint32_t peek = uint32_t(ww >> 55);
           int32_t n = lut_len[cb * 512 + peek];
           if (n == 0) { r.pos = pos; throw ParseError{}; }
           msb = lut_val[cb * 512 + peek];
-          w <<= n;
+          ww <<= n;
           pos += n;
         }
-        uint32_t lsb = lb ? uint32_t(w >> (64 - lb)) : 0;
+        uint32_t lsb = lb ? uint32_t(ww >> (64 - lb)) : 0;
         pos += lb;
         if (careful && pos > nbits) { r.pos = pos; throw ParseError{}; }
         int32_t v = int32_t(
@@ -1208,19 +1234,23 @@ struct Parser {
       MatrixSlot& ms = fu.mats[m];
       int32_t n = int32_t(ms.bypassed.size() < size_t(L)
                           ? ms.bypassed.size() : size_t(L));
+      // branchless (values are 0/1) so the merge vectorizes
+      uint8_t* dst = out.bypassed.data() + b0;
+      const uint8_t* bsrc = ms.bypassed.data();
       for (int32_t i = 0; i < n; i++)
-        if (ms.bypassed[i]) out.bypassed[b0 + i] |= uint8_t(1) << m;
+        dst[i] |= uint8_t(bsrc[i] << m);
     }
-    // noise for this frame (written, not pushed, for the same reason)
+    // noise: record the frame's LFSR start state only -- the [T]-sized
+    // noise0/noise1 expansion is DEFERRED to mp_fill_noise (the device
+    // pipeline expands noise on-chip from frame_seed, so the production
+    // paths never pay the 2 x T-sample host fill; the gather fallback
+    // triggers the fill lazily through the Python view).  The sticky
+    // seed still advances L steps so the next frame starts correctly.
     *bump(out.frame_seed, 1) = fu.noise_seed;
     *bump(out.frame_nshift, 1) = fu.noise_shift;
-    int32_t* pn0 = bump(out.noise0, size_t(L));
-    int32_t* pn1 = bump(out.noise1, size_t(L));
     uint32_t seed = fu.noise_seed;
     for (int32_t i = 0; i < L; i++) {
       uint32_t shifted = (seed >> 7) & 0xFFFF;
-      pn0[i] = int32_t(int8_t(uint8_t(seed >> 15))) << fu.noise_shift;
-      pn1[i] = int32_t(int8_t(uint8_t(shifted))) << fu.noise_shift;
       seed = ((seed << 16) ^ shifted ^ (shifted << 5)) & 0xFFFFFFFFu;
     }
     fu.noise_seed = seed;
@@ -1424,7 +1454,7 @@ int32_t mp_min_ch(void* h, int s) { return R(h).min_ch[s]; }
 int32_t mp_max_ch(void* h, int s) { return R(h).max_ch[s]; }
 int64_t mp_nframes(void* h) { return int64_t(R(h).frame_len.size()); }
 int64_t mp_nblocks(void* h, int s) { return int64_t(R(h).blk_len[s].size()); }
-int64_t mp_total_samples(void* h) { return int64_t(R(h).noise0.size()); }
+int64_t mp_total_samples(void* h) { return int64_t(R(h).bypassed.size()); }
 
 const int32_t* mp_frame_len(void* h) { return R(h).frame_len.data(); }
 const int64_t* mp_frame_end(void* h) { return R(h).frame_end.data(); }
@@ -1434,6 +1464,34 @@ const int32_t* mp_mat_out(void* h) { return R(h).mat_out.data(); }
 const int32_t* mp_mat_quant(void* h) { return R(h).mat_quant.data(); }
 const int32_t* mp_mat_coeff(void* h) { return R(h).mat_coeff.data(); }
 const int32_t* mp_mat_noise(void* h) { return R(h).mat_noise.data(); }
+// Expand the deferred per-frame LFSR noise up to the frames committed so
+// far.  Incremental: appends from the current fill watermark, so repeated
+// calls after steps only pay for new frames.
+void mp_fill_noise(void* h) {
+  Result& o = R(h);
+  size_t T = o.bypassed.size();
+  size_t cur = o.noise0.size();
+  if (cur >= T) return;
+  int32_t* pn0 = bump(o.noise0, T - cur);
+  int32_t* pn1 = bump(o.noise1, T - cur);
+  size_t t0 = 0;
+  for (size_t f = 0; f < o.frame_len.size(); f++) {
+    size_t L = size_t(o.frame_len[f]);
+    if (t0 + L > cur) {
+      uint32_t seed = o.frame_seed[f];
+      const int nsh = o.frame_nshift[f];
+      for (size_t i = 0; i < L; i++) {
+        uint32_t shifted = (seed >> 7) & 0xFFFF;
+        if (t0 + i >= cur) {
+          *pn0++ = int32_t(int8_t(uint8_t(seed >> 15))) << nsh;
+          *pn1++ = int32_t(int8_t(uint8_t(shifted))) << nsh;
+        }
+        seed = ((seed << 16) ^ shifted ^ (shifted << 5)) & 0xFFFFFFFFu;
+      }
+    }
+    t0 += L;
+  }
+}
 const int32_t* mp_noise0(void* h) { return R(h).noise0.data(); }
 const int32_t* mp_noise1(void* h) { return R(h).noise1.data(); }
 const uint8_t* mp_bypassed(void* h) { return R(h).bypassed.data(); }

@@ -28,6 +28,7 @@ int64_t mp_total_samples(void*);
 int64_t mp_nblocks(void*, int);
 int32_t mp_substream_count(void*);
 const int32_t* mp_frame_len(void*);
+void mp_fill_noise(void*);
 const int32_t* mp_noise0(void*);
 const int32_t* mp_residuals(void*, int);
 int64_t mp_residuals_size(void*, int);
@@ -78,6 +79,9 @@ int main(int argc, char** argv) {
     if (ok && std::memcmp(mp_frame_len(seq), mp_frame_len(mt),
                           size_t(mp_nframes(seq)) * 4) != 0)
       ok = 0;
+    // noise is filled on demand (deferred in the parser)
+    mp_fill_noise(seq);
+    mp_fill_noise(mt);
     if (ok && std::memcmp(mp_noise0(seq), mp_noise0(mt),
                           size_t(mp_total_samples(seq)) * 4) != 0)
       ok = 0;
