@@ -634,7 +634,8 @@ def _decode_pipelined(inc, stream, boundaries, probe_end, parameters,
     # docs/performance.md); flag-routable, interpreted off-TPU
     use_pallas = cfg.filter_kernel == "pallas"
     unroll = cfg.resolved_filter_unroll()
-    narrow = pack_bits == 24 and cfg.resolved_narrow_d2h()
+    nstate = {"narrow": pack_bits == 24 and cfg.resolved_narrow_d2h(),
+              "next": 0}
 
     pending = []
     ci = 0
@@ -695,9 +696,10 @@ def _decode_pipelined(inc, stream, boundaries, probe_end, parameters,
                     device=(devices[ci % len(devices)] if devices else None),
                     words_all=words_all, use_pallas=use_pallas,
                     f_base=f0, t_base=t_base, native_pack=cfg.native_pack,
-                    unroll=unroll, mat_mm=mat_mm, narrow=narrow)
+                    unroll=unroll, mat_mm=mat_mm, narrow=nstate["narrow"])
                 _start_d2h(dev)
                 pending.append((dev, n_ok * period))
+                _narrow_poll(pending, nstate)
             ci += 1
             if n_ok < want - c0:  # verification truncated: geometry broke
                 c0 = c1
@@ -724,7 +726,8 @@ def _decode_pipelined(inc, stream, boundaries, probe_end, parameters,
     if F == 0 or not pending:
         return np.zeros((0, out_ch), dtype=np.int32)
     T = int(v.frame_len[:F].sum())
-    return _finish_uniform(pending, T, out_ch, pack_bits, want_packed)
+    return _finish_uniform(pending, T, out_ch, pack_bits, want_packed,
+                           narrow_state=nstate)
 
 
 def _max_matrix_slots(mat_active: np.ndarray) -> int:
@@ -884,7 +887,47 @@ def _start_d2h(dev):
         pass
 
 
-def _finish_uniform(pending, T, out_ch, pack_bits, want_packed):
+def _narrow_poll(pending, state, block=False):
+    """Walk not-yet-checked narrow-d2h chunks in dispatch order and act on
+    each whose narrow buffer has landed (all of them when ``block``):
+
+    * fits-flag set → keep the host copy and DROP the redo closure, so the
+      chunk's device arenas are freed now instead of staying pinned until
+      the final drain (a long 24-bit track would otherwise hold every
+      chunk's input arenas in HBM simultaneously);
+    * overflowed → dispatch the wide rerun NOW with an async d2h (instead
+      of synchronously inside the drain's assembly loop) and turn narrow
+      mode OFF for the rest of the track — full-scale 24-bit content
+      overflows chunk after chunk, and each narrow+wide pair costs 5/3×
+      the readback of going wide directly.
+
+    Called after every dispatch (nonblocking) and once at the head of the
+    drain (blocking); ``state`` carries {"narrow": bool, "next": int}."""
+    i = state["next"]
+    while i < len(pending):
+        dev, n = pending[i]
+        if not isinstance(dev, tuple) or dev[1] is None:
+            i += 1
+            continue
+        arr, redo = dev
+        if not block:
+            ready = getattr(arr, "is_ready", None)
+            if ready is None or not ready():
+                break  # later chunks finish strictly later: stop here
+        got = np.asarray(arr)
+        if got[-1, -1]:
+            pending[i] = ((got, None), n)
+        else:
+            state["narrow"] = False
+            wide = redo()
+            _start_d2h(wide)
+            pending[i] = (wide, n)
+        i += 1
+    state["next"] = i
+
+
+def _finish_uniform(pending, T, out_ch, pack_bits, want_packed,
+                    narrow_state=None):
     """Drain dispatched chunks and assemble the final [T, ...] output.
 
     Chunks copy straight into one preallocated array (a concatenate here
@@ -894,8 +937,12 @@ def _finish_uniform(pending, T, out_ch, pack_bits, want_packed):
     arithmetic sign extension of the int16 high byte; a chunk whose flag
     says some sample overflowed int16 is REDISPATCHED through the wide
     program from its still-alive device arenas, so output bytes are
-    identical either way."""
+    identical either way.  The redispatches all happen in a first
+    (flag-scan) pass via _narrow_poll, so their device work and d2h
+    overlap each other and the assembly copies below."""
     with global_timer.stage("mlp/device+d2h"):
+        _narrow_poll(pending, narrow_state or {"narrow": True, "next": 0},
+                     block=True)
         nbytes = pack_bits // 8
         width = out_ch * nbytes if pack_bits else out_ch
         raw = np.empty((T, width), dtype=np.uint8 if pack_bits else np.int32)
@@ -903,20 +950,17 @@ def _finish_uniform(pending, T, out_ch, pack_bits, want_packed):
         for dev, n in pending:
             take = min(n, T - row)
             if take > 0:
-                if isinstance(dev, tuple):
-                    got = np.asarray(dev[0])        # [T_pad+8, C*2]
-                    if got[-1, -1]:
-                        nb2 = take * out_ch * 2
-                        flat = got.reshape(-1)[:nb2]
-                        dst = raw[row : row + take]
-                        if not host.widen24(flat, dst.reshape(-1)):
-                            pairs = flat.reshape(take, out_ch, 2)
-                            d3 = dst.reshape(take, out_ch, 3)
-                            d3[:, :, :2] = pairs
-                            d3[:, :, 2] = (pairs[:, :, 1].view(np.int8)
-                                           >> 7).view(np.uint8)
-                    else:  # chunk overflowed int16: rare wide redispatch
-                        raw[row : row + take] = np.asarray(dev[1]())[:take]
+                if isinstance(dev, tuple):  # narrow, fits (host-side already)
+                    got = dev[0]                    # [T_pad+8, C*2]
+                    nb2 = take * out_ch * 2
+                    flat = got.reshape(-1)[:nb2]
+                    dst = raw[row : row + take]
+                    if not host.widen24(flat, dst.reshape(-1)):
+                        pairs = flat.reshape(take, out_ch, 2)
+                        d3 = dst.reshape(take, out_ch, 3)
+                        d3[:, :, :2] = pairs
+                        d3[:, :, 2] = (pairs[:, :, 1].view(np.int8)
+                                       >> 7).view(np.uint8)
                 else:
                     raw[row : row + take] = np.asarray(dev)[:take]
             row += take
@@ -1113,7 +1157,8 @@ def _try_uniform(parse, F: int, frame_len: np.ndarray, T: int,
     cfg = config if config is not None else default_config()
     CHUNK = cfg.resolved_chunk_chains(out_ch)
     pack_bits = _pack_bits(bits_per_sample)
-    narrow = pack_bits == 24 and cfg.resolved_narrow_d2h()
+    nstate = {"narrow": pack_bits == 24 and cfg.resolved_narrow_d2h(),
+              "next": 0}
     devices = _decode_devices(config)
     pending = []
     fpc = period // L0
@@ -1132,10 +1177,13 @@ def _try_uniform(parse, F: int, frame_len: np.ndarray, T: int,
                                                       == "pallas"),
                                           native_pack=cfg.native_pack,
                                           unroll=cfg.resolved_filter_unroll(),
-                                          mat_mm=mat_mm, narrow=narrow)
+                                          mat_mm=mat_mm,
+                                          narrow=nstate["narrow"])
             _start_d2h(dev)  # overlap d2h with later chunks
             pending.append((dev, (c1 - c0) * period))
-    return _finish_uniform(pending, T, out_ch, pack_bits, want_packed)
+            _narrow_poll(pending, nstate)
+    return _finish_uniform(pending, T, out_ch, pack_bits, want_packed,
+                           narrow_state=nstate)
 
 
 def _decode_devices(config: DecodeConfig | None = None):

@@ -514,7 +514,18 @@ struct Parser {
         if (b.min_ch[s] != a.min_ch[s] || b.max_ch[s] != a.max_ch[s])
           return false;
     }
-    auto app = [](auto& dst, auto& src) {
+    // Reserve the projected FINAL size up front (worker w covers bytes
+    // [.., w.size) of the parent stream, so post-merge size × size/w.size
+    // is a tight estimate): without this the parent's multi-MB vectors —
+    // which never go through reserve_after_first_frame in MT mode —
+    // re-pay the geometric-realloc copies across every section merge.
+    double grow = double(size) / double(w.size) * 1.06;
+    auto app = [grow](auto& dst, auto& src) {
+      size_t need = dst.size() + src.size();
+      if (dst.capacity() < need) {
+        size_t est = size_t(double(need) * grow) + 8;
+        dst.reserve(est > need ? est : need);
+      }
       dst.insert(dst.end(), src.begin(), src.end());
     };
     app(a.frame_len, b.frame_len);
@@ -1702,8 +1713,11 @@ int32_t mp_pack(void* h, const int64_t* inst, int64_t n_inst,
 void mp_widen24(const uint8_t* pairs, int64_t n, uint8_t* dst) {
   // 4 samples per iteration: one unaligned u64 load, three u32 stores
   // composed in registers (the naive 3-byte-stride byte loop does not
-  // vectorise and ran at ~160 MB/s; this runs several× faster)
+  // vectorise and ran at ~160 MB/s; this runs several× faster).  The
+  // register composition assumes a little-endian host (every real TPU
+  // host is); a BE build falls through to the byte-store tail loop.
   int64_t i = 0;
+#if !defined(__BYTE_ORDER__) || __BYTE_ORDER__ == __ORDER_LITTLE_ENDIAN__
   for (; i + 4 <= n; i += 4) {
     uint64_t w;
     std::memcpy(&w, pairs + 2 * i, 8);
@@ -1723,6 +1737,7 @@ void mp_widen24(const uint8_t* pairs, int64_t n, uint8_t* dst) {
     std::memcpy(d + 4, &o1, 4);
     std::memcpy(d + 8, &o2, 4);
   }
+#endif
   for (; i < n; i++) {
     uint8_t lo = pairs[2 * i], hi = pairs[2 * i + 1];
     dst[3 * i] = lo;

@@ -718,6 +718,48 @@ def test_narrow_d2h_parity_quiet_and_loud(devhuff):
         assert bytes(on) == bytes(pack_samples_le(ref, 24))
 
 
+def test_narrow_poll_semantics():
+    """_narrow_poll: a landed fits-chunk drops its redo closure (freeing
+    the device arenas), an overflowed chunk fires its wide redo exactly
+    once and turns narrow mode off for later dispatches, and nonblocking
+    polls stop at the first not-yet-ready chunk."""
+    from dvda_tpu.codecs.mlp.native_engine import _narrow_poll
+
+    class FakeDev:
+        """Array-convertible stand-in for a narrow+flag device buffer."""
+
+        def __init__(self, fits, ready=True):
+            self.arr = np.zeros((9, 4), np.uint8)
+            self.arr[-1, -1] = 1 if fits else 0
+            self.ready = ready
+
+        def is_ready(self):
+            return self.ready
+
+        def __array__(self, dtype=None, copy=None):
+            return self.arr
+
+    def mk(fits, ready=True):
+        calls = []
+        redo = lambda: calls.append(1) or np.ones((8, 12), np.uint8)
+        return (FakeDev(fits, ready), redo), calls
+
+    fit_dev, fit_calls = mk(True)
+    ovf_dev, ovf_calls = mk(False)
+    late_dev, late_calls = mk(True, ready=False)
+    pending = [(fit_dev, 8), (ovf_dev, 8), (late_dev, 8)]
+    state = {"narrow": True, "next": 0}
+    _narrow_poll(pending, state)  # nonblocking: stops at the unready chunk
+    assert state["next"] == 2
+    # fits: redo dropped (arenas released), host copy kept
+    assert pending[0][0][1] is None and not fit_calls
+    # overflow: redo fired once, entry replaced by the wide array, mode off
+    assert ovf_calls == [1] and isinstance(pending[1][0], np.ndarray)
+    assert not state["narrow"]
+    _narrow_poll(pending, state, block=True)  # drain consumes the late chunk
+    assert state["next"] == 3 and pending[2][0][1] is None and not late_calls
+
+
 def test_host_widen24_matches_numpy():
     """mp_widen24 (the narrow-d2h drain's int16 -> 24-bit WAV widen) is
     byte-exact vs the numpy formula, including the scalar tail for
