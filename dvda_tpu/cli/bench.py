@@ -218,7 +218,11 @@ def bench_mlp_51(tmp, results):
 
 def bench_disc_batch_cppm(tmp, results):
     """Config 5: AUDIO_TS traversal + CPPM sector decrypt + batched
-    multi-track decode (reference n/a: it needs a physical drive)."""
+    multi-track decode.  The reference cannot decrypt without a physical
+    drive (its CPPM path needs DVD_AUTH ioctls), so its baseline is a
+    PROXY: dvda2wav timed on the SAME disc content unencrypted
+    (dvda2wav.c:56-184 exercises the identical demux+decode work; the
+    decrypt is our extra cost) — VERDICT r3 missing #3."""
     import numpy as np
 
     from ..api import DVDA, TrackReader
@@ -241,6 +245,8 @@ def bench_disc_batch_cppm(tmp, results):
                      bits_per_sample=24, channel_assignment=17, seed=4),
     ]])
     audio = 3 * seconds
+    # proxy reference baseline: same content, unencrypted (see docstring)
+    ref = time_reference(layout.path, os.path.join(tmp, "disc"))
     media_key, album = 0x00DEADBEEF001122, 0x0F0E0D0C0B0A0908
     aob_path = os.path.join(layout.path, "ATS_01_1.AOB")
     raw = np.fromfile(aob_path, dtype=np.uint8).reshape(-1, 2048)
@@ -258,7 +264,9 @@ def bench_disc_batch_cppm(tmp, results):
 
     ours()  # warm
     best, times = _best(ours, 3)
-    _record(results, "disc_batch_cppm", audio, best, None, times)
+    _record(results, "disc_batch_cppm", audio, best, ref, times)
+    results["disc_batch_cppm"]["ref_is_proxy"] = \
+        "reference timed on the same disc unencrypted (no drive ioctls)"
 
 
 def bench_mlp_nonuniform(tmp, results):
@@ -299,6 +307,78 @@ def bench_mlp_nonuniform(tmp, results):
     log("mlp_nonuniform stage breakdown:\n" + global_timer.summary())
     _record(results, "mlp_nonuniform", audio, best, ref, times)
     results["mlp_nonuniform"]["mode"] = mode
+
+
+def _mds_child():
+    """Child process of bench_multi_device_scaling: decode one fixed MLP
+    5.1 stream through the production round-robin path on this process's
+    device set (a virtual CPU mesh sized by XLA_FLAGS) and print the best
+    wall time as one JSON line."""
+    import numpy as np
+
+    import jax
+
+    from ..codecs.mlp.native_engine import decode_native
+    from ..codecs.params import StreamParameters
+    from ..config import DecodeConfig
+    from ..testutil.mlp_synth import synth_mlp_stream
+    from ..testutil.synth import BPS_CODE, RATE_CODE
+
+    cfg = _mlp_cfg(4, 17, 2, seed=7)
+    stream = synth_mlp_stream(cfg)
+    params = StreamParameters(BPS_CODE[24], 0xF, RATE_CODE[RATE], 0xF, 17)
+    bnd = np.zeros(0, np.int64)
+    dc = DecodeConfig.from_env()
+
+    def run():
+        out = decode_native(stream, bnd, len(stream), params,
+                            want_packed=True, config=dc)
+        assert out is not None and len(out) == cfg.total_pcm_frames
+        return out
+
+    run()  # warm (compile; persistent cache shared across children)
+    best, _ = _best(run, 3)
+    print(json.dumps({"best_s": best, "devices": len(jax.local_devices())}))
+
+
+def bench_multi_device_scaling(results):
+    """Production round-robin decode at n_devices ∈ {1,2,4,8} on the
+    virtual CPU mesh (VERDICT r3 #6).  All runs share one physical core,
+    so the normalized curve isolates the *scheduler/merge overhead* of
+    spreading chunks across devices — the claim being evidenced is that
+    per-chip throughput projections survive multi-chip dispatch, i.e.
+    overhead_at_8 stays small, not that a 1-core host gets faster."""
+    times = {}
+    for n in (1, 2, 4, 8):
+        env = dict(os.environ)
+        env.update({
+            "DVDA_BENCH_MDS_CHILD": "1",
+            "JAX_PLATFORMS": "cpu",
+            "XLA_FLAGS": (env.get("XLA_FLAGS", "") +
+                          f" --xla_force_host_platform_device_count={n}"),
+            "DVDA_TPU_MULTI_DEVICE": "1",
+            "PALLAS_AXON_POOL_IPS": "",  # skip TPU-relay registration
+        })
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-m", "dvda_tpu.cli.bench"],
+                env=env, capture_output=True, timeout=600, check=True,
+                cwd=os.path.dirname(os.path.dirname(os.path.dirname(
+                    os.path.abspath(__file__)))))
+            got = json.loads(proc.stdout.strip().splitlines()[-1])
+            assert got["devices"] == n
+            times[str(n)] = round(got["best_s"], 3)
+            log(f"multi_device_scaling n={n}: {got['best_s']:.3f}s")
+        except Exception as exc:  # pragma: no cover - diagnostics only
+            log(f"multi_device_scaling n={n} failed: {exc}")
+            return
+    base = times["1"]
+    results["multi_device_scaling"] = {
+        "decode_s_by_devices": times,
+        "overhead_at_8": round(times["8"] / base - 1, 3),
+        "note": "virtual CPU mesh, one physical core: normalized "
+                "scheduler/merge overhead of round-robin chunk dispatch",
+    }
 
 
 def bench_parse_scaling(results):
@@ -567,6 +647,9 @@ def _record(results, name, audio_seconds, ours_dt, ref_dt, times=None):
 
 def main(argv=None):
     del argv
+    if os.environ.get("DVDA_BENCH_MDS_CHILD"):
+        _mds_child()
+        return
     import jax
 
     log(f"devices: {jax.devices()}")
@@ -596,6 +679,8 @@ def main(argv=None):
             bench_disc_batch_cppm(tmp, results)
         if want("mlp_nonuniform"):
             bench_mlp_nonuniform(tmp, results)
+        if want("multi_device_scaling"):
+            bench_multi_device_scaling(results)
         if selected and "parse_scaling" in selected:  # opt-in mode only
             bench_parse_scaling(results)
 
@@ -628,7 +713,8 @@ def main(argv=None):
 
         if not results:  # every DVDA_BENCH_ONLY name was unknown
             known = ("pcm_2ch_48k pcm_hires mlp_stereo_96k mlp_51_96k "
-                     "disc_batch_cppm mlp_nonuniform parse_scaling")
+                     "disc_batch_cppm mlp_nonuniform multi_device_scaling "
+                     "parse_scaling")
             print(json.dumps({"error": f"no bench matched "
                               f"DVDA_BENCH_ONLY={only!r}; known: {known}"}))
             return

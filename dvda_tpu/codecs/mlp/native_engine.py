@@ -532,6 +532,18 @@ def _pipeline(subs, frame_idx, flat_idx, noise01, bypassed_t,
 _ABANDON = object()
 
 
+def _warn_bail(parse) -> None:
+    """Name WHY the native parser handed the stream back: the fallback is
+    the pure-Python spec decoder, ~3 orders of magnitude slower, and a
+    silent mode switch of that size must be diagnosable (VERDICT r3 #8)."""
+    from ...utils.log import logger
+
+    logger.warning(
+        "native MLP parse bailed: %s; falling back to the pure-Python "
+        "spec decoder (orders of magnitude slower)",
+        host.bail_reason_text(getattr(parse, "bail_reason", 0)))
+
+
 def decode_native(stream: bytes, boundaries: np.ndarray, probe_end: int,
                   parameters: StreamParameters,
                   want_packed: bool = False,
@@ -578,6 +590,7 @@ def decode_native(stream: bytes, boundaries: np.ndarray, probe_end: int,
             inc.step(0)  # finish the walk; no bytes are re-parsed
         parse = inc.view()
         if parse.status != 0:
+            _warn_bail(parse)
             return None
         return _decode_parsed(parse, boundaries, probe_end, parameters,
                               want_packed, config)
@@ -617,7 +630,10 @@ def _decode_pipelined(inc, stream, boundaries, probe_end, parameters,
         with global_timer.stage("mlp/native-parse"):
             st["more"] = inc.step(n)
         st["v"] = inc.view()
-        return st["v"].status == 0
+        if st["v"].status != 0:
+            _warn_bail(st["v"])
+            return False
+        return True
 
     if not parse_step(64):
         return None
@@ -635,7 +651,7 @@ def _decode_pipelined(inc, stream, boundaries, probe_end, parameters,
     use_pallas = cfg.filter_kernel == "pallas"
     unroll = cfg.resolved_filter_unroll()
     nstate = {"narrow": pack_bits == 24 and cfg.resolved_narrow_d2h(),
-              "next": 0}
+              "checked": False}
 
     pending = []
     ci = 0
@@ -697,7 +713,6 @@ def _decode_pipelined(inc, stream, boundaries, probe_end, parameters,
                     words_all=words_all, use_pallas=use_pallas,
                     f_base=f0, t_base=t_base, native_pack=cfg.native_pack,
                     unroll=unroll, mat_mm=mat_mm, narrow=nstate["narrow"])
-                _start_d2h(dev)
                 pending.append((dev, n_ok * period))
                 _narrow_poll(pending, nstate)
             ci += 1
@@ -875,85 +890,129 @@ def _verified_chains(v, struct, L0, fpc, f0, blk0s, c0, c1, done) -> int:
     return int(bad[0]) if bad.size else nc
 
 
-def _start_d2h(dev):
-    """Begin the async device→host copy for a dispatched chunk (a plain
-    array, or the (narrow+flag, redo) pair from a narrow-d2h dispatch —
-    only the narrow buffer starts copying; the wide program only runs if
-    the drain discovers the chunk overflowed int16)."""
-    target = dev[0] if isinstance(dev, tuple) else dev
-    try:
-        target.copy_to_host_async()
-    except (AttributeError, NotImplementedError):
-        pass
-
-
 def _narrow_poll(pending, state, block=False):
-    """Walk not-yet-checked narrow-d2h chunks in dispatch order and act on
-    each whose narrow buffer has landed (all of them when ``block``):
+    """Adaptive narrow-mode check on the FIRST narrow chunk only: once its
+    buffer lands, read it (the bytes are needed anyway) and, if the
+    embedded fits-flag says it overflowed int16, switch narrow mode OFF
+    for the rest of the track and redispatch it wide — full-scale 24-bit
+    content overflows chunk after chunk, and each narrow+wide pair costs
+    5/3× the readback of going wide directly.
 
-    * fits-flag set → keep the host copy and DROP the redo closure, so the
-      chunk's device arenas are freed now instead of staying pinned until
-      the final drain (a long 24-bit track would otherwise hold every
-      chunk's input arenas in HBM simultaneously);
-    * overflowed → dispatch the wide rerun NOW with an async d2h (instead
-      of synchronously inside the drain's assembly loop) and turn narrow
-      mode OFF for the rest of the track — full-scale 24-bit content
-      overflows chunk after chunk, and each narrow+wide pair costs 5/3×
-      the readback of going wide directly.
+    Later chunks are deliberately NOT polled: their buffers are fetched in
+    ONE batched device-side concat at the drain (_fetch_pending) — the
+    relay charges ~30 ms of host CPU per read CALL on top of the per-byte
+    cost (measured), so 18 per-chunk reads paid that fixed cost 18×.
+    Their input arenas stay alive in HBM until the drain (each redo
+    closure pins its chunk's arenas, ~5 MB/chunk — trivial vs HBM)."""
+    if not state.get("narrow", False) or state.get("checked"):
+        return
+    if not pending:
+        return
+    dev, n = pending[0]
+    if not isinstance(dev, tuple) or dev[1] is None:
+        state["checked"] = True
+        return
+    arr, redo = dev
+    if not block:
+        ready = getattr(arr, "is_ready", None)
+        if ready is None or not ready():
+            return
+    got = np.asarray(arr)
+    state["checked"] = True
+    if got[-1, -1]:
+        pending[0] = ((got, None), n)
+    else:
+        state["narrow"] = False
+        pending[0] = (redo(), n)
 
-    Called after every dispatch (nonblocking) and once at the head of the
-    drain (blocking); ``state`` carries {"narrow": bool, "next": int}."""
-    i = state["next"]
-    while i < len(pending):
-        dev, n = pending[i]
-        if not isinstance(dev, tuple) or dev[1] is None:
-            i += 1
-            continue
-        arr, redo = dev
-        if not block:
-            ready = getattr(arr, "is_ready", None)
-            if ready is None or not ready():
-                break  # later chunks finish strictly later: stop here
-        got = np.asarray(arr)
-        if got[-1, -1]:
-            pending[i] = ((got, None), n)
+
+#: cached concat program (shapes/arity key via jit's own cache)
+@jax.jit
+def _concat0(*xs):
+    return jnp.concatenate(xs, axis=0)
+
+
+def _fetch_pending(pending):
+    """Resolve every pending chunk to a host array with BATCHED reads:
+    consecutive device-resident outputs with identical trailing shape on
+    the same device are concatenated on device and fetched in ONE call.
+    Through this environment's relay each read call costs ~30 ms of host
+    CPU plus ~25 ms/MB; on a directly-attached host the single DMA is no
+    worse.  Returns a list of host arrays (views into the group reads)."""
+    out = [None] * len(pending)
+    group_idx, group_arr = [], []
+
+    def flush():
+        if not group_idx:
+            return
+        if len(group_arr) == 1:
+            big = np.asarray(group_arr[0])
         else:
-            state["narrow"] = False
-            wide = redo()
-            _start_d2h(wide)
-            pending[i] = (wide, n)
-        i += 1
-    state["next"] = i
+            big = np.asarray(_concat0(*group_arr))
+        row = 0
+        for i, a in zip(group_idx, group_arr):
+            out[i] = big[row : row + a.shape[0]]
+            row += a.shape[0]
+        group_idx.clear()
+        group_arr.clear()
+
+    def key(a):
+        try:
+            dev = tuple(sorted(d.id for d in a.devices()))
+        except Exception:
+            dev = ()
+        return (a.shape[1:], a.dtype, dev)
+
+    for i, (dev, _n) in enumerate(pending):
+        arr = dev[0] if isinstance(dev, tuple) else dev
+        if isinstance(arr, np.ndarray):  # already on host (narrow check)
+            out[i] = arr
+            continue
+        if group_arr and key(group_arr[-1]) != key(arr):
+            flush()
+        group_idx.append(i)
+        group_arr.append(arr)
+    flush()
+    return out
 
 
 def _finish_uniform(pending, T, out_ch, pack_bits, want_packed,
                     narrow_state=None):
     """Drain dispatched chunks and assemble the final [T, ...] output.
 
-    Chunks copy straight into one preallocated array (a concatenate here
+    All device-resident chunk outputs are fetched with batched
+    device-side concats (_fetch_pending — one read call per run of
+    same-shape chunks instead of one per chunk).  Chunks then copy
+    straight into one preallocated array (a host concatenate here
     double-copied 52 MB per 30 s track).  Narrow-d2h chunks (see
     config.narrow_d2h) arrive as int16 bytes + an embedded fits-flag and
     are widened to the 24-bit WAV layout here — the third byte is the
     arithmetic sign extension of the int16 high byte; a chunk whose flag
     says some sample overflowed int16 is REDISPATCHED through the wide
-    program from its still-alive device arenas, so output bytes are
-    identical either way.  The redispatches all happen in a first
-    (flag-scan) pass via _narrow_poll, so their device work and d2h
-    overlap each other and the assembly copies below."""
+    program from its still-alive device arenas (batched again), so output
+    bytes are identical either way."""
     with global_timer.stage("mlp/device+d2h"):
-        _narrow_poll(pending, narrow_state or {"narrow": True, "next": 0},
-                     block=True)
+        resolved = _fetch_pending(pending)
+        # narrow chunks that overflowed int16: redispatch wide, batched
+        redo_is = [i for i, (dev, _n) in enumerate(pending)
+                   if isinstance(dev, tuple) and dev[1] is not None
+                   and not resolved[i][-1, -1]]
+        if redo_is:
+            wide = [(pending[i][0][1](), pending[i][1]) for i in redo_is]
+            wide_resolved = _fetch_pending(wide)
+            for i, arr in zip(redo_is, wide_resolved):
+                resolved[i] = arr
+                pending[i] = (arr, pending[i][1])  # plain: assembles wide
         nbytes = pack_bits // 8
         width = out_ch * nbytes if pack_bits else out_ch
         raw = np.empty((T, width), dtype=np.uint8 if pack_bits else np.int32)
         row = 0
-        for dev, n in pending:
+        for (dev, n), got in zip(pending, resolved):
             take = min(n, T - row)
             if take > 0:
-                if isinstance(dev, tuple):  # narrow, fits (host-side already)
-                    got = dev[0]                    # [T_pad+8, C*2]
+                if isinstance(dev, tuple):  # narrow int16 + flag rows
                     nb2 = take * out_ch * 2
-                    flat = got.reshape(-1)[:nb2]
+                    flat = np.ascontiguousarray(got).reshape(-1)[:nb2]
                     dst = raw[row : row + take]
                     if not host.widen24(flat, dst.reshape(-1)):
                         pairs = flat.reshape(take, out_ch, 2)
@@ -962,7 +1021,7 @@ def _finish_uniform(pending, T, out_ch, pack_bits, want_packed,
                         d3[:, :, 2] = (pairs[:, :, 1].view(np.int8)
                                        >> 7).view(np.uint8)
                 else:
-                    raw[row : row + take] = np.asarray(dev)[:take]
+                    raw[row : row + take] = got[:take]
             row += take
             if row >= T:
                 break
@@ -1158,7 +1217,7 @@ def _try_uniform(parse, F: int, frame_len: np.ndarray, T: int,
     CHUNK = cfg.resolved_chunk_chains(out_ch)
     pack_bits = _pack_bits(bits_per_sample)
     nstate = {"narrow": pack_bits == 24 and cfg.resolved_narrow_d2h(),
-              "next": 0}
+              "checked": False}
     devices = _decode_devices(config)
     pending = []
     fpc = period // L0
@@ -1179,7 +1238,6 @@ def _try_uniform(parse, F: int, frame_len: np.ndarray, T: int,
                                           unroll=cfg.resolved_filter_unroll(),
                                           mat_mm=mat_mm,
                                           narrow=nstate["narrow"])
-            _start_d2h(dev)  # overlap d2h with later chunks
             pending.append((dev, (c1 - c0) * period))
             _narrow_poll(pending, nstate)
     return _finish_uniform(pending, T, out_ch, pack_bits, want_packed,

@@ -113,9 +113,14 @@ def _load():
     lib.mp_blk_sub_bitpos_size.argtypes = [c.c_void_p, c.c_int32]
     lib.mp_sub_span_max.restype = c.c_int32
     lib.mp_sub_span_max.argtypes = [c.c_void_p, c.c_int32]
+    for name in ("mp_mt_repairs", "mp_mt_full_redo"):
+        fn = getattr(lib, name)
+        fn.restype = c.c_int64
+        fn.argtypes = [c.c_void_p]
     lib.mlp_parse_free.argtypes = [c.c_void_p]
     for name, res in [
-        ("mp_status", c.c_int32), ("mp_substream_count", c.c_int32),
+        ("mp_status", c.c_int32), ("mp_bail_reason", c.c_int32),
+        ("mp_substream_count", c.c_int32),
         ("mp_mmc", c.c_int32), ("mp_assignment", c.c_int32),
         ("mp_nframes", c.c_int64), ("mp_total_samples", c.c_int64),
     ]:
@@ -259,6 +264,7 @@ class NativeParse:
         self._owns = owns
         self._lib, self._h = lib, (h if lib.mp_status(h) == 0 else None)
         self.status = lib.mp_status(h)
+        self.bail_reason = int(lib.mp_bail_reason(h))
         if self.status != 0:
             if owns:
                 lib.mlp_parse_free(h)
@@ -379,6 +385,18 @@ class IncrementalParse:
     def status(self) -> int:
         return int(self._lib.mp_status(self._h))
 
+    @property
+    def bail_reason(self) -> int:
+        """BailReason code when ``status != 0`` (see BAIL_REASONS)."""
+        return int(self._lib.mp_bail_reason(self._h))
+
+    @property
+    def mt_stats(self) -> tuple[int, int]:
+        """(local ≤2-section repairs, whole-stream sequential redos) of
+        the multi-threaded parse — diagnostics for corrupt-frame fuzz."""
+        return (int(self._lib.mp_mt_repairs(self._h)),
+                int(self._lib.mp_mt_full_redo(self._h)))
+
     def view(self) -> "NativeParse":
         return NativeParse(self._lib, self._h, owns=False)
 
@@ -392,6 +410,23 @@ class IncrementalParse:
             self.close()
         except Exception:
             pass
+
+
+#: bail-reason codes (mlp_parse.cc BailReason) → human-readable text; the
+#: native parser reports WHY it handed the stream back so the ~1000×
+#: pure-Python fallback cliff is diagnosable (VERDICT r3 #8)
+BAIL_REASONS = {
+    0: "no bail",
+    1: "substream frame lengths disagree",
+    2: "stream does not begin with a restart header",
+    3: "channel range changes mid-stream",
+    4: "max-matrix-channel changes mid-stream",
+    5: "overlapping substream channel ranges",
+}
+
+
+def bail_reason_text(code: int) -> str:
+    return BAIL_REASONS.get(int(code), f"unknown bail code {code}")
 
 
 _LUTS = None
@@ -444,8 +479,11 @@ def parse_mlp_stream_begin(data: bytes, skip_values: bool = False,
     (parser state-reset points) and parsed by that many worker threads
     concurrently; each ``step`` then merges the next completed section
     (``max_frames`` granularity does not apply).  Output is bit-identical
-    to the sequential parse — streams with dropped frames redo
-    sequentially, since drops make sticky parser state order-dependent."""
+    to the sequential parse: a section whose entry frame drops is
+    repaired by a local sequential reparse of at most two sections (the
+    previous verified boundary through the damaged section's end) —
+    mid-section drops need no repair at all, since each section starts at
+    a full parser-state reset (see mlp_parse.cc mt_step)."""
     lib = _load()
     if lib is None:
         return None

@@ -200,8 +200,22 @@ static inline T* bump(rawvec<T>& v, size_t n) {
   return v.data() + o;
 }
 
+// Bail-reason codes (Result::bail): why the native parser gave up and the
+// caller must fall back to the pure-Python decoder.  Surfaced through
+// mp_bail_reason so the ~1000x fallback cliff is diagnosable (VERDICT r3
+// #8); the Python binding maps codes to text (host/__init__.py).
+enum BailReason {
+  kBailNone = 0,
+  kBailSubstreamLengths = 1,   // substream frame lengths disagree
+  kBailNoRestartStart = 2,     // stream does not begin with a restart header
+  kBailChannelRangeChange = 3, // channel range changes mid-stream
+  kBailMmcChange = 4,          // max-matrix-channel changes mid-stream
+  kBailOverlappingRanges = 5,  // overlapping substream channel ranges
+};
+
 struct Result {
   int status = 0;  // 0 ok, 1 bail -> python fallback
+  int bail = kBailNone;  // BailReason detail for status != 0
   int substream_count = 0;
   int mmc = -1;
   int assignment = -1;
@@ -345,6 +359,14 @@ struct Parser {
   int64_t off_ = 0;   // resume offset for incremental parsing
   bool done_ = false;
   bool reserved_ = false;
+  int64_t attempted_ = 0;  // frames attempted (incl. dropped)
+  // The FIRST attempted frame threw: for an MT section worker this means
+  // its entry frame's restart headers may not have fully reset parser
+  // state, so the worker's fresh-start parse can diverge from the
+  // sequential parse (which carries the previous section's sticky state
+  // across the dropped frame).  Any LATER drop evolves sticky state
+  // identically both ways, so the section stays bit-identical.
+  bool first_frame_dropped = false;
 
   // Size every output array once from the first frame's footprint (the
   // arrays grow linearly with the stream, so first-frame-size * remaining
@@ -393,6 +415,8 @@ struct Parser {
     }
   }
   int64_t dropped = 0;  // frames rolled back (ParseError)
+  int64_t mt_repairs = 0;   // local ≤2-section sequential repairs (stats)
+  int64_t mt_full_redo = 0; // whole-stream sequential redos (stats)
 
   // Parse up to max_frames more frames (<= 0 means all remaining).
   // Returns 1 while more input remains, 0 once the walk is complete (or
@@ -416,10 +440,12 @@ struct Parser {
         // partially-written tensors are rolled back
         rollback_frame();
         dropped++;
+        if (attempted_ == 0) first_frame_dropped = true;
       }
       if (out.status) { done_ = true; break; }
       off_ += total;
       parsed += 1;  // attempted frames (dropped ones count: bounded work)
+      attempted_ += 1;
       if (!reserved_ && !out.frame_len.empty()) {
         reserved_ = true;
         reserve_after_first_frame(total);
@@ -439,9 +465,13 @@ struct Parser {
   // sections at such frames.  Pass 1 (mlp_parse_begin_mt) finds them with
   // a cheap header walk; worker threads parse byte-balanced sections
   // concurrently; run_some/mt_step merges completed sections in stream
-  // order, preserving the incremental-parse API.  Any dropped frame or
-  // bail makes sticky state section-dependent, so those streams redo the
-  // whole parse sequentially (bit-identical semantics, just slower).
+  // order, preserving the incremental-parse API.  A section whose ENTRY
+  // frame drops is repaired by a local sequential reparse from the
+  // previous verified boundary (see mt_step); later drops leave a
+  // section bit-identical to the sequential parse, and a bail in a
+  // trustworthy section propagates directly (the sequential parse would
+  // bail at the same frame).  Only double-damage and cross-section
+  // shape mismatches fall back to the full sequential redo.
   struct Mt {
     std::vector<std::unique_ptr<Parser>> secs;
     std::vector<std::thread> pool;
@@ -450,26 +480,122 @@ struct Parser {
     std::vector<char> done;
     std::atomic<size_t> next{0};
     size_t merged = 0;
+    std::vector<int64_t> cuts;  // section byte boundaries [nsec + 1]
+    int g_nsub = 0, g_assign = 0, g_params[4] = {0, 0, 0, 0};
+    // merge runs one section BEHIND completion: the most recent clean,
+    // not-yet-merged section is held here so a damaged successor can be
+    // repaired by reparsing [staged start, damaged end) sequentially —
+    // the staged section's entry frame is a verified full state reset,
+    // so that local reparse reproduces the sequential parse exactly
+    // without redoing the rest of the stream (VERDICT r3 #4)
+    std::unique_ptr<Parser> staged;
+    size_t staged_idx = 0;
   };
   std::unique_ptr<Mt> mt;
 
+  // Merge the staged section into out; false routes to redo_sequential.
+  bool flush_staged() {
+    Mt& m = *mt;
+    if (!m.staged) return true;
+    if (!merge_section(*m.staged)) return false;
+    dropped += m.staged->dropped;
+    m.staged.reset();
+    return true;
+  }
+
+  // Stop scheduling further sections and join the pool (bail/teardown).
+  void stop_workers() {
+    mt->next.store(mt->secs.size());
+    for (auto& t : mt->pool)
+      if (t.joinable()) t.join();
+  }
+
   int32_t mt_step(int64_t max_frames) {
     Mt& m = *mt;
-    while (m.merged < m.secs.size()) {
+    bool progressed = false;
+    while (m.merged < m.secs.size() && !(max_frames > 0 && progressed)) {
       {
         std::unique_lock<std::mutex> lk(m.mu);
         m.cv.wait(lk, [&] { return m.done[m.merged] != 0; });
       }
-      Parser* w = m.secs[m.merged].get();
-      if (w->out.status != 0 || w->dropped > 0 || !merge_section(*w)) {
+      size_t i = m.merged;
+      std::unique_ptr<Parser> w = std::move(m.secs[i]);
+      m.merged++;
+      // A worker whose entry frame parsed cleanly is bit-identical to
+      // the sequential parse of its byte range (see first_frame_dropped);
+      // section 0 starts at offset 0 like the sequential parse, so it is
+      // trustworthy unconditionally.
+      bool entry_ok = i == 0 || !w->first_frame_dropped;
+      if (w->out.status != 0 && entry_ok) {
+        // the sequential parse would bail at the same frame with the
+        // same state: propagate instead of reparsing the whole stream
+        // (callers fall back to Python on status != 0 regardless of
+        // array contents)
+        out.status = w->out.status;
+        out.bail = w->out.bail;
+        m.staged.reset();
+        m.merged = m.secs.size();
+        stop_workers();
+        return 0;
+      }
+      if (entry_ok) {
+        bool had_staged = m.staged != nullptr;
+        if (!flush_staged()) {
+          redo_sequential();
+          return 0;
+        }
+        progressed = progressed || had_staged;
+        m.staged = std::move(w);
+        m.staged_idx = i;
+        continue;
+      }
+      // Damaged entry frame: repair by reparsing [previous verified
+      // boundary, end of this section) sequentially and merging that in
+      // place of (staged, w).  Every later section starts at its own
+      // full state reset, so their MT results stay valid.
+      if (!m.staged) {
+        // no clean predecessor held (the previous section was itself
+        // part of a repair): rare double-damage — full sequential redo
         redo_sequential();
         return 0;
       }
-      m.secs[m.merged].reset();  // release the section's buffers
-      m.merged++;
-      if (max_frames > 0) break;  // incremental: one section per step
+      size_t lo_idx = m.staged_idx;
+      Parser repair(Borrow{}, stream, m.cuts[i + 1], lut_val, lut_len);
+      repair.skip_values = skip_values;
+      repair.sub_every = sub_every;
+      repair.off_ = m.cuts[lo_idx];
+      if (lo_idx > 0) {  // seeded exactly like worker lo_idx was
+        repair.have_sync = true;
+        repair.substream_count = m.g_nsub;
+        repair.out.substream_count = m.g_nsub;
+        repair.out.assignment = m.g_assign;
+        for (int k = 0; k < 4; k++) repair.sync_params[k] = m.g_params[k];
+      }
+      m.staged.reset();
+      repair.run();
+      if (repair.out.status != 0) {
+        out.status = repair.out.status;
+        out.bail = repair.out.bail;
+        m.merged = m.secs.size();
+        stop_workers();
+        return 0;
+      }
+      if (!merge_section(repair)) {
+        redo_sequential();
+        return 0;
+      }
+      dropped += repair.dropped;
+      mt_repairs++;
+      progressed = true;
     }
-    return m.merged < m.secs.size() ? 1 : 0;
+    if (m.merged >= m.secs.size()) {  // all workers consumed: final flush
+      if (!flush_staged()) {
+        redo_sequential();
+        return 0;
+      }
+      return 0;
+    }
+    return 1;
   }
 
   // Authoritative fallback: reparse the whole stream sequentially (sticky
@@ -478,9 +604,9 @@ struct Parser {
   // prefix see the same values after the pointer re-fetch they already do
   // on every step.
   void redo_sequential() {
-    mt->next.store(mt->secs.size());  // stop workers picking new sections
-    for (auto& t : mt->pool)
-      if (t.joinable()) t.join();
+    stop_workers();
+    mt->staged.reset();
+    mt_full_redo++;
     Parser seq(Borrow{}, stream, size, lut_val, lut_len);
     seq.skip_values = skip_values;
     seq.sub_every = sub_every;
@@ -630,6 +756,7 @@ struct Parser {
       if (f1 == 0) throw ParseError{};
       if (marks.samples[1] != marks.samples[0]) {
         out.status = 1;  // bail: mismatched substream frame lengths
+        out.bail = kBailSubstreamLengths;
         return;
       }
       final_s = 1;
@@ -708,6 +835,7 @@ struct Parser {
     }
     if (!u.restart_seen) {
       out.status = 1;  // stream must begin with a restart header
+      out.bail = kBailNoRestartStart;
       throw ParseError{};
     }
     // write the block's tensors straight into the output arrays (every
@@ -795,6 +923,7 @@ struct Parser {
     if (max_c >= kMaxChannels || mmc >= kMaxChannels - 2) throw ParseError{};
     if (u.restart_seen && (min_c != u.min_ch || max_c != u.max_ch)) {
       out.status = 1;  // bail: channel range changes mid-stream
+      out.bail = kBailChannelRangeChange;
       throw ParseError{};
     }
     u.min_ch = min_c;
@@ -1198,6 +1327,7 @@ struct Parser {
       out.mmc = fu.mmc;
     } else if (fu.mmc != out.mmc) {
       out.status = 1;
+      out.bail = kBailMmcChange;
       return;
     }
     for (int s = 0; s < substream_count; s++) {
@@ -1208,6 +1338,7 @@ struct Parser {
     }
     if (substream_count == 2 && out.max_ch[0] >= out.min_ch[1]) {
       out.status = 1;  // overlapping substream channel ranges
+      out.bail = kBailOverlappingRanges;
       return;
     }
 
@@ -1421,6 +1552,10 @@ void* mlp_parse_begin_mt(const uint8_t* data, int64_t size,
   p->mt.reset(new Parser::Mt);
   Parser::Mt& m = *p->mt;
   size_t nsec = cuts.size() - 1;
+  m.cuts = cuts;
+  m.g_nsub = g_nsub;
+  m.g_assign = g_assign;
+  for (int k = 0; k < 4; k++) m.g_params[k] = g_params[k];
   m.done.assign(nsec, 0);
   for (size_t i = 0; i < nsec; i++) {
     std::unique_ptr<Parser> w(new Parser(
@@ -1458,6 +1593,13 @@ void* mlp_parse_begin_mt(const uint8_t* data, int64_t size,
 #define R(h) (static_cast<Parser*>(h)->out)
 
 int32_t mp_status(void* h) { return R(h).status; }
+int32_t mp_bail_reason(void* h) { return R(h).bail; }
+// MT-parse repair statistics (tests/diagnostics): local ≤2-section
+// sequential repairs vs whole-stream sequential redos.
+int64_t mp_mt_repairs(void* h) { return static_cast<Parser*>(h)->mt_repairs; }
+int64_t mp_mt_full_redo(void* h) {
+  return static_cast<Parser*>(h)->mt_full_redo;
+}
 int32_t mp_substream_count(void* h) { return R(h).substream_count; }
 int32_t mp_mmc(void* h) { return R(h).mmc; }
 int32_t mp_assignment(void* h) { return R(h).assignment; }

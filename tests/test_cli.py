@@ -72,3 +72,49 @@ def test_cli_entry_points_run():
                            capture_output=True, text=True, env=env)
         assert r.returncode == 0
         assert "libDVD-Audio" in r.stdout
+
+
+def test_huffman_compiler_cli(tmp_path, capsys):
+    """dvda-huffman (the reference `huffman` build-tool analog,
+    huffman.c:588-598): compiles a reference-layout codebook JSON and a
+    frequency list; the JSON output round-trips against peek_lut."""
+    import json
+
+    import numpy as np
+
+    from dvda_tpu.cli import huffman_compile
+    from dvda_tpu.codecs.mlp.codebooks import CODEBOOKS, peek_lut
+
+    # reference JSON layout: alternating bit arrays and values (<0 invalid)
+    flat = []
+    for code, value in CODEBOOKS[2]:
+        flat.append([int(b) for b in code])
+        flat.append(-1 if value is None else value)
+    src = tmp_path / "cb2.json"
+    src.write_text(json.dumps(flat))
+
+    out = tmp_path / "cb2_tables.json"
+    rc = huffman_compile.main(["-i", str(src), "--format", "json",
+                               "-o", str(out)])
+    assert rc == 0
+    got = json.loads(out.read_text())
+    vals, lens = peek_lut(2)
+    assert got["bits"] == 9
+    assert np.array_equal(np.asarray(got["values"]), vals)
+    assert np.array_equal(np.asarray(got["lengths"]), lens)
+
+    # C-header output runs and contains both tables
+    rc = huffman_compile.main(["-i", str(src), "--name", "cb2"])
+    assert rc == 0
+    text = capsys.readouterr().out
+    assert "cb2_val[512]" in text and "cb2_len[512]" in text
+
+    # frequency-list mode builds a canonical codebook first
+    freqs = tmp_path / "freqs.json"
+    freqs.write_text(json.dumps({"0": 10, "1": 5, "2": 1, "3": 1}))
+    rc = huffman_compile.main(["--frequencies", str(freqs),
+                               "--format", "json"])
+    assert rc == 0
+    got = json.loads(capsys.readouterr().out)
+    lens = {v: l for v, l in zip(got["values"], got["lengths"]) if l}
+    assert lens[0] == min(lens.values())  # most frequent value: shortest

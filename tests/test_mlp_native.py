@@ -497,8 +497,54 @@ def test_mt_parse_bit_identical(name):
     inc.close()
 
 
+def test_mt_parse_corrupt_local_repair():
+    """One corrupt frame costs at most a local ≤2-section sequential
+    repair (VERDICT r3 #4) — never the whole-stream redo — and the result
+    stays bit-identical to the sequential parse.  A sweep of corruption
+    positions across the stream covers both cases: mid-section drops
+    (no repair at all — the section's own parse already equals the
+    sequential one) and section-ENTRY drops (the ≤2-section repair)."""
+    cfg = MlpSynthConfig(channel_assignment=17, substream_count=2,
+                         n_frames=600, seed=7, major_sync_every=4,
+                         restart_every=4, blocks_per_frame=2, block_size=40)
+    base = synth_mlp_stream(cfg)
+    assert len(base) > 64 << 10
+    # frame starts (framing is length-delimited and corruption below never
+    # touches the first two header bytes)
+    starts, off = [], 0
+    while off + 4 <= len(base):
+        total = (((base[off] & 0x0F) << 8) | base[off + 1]) * 2
+        if total < 4 or off + total > len(base):
+            break
+        starts.append(off)
+        off += total
+    assert len(starts) >= 500
+    total_repairs = 0
+    for fi in range(3, len(starts) - 3, 13):  # ~45 positions, all sections
+        data = bytearray(base)
+        data[starts[fi] + 40] ^= 0x5A  # inside the frame body: CRC drop
+        data = bytes(data)
+        seq = host.parse_mlp_stream(data)
+        inc = host.parse_mlp_stream_begin(data, threads=4)
+        inc.step(0)
+        repairs, full_redo = inc.mt_stats
+        assert full_redo == 0, fi  # 1 corrupt frame never redoes the stream
+        assert repairs <= 1, fi
+        total_repairs += repairs
+        if seq.status == 0:
+            _parse_arrays_equal(seq, inc.view())
+        else:
+            assert inc.view().status == seq.status, fi
+        seq.close()
+        inc.close()
+    # the sweep must have hit at least one section-entry frame, or the
+    # repair path went untested
+    assert total_repairs >= 1
+
+
 def test_mt_parse_corrupt_redo_bit_identical():
-    """Dropped frames trigger the sequential redo — output still equal."""
+    """Corrupt frames (mid-section drops and entry-frame repairs) leave
+    the threaded parse bit-identical to the sequential one."""
     cfg = MlpSynthConfig(channel_assignment=17, substream_count=2,
                          n_frames=600, seed=7, major_sync_every=8,
                          restart_every=8, blocks_per_frame=2, block_size=40)
@@ -719,10 +765,13 @@ def test_narrow_d2h_parity_quiet_and_loud(devhuff):
 
 
 def test_narrow_poll_semantics():
-    """_narrow_poll: a landed fits-chunk drops its redo closure (freeing
-    the device arenas), an overflowed chunk fires its wide redo exactly
-    once and turns narrow mode off for later dispatches, and nonblocking
-    polls stop at the first not-yet-ready chunk."""
+    """_narrow_poll checks only the FIRST narrow chunk (adaptive mode
+    switch; all later chunks drain through the batched fetch): a landed
+    fits-chunk is kept as a host copy with its redo closure dropped and
+    narrow mode stays on; an overflowed first chunk fires its wide redo
+    exactly once and turns narrow mode off for later dispatches; an
+    unready chunk is left alone by nonblocking polls; and once checked,
+    later polls are no-ops."""
     from dvda_tpu.codecs.mlp.native_engine import _narrow_poll
 
     class FakeDev:
@@ -744,20 +793,61 @@ def test_narrow_poll_semantics():
         redo = lambda: calls.append(1) or np.ones((8, 12), np.uint8)
         return (FakeDev(fits, ready), redo), calls
 
+    # fits case: host copy kept, redo dropped, mode stays on, one check
     fit_dev, fit_calls = mk(True)
-    ovf_dev, ovf_calls = mk(False)
-    late_dev, late_calls = mk(True, ready=False)
-    pending = [(fit_dev, 8), (ovf_dev, 8), (late_dev, 8)]
-    state = {"narrow": True, "next": 0}
-    _narrow_poll(pending, state)  # nonblocking: stops at the unready chunk
-    assert state["next"] == 2
-    # fits: redo dropped (arenas released), host copy kept
+    other_dev, other_calls = mk(False)
+    pending = [(fit_dev, 8), (other_dev, 8)]
+    state = {"narrow": True, "checked": False}
+    _narrow_poll(pending, state)
+    assert state["checked"] and state["narrow"]
     assert pending[0][0][1] is None and not fit_calls
-    # overflow: redo fired once, entry replaced by the wide array, mode off
-    assert ovf_calls == [1] and isinstance(pending[1][0], np.ndarray)
-    assert not state["narrow"]
-    _narrow_poll(pending, state, block=True)  # drain consumes the late chunk
-    assert state["next"] == 3 and pending[2][0][1] is None and not late_calls
+    _narrow_poll(pending, state)  # later polls never touch chunk 2
+    assert not other_calls and pending[1][0][1] is not None
+
+    # overflow case: redo fired once, wide array replaces it, mode off
+    ovf_dev, ovf_calls = mk(False)
+    pending = [(ovf_dev, 8)]
+    state = {"narrow": True, "checked": False}
+    _narrow_poll(pending, state)
+    assert ovf_calls == [1] and isinstance(pending[0][0], np.ndarray)
+    assert not state["narrow"] and state["checked"]
+
+    # unready chunk: nonblocking poll leaves it; blocking poll consumes it
+    late_dev, late_calls = mk(True, ready=False)
+    pending = [(late_dev, 8)]
+    state = {"narrow": True, "checked": False}
+    _narrow_poll(pending, state)
+    assert not state["checked"] and pending[0][0][1] is not None
+    _narrow_poll(pending, state, block=True)
+    assert state["checked"] and pending[0][0][1] is None and not late_calls
+
+
+def test_bail_reason_surfaced_and_logged(caplog):
+    """A native-parser bail names its reason (mp_bail_reason) and
+    decode_native logs one WARNING naming it before falling back to the
+    pure-Python decoder (VERDICT r3 #8).  Bail used here: frame 0's body
+    is corrupted so its CRC drops the frame (after the major sync set
+    have_sync), and frame 1 then starts without a restart header."""
+    import logging
+
+    cfg = MlpSynthConfig(channel_assignment=17, substream_count=2,
+                         n_frames=32, seed=7, major_sync_every=8,
+                         restart_every=8, blocks_per_frame=2, block_size=40)
+    stream = bytearray(synth_mlp_stream(cfg))
+    stream[40] ^= 0x5A  # in frame 0's substream data: CRC mismatch -> drop
+    stream = bytes(stream)
+    parse = host.parse_mlp_stream(stream)
+    assert parse.status != 0
+    assert parse.bail_reason == 2  # no restart header at stream start
+    assert "restart" in host.bail_reason_text(parse.bail_reason)
+
+    with caplog.at_level(logging.WARNING, logger="dvda_tpu"):
+        out = decode_native(stream, np.zeros(0, np.int64), len(stream),
+                            stream_params(cfg))
+    assert out is None  # callers fall back to the Python engines
+    msgs = [r.getMessage() for r in caplog.records
+            if "native MLP parse bailed" in r.getMessage()]
+    assert msgs and "restart" in msgs[0]
 
 
 def test_host_widen24_matches_numpy():
