@@ -721,9 +721,9 @@ def main(argv=None):
         if "mlp_51_96k" not in results:  # diagnostic subset run
             name, first = next(iter(results.items()))
             print(json.dumps({"metric": name,
-                              "value": first["ours_x_realtime"],
+                              "value": first.get("ours_x_realtime"),
                               "unit": "x-realtime",
-                              "vs_baseline": first["vs_baseline"],
+                              "vs_baseline": first.get("vs_baseline"),
                               "configs": results}))
             return
 
@@ -733,11 +733,15 @@ def main(argv=None):
         dh = results.get("mlp_51_devhuff")
         if dh and dh["ours_x_realtime"] > head["ours_x_realtime"]:
             head, mode = dh, "device_huffman"
+        med = head.get("median_x_realtime")
+        ref = head.get("ref_x_realtime")
         print(json.dumps({
             "metric": "MLP 5.1/96kHz end-to-end decode throughput per chip",
             "value": head["ours_x_realtime"],
             "unit": "x-realtime",
             "vs_baseline": head["vs_baseline"],
+            "vs_baseline_median": (round(med / ref, 2)
+                                   if med and ref else None),
             "mode": mode,
             "device_compute_x_realtime": devx,
             "tunnel_d2h_MBps": d2h,
