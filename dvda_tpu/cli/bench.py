@@ -395,6 +395,9 @@ def bench_parse_scaling(results):
     stream = synth_mlp_stream(cfg)
     audio = cfg.total_pcm_frames / RATE
 
+    from ..config import DecodeConfig
+
+    split = DecodeConfig.from_env().resolved_huffman_split()
     curves = {}
     for mode, skip in (("full", False), ("skip_values", True)):
         curve = {}
@@ -402,7 +405,7 @@ def bench_parse_scaling(results):
             def run():
                 inc = host.parse_mlp_stream_begin(
                     stream, skip_values=skip, threads=th,
-                    sub_every=8 if skip else 0)
+                    sub_every=split if skip else 0)
                 inc.step(0)  # finish the whole walk
                 assert inc.view().status == 0
                 inc.close()
@@ -449,7 +452,7 @@ def probe_tunnel():
 
 
 def _capture_chunk_args(mlp_cfg, out_ch, use_pallas=False,
-                        device_huffman=False, sub_every=8):
+                        device_huffman=False, sub_every=None):
     """Parse a short stream of this geometry and capture ONE production
     chunk's compiled-pipeline arguments (a4, a2, a1, spec) plus the
     chunk's audio seconds.  Returns None when native parse bails."""
@@ -462,6 +465,8 @@ def _capture_chunk_args(mlp_cfg, out_ch, use_pallas=False,
 
     stream = synth_mlp_stream(mlp_cfg)
     if device_huffman:
+        if sub_every is None:  # default: the library's resolved split
+            sub_every = DecodeConfig.from_env().resolved_huffman_split()
         inc = host.parse_mlp_stream_begin(stream, skip_values=True,
                                           sub_every=sub_every)
         if inc is None:

@@ -318,25 +318,44 @@ def _uniform_arena_pipeline(a4, a2, a1, spec):
             return pk.transpose(4, 0, 1, 2, 3).reshape(T_pad, -1)
 
         if nbytes == 3 and "__narrow__" in flags:
-            # narrow-d2h (config.narrow_d2h): int16-packed output plus an
+            # narrow-d2h (config.narrow_d2h): width-reduced output plus an
             # on-device fits-flag, flattened together so the host learns
             # the flag from the SAME fetch (no extra round-trip through
-            # the relay).  Padding lanes are zero, so they never widen
-            # the range.  ONLY the narrow buffer is produced — a dual
-            # narrow+wide program gives `staged` two byte-pack consumers
-            # and XLA stops fusing the output permute (+2.7 ms/chunk,
-            # measured); chunks that overflow int16 are REDISPATCHED
-            # through the wide program by the drain (_finish_uniform)
+            # the relay).  Two tiers: int16 (2 B/sample) and, for even
+            # channel counts, 12-bit (1.5 B/sample — channel pairs pack
+            # into 3 bytes); the flag's bit 0 says the chunk fits THIS
+            # tier, bit 1 (12-bit programs only) says it fits int16, so
+            # the drain can redispatch an overflowed 12-bit chunk through
+            # the 16-bit program instead of the wide one.  Padding lanes
+            # are zero, so they never widen the range.  ONLY the narrow
+            # buffer is produced — a dual narrow+wide program gives
+            # `staged` two byte-pack consumers and XLA stops fusing the
+            # output permute (+2.7 ms/chunk, measured); chunks that
+            # overflow are REDISPATCHED by the drain (_finish_uniform)
             # from their still-alive device arenas.
-            fits = jnp.logical_and(staged.min() >= -(1 << 15),
-                                   staged.max() < (1 << 15))
-            narrow = bytepack(2)                    # [T_pad, C_out*2]
+            tier = flags["__narrow__"] or 16
+            lo, hi = staged.min(), staged.max()
+            fits16 = jnp.logical_and(lo >= -(1 << 15), hi < (1 << 15))
+            if tier == 12:
+                fits12 = jnp.logical_and(lo >= -(1 << 11), hi < (1 << 11))
+                c0 = staged[:, :, 0::2, :]
+                c1 = staged[:, :, 1::2, :]
+                pk = jnp.stack(
+                    [c0 & 0xFF,
+                     ((c0 >> 8) & 0xF) | ((c1 & 0xF) << 4),
+                     (c1 >> 4) & 0xFF], axis=3).astype(jnp.uint8)
+                narrow = (pk.transpose(4, 0, 1, 2, 3)
+                          .reshape(T_pad, -1))      # [T_pad, C/2*3]
+                flag = (fits12.astype(jnp.uint8)
+                        + 2 * fits16.astype(jnp.uint8))
+            else:
+                narrow = bytepack(2)                # [T_pad, C_out*2]
+                flag = fits16.astype(jnp.uint8)
             # the flag rides as 8 trailing ROWS: a major-axis concat is
             # layout-preserving (~free), where flattening narrow to 1-D
             # to append the flag forced a full relayout copy (+1.6 ms
             # per chunk, measured)
-            flag_rows = jnp.broadcast_to(fits.astype(jnp.uint8),
-                                         (8, narrow.shape[1]))
+            flag_rows = jnp.broadcast_to(flag, (8, narrow.shape[1]))
             return jnp.concatenate([narrow, flag_rows], axis=0)
         return bytepack(nbytes)
     return (staged.transpose(3, 0, 1, 2)
@@ -650,7 +669,7 @@ def _decode_pipelined(inc, stream, boundaries, probe_end, parameters,
     # docs/performance.md); flag-routable, interpreted off-TPU
     use_pallas = cfg.filter_kernel == "pallas"
     unroll = cfg.resolved_filter_unroll()
-    nstate = {"narrow": pack_bits == 24 and cfg.resolved_narrow_d2h(),
+    nstate = {"narrow": _narrow_tier0(pack_bits, out_ch, cfg),
               "checked": False}
 
     pending = []
@@ -793,6 +812,18 @@ def _chunk_window(parse, subs_info, words_all, f_base, c0, c1, fpc):
     return win, w0 * 32
 
 
+def _narrow_tier0(pack_bits: int, out_ch: int, cfg) -> int:
+    """Initial narrow-d2h tier for a 24-bit stream: start at the 12-bit
+    tier (1.5 B/sample — channel pairs pack into 3 bytes) when the
+    channel count is even, else at int16; 0 = narrow off.  The first
+    chunk's embedded fits-flag settles the track's real tier
+    (_narrow_poll): quiet content drains at half/ three-eighths the
+    bytes, loud content pays one redispatched chunk."""
+    if pack_bits != 24 or not cfg.resolved_narrow_d2h():
+        return 0
+    return 12 if out_ch % 2 == 0 else 16
+
+
 def _pack_bits(bits_per_sample: int) -> int:
     """Device byte-packing width: 24- and 16-bit streams pack to their
     WAV sample width on device (25% / 50% less d2h than raw int32 and no
@@ -891,20 +922,24 @@ def _verified_chains(v, struct, L0, fpc, f0, blk0s, c0, c1, done) -> int:
 
 
 def _narrow_poll(pending, state, block=False):
-    """Adaptive narrow-mode check on the FIRST narrow chunk only: once its
-    buffer lands, read it (the bytes are needed anyway) and, if the
-    embedded fits-flag says it overflowed int16, switch narrow mode OFF
-    for the rest of the track and redispatch it wide — full-scale 24-bit
-    content overflows chunk after chunk, and each narrow+wide pair costs
-    5/3× the readback of going wide directly.
+    """Adaptive narrow-TIER check on the FIRST narrow chunk only: once its
+    buffer lands, read it (the bytes are needed anyway) and settle the
+    track's tier from the embedded flag — a 12-bit chunk that overflows
+    but fits int16 moves the track to the 16-bit tier (and is itself
+    redispatched through the 16-bit program); one that overflows int16
+    turns narrow mode off entirely.  Full-scale content overflows chunk
+    after chunk, and each narrow+wide pair costs extra readback, so the
+    tier must settle early.
 
     Later chunks are deliberately NOT polled: their buffers are fetched in
     ONE batched device-side concat at the drain (_fetch_pending) — the
     relay charges ~30 ms of host CPU per read CALL on top of the per-byte
     cost (measured), so 18 per-chunk reads paid that fixed cost 18×.
     Their input arenas stay alive in HBM until the drain (each redo
-    closure pins its chunk's arenas, ~5 MB/chunk — trivial vs HBM)."""
-    if not state.get("narrow", False) or state.get("checked"):
+    closure pins its chunk's arenas, ~5 MB/chunk — trivial vs HBM);
+    chunks that overflow their tier mid-track are redispatched by the
+    drain, batched."""
+    if not state.get("narrow", 0) or state.get("checked"):
         return
     if not pending:
         return
@@ -912,17 +947,21 @@ def _narrow_poll(pending, state, block=False):
     if not isinstance(dev, tuple) or dev[1] is None:
         state["checked"] = True
         return
-    arr, redo = dev
+    arr, redo, tier = dev
     if not block:
         ready = getattr(arr, "is_ready", None)
         if ready is None or not ready():
             return
     got = np.asarray(arr)
     state["checked"] = True
-    if got[-1, -1]:
-        pending[0] = ((got, None), n)
+    flag = int(got[-1, -1])
+    if flag & 1:  # fits this tier: keep the host copy, tier settled
+        pending[0] = ((got, None, tier), n)
+    elif tier == 12 and flag & 2:  # fits int16: move the track to tier 16
+        state["narrow"] = 16
+        pending[0] = ((redo(16), redo, 16), n)
     else:
-        state["narrow"] = False
+        state["narrow"] = 0
         pending[0] = (redo(), n)
 
 
@@ -993,16 +1032,27 @@ def _finish_uniform(pending, T, out_ch, pack_bits, want_packed,
     bytes are identical either way."""
     with global_timer.stage("mlp/device+d2h"):
         resolved = _fetch_pending(pending)
-        # narrow chunks that overflowed int16: redispatch wide, batched
-        redo_is = [i for i, (dev, _n) in enumerate(pending)
-                   if isinstance(dev, tuple) and dev[1] is not None
-                   and not resolved[i][-1, -1]]
-        if redo_is:
-            wide = [(pending[i][0][1](), pending[i][1]) for i in redo_is]
-            wide_resolved = _fetch_pending(wide)
-            for i, arr in zip(redo_is, wide_resolved):
-                resolved[i] = arr
-                pending[i] = (arr, pending[i][1])  # plain: assembles wide
+        # narrow chunks that overflowed their tier: redispatch (batched) —
+        # a 12-bit chunk that still fits int16 reruns the 16-bit program,
+        # anything else the wide one (flag bits: see the pipeline)
+        redos = []
+        for i, (dev, _n) in enumerate(pending):
+            if not (isinstance(dev, tuple) and dev[1] is not None):
+                continue
+            flag = int(resolved[i][-1, -1])
+            if flag & 1:
+                continue
+            if dev[2] == 12 and flag & 2:
+                redos.append((i, dev[1](16), 16))
+            else:
+                redos.append((i, dev[1](), 0))
+        if redos:
+            fetched = _fetch_pending([(arr, pending[i][1])
+                                      for i, arr, _t in redos])
+            for (i, _arr, retier), got in zip(redos, fetched):
+                resolved[i] = got
+                pending[i] = (((got, None, retier), pending[i][1])
+                              if retier else (got, pending[i][1]))
         nbytes = pack_bits // 8
         width = out_ch * nbytes if pack_bits else out_ch
         raw = np.empty((T, width), dtype=np.uint8 if pack_bits else np.int32)
@@ -1010,11 +1060,25 @@ def _finish_uniform(pending, T, out_ch, pack_bits, want_packed,
         for (dev, n), got in zip(pending, resolved):
             take = min(n, T - row)
             if take > 0:
-                if isinstance(dev, tuple):  # narrow int16 + flag rows
-                    nb2 = take * out_ch * 2
-                    flat = np.ascontiguousarray(got).reshape(-1)[:nb2]
+                if isinstance(dev, tuple):  # narrow bytes + flag rows
+                    tier = dev[2]
                     dst = raw[row : row + take]
-                    if not host.widen24(flat, dst.reshape(-1)):
+                    nbn = take * out_ch * tier // 8
+                    flat = np.ascontiguousarray(got).reshape(-1)[:nbn]
+                    if tier == 12:
+                        if not host.widen12(flat, dst.reshape(-1)):
+                            trip = (flat.reshape(take, out_ch // 2, 3)
+                                    .astype(np.int32))
+                            c0 = trip[..., 0] | ((trip[..., 1] & 0xF) << 8)
+                            c1 = (trip[..., 1] >> 4) | (trip[..., 2] << 4)
+                            v = np.empty((take, out_ch), np.int32)
+                            v[:, 0::2] = (c0 ^ 0x800) - 0x800
+                            v[:, 1::2] = (c1 ^ 0x800) - 0x800
+                            d3 = dst.reshape(take, out_ch, 3)
+                            d3[:, :, 0] = v & 0xFF
+                            d3[:, :, 1] = (v >> 8) & 0xFF
+                            d3[:, :, 2] = (v >> 16) & 0xFF
+                    elif not host.widen24(flat, dst.reshape(-1)):
                         pairs = flat.reshape(take, out_ch, 2)
                         d3 = dst.reshape(take, out_ch, 3)
                         d3[:, :, :2] = pairs
@@ -1168,9 +1232,10 @@ def _try_uniform(parse, F: int, frame_len: np.ndarray, T: int,
     Long tracks are split into fixed-size *chain chunks* (each a bucketed
     number of restart chains): every chunk shares one small XLA program
     (fast compile, reused forever) and chunks are dispatched
-    asynchronously so transfers and compute overlap; each chunk's output
-    starts its d2h copy (``copy_to_host_async``) while later chunks are
-    still being staged, hiding the readback behind the pipeline.
+    asynchronously so staging and device compute overlap; chunk outputs
+    stay device-resident until the drain, which fetches them with
+    batched device-side concats (_fetch_pending — one read call per run
+    of same-shape chunks).
 
     With ``want_packed`` (24-bit only) the device-packed little-endian
     3-byte samples are returned as uint8 [T, C*3] — exactly the WAV data
@@ -1216,7 +1281,7 @@ def _try_uniform(parse, F: int, frame_len: np.ndarray, T: int,
     cfg = config if config is not None else default_config()
     CHUNK = cfg.resolved_chunk_chains(out_ch)
     pack_bits = _pack_bits(bits_per_sample)
-    nstate = {"narrow": pack_bits == 24 and cfg.resolved_narrow_d2h(),
+    nstate = {"narrow": _narrow_tier0(pack_bits, out_ch, cfg),
               "checked": False}
     devices = _decode_devices(config)
     pending = []
@@ -1310,26 +1375,29 @@ def _finish_dispatch(b, t_build, pack_bits, device, use_pallas, unroll=1,
         (a4, a2, a1), spec = b.finish()
     # 24-/16-bit streams return device-packed WAV-width samples
     # (25% / 50% less d2h than raw int32)
+    tier = int(narrow or 0) if pack_bits == 24 else 0
     if pack_bits:
         wide_spec = spec + ((f"__pack{pack_bits}__", 0, 0, (), "flag"),)
         spec = wide_spec
-        if narrow and pack_bits == 24:
-            spec = wide_spec + (("__narrow__", 0, 0, (), "flag"),)
+        if tier:
+            spec = wide_spec + (("__narrow__", 0, tier, (), "flag"),)
     with global_timer.stage("mlp/jit-call"):
         if device is not None:
             # committed inputs pin the chunk's program to this device
             a4, a2, a1 = (jax.device_put(a, device) for a in (a4, a2, a1))
         out = _uniform_arena_pipeline(a4, a2, a1, spec)
-        if narrow and pack_bits == 24:
+        if tier:
             # keep the chunk's (device-resident) arenas alive so the
-            # drain can rerun the wide program if the flag says any
-            # sample overflowed int16 (the wide program for this
-            # geometry is exactly the narrow_d2h=False program, shared
-            # with the compile cache)
-            def redo(a4=a4, a2=a2, a1=a1, spec=wide_spec):
-                return _uniform_arena_pipeline(a4, a2, a1, spec)
+            # drain can rerun a wider program if the flag says the
+            # chunk overflowed this tier: redo() runs the wide program
+            # (exactly the narrow_d2h=False program, shared with the
+            # compile cache); redo(16) the int16-tier program
+            def redo(retier=0, a4=a4, a2=a2, a1=a1, wide_spec=wide_spec):
+                s = wide_spec if not retier else wide_spec + (
+                    ("__narrow__", 0, retier, (), "flag"),)
+                return _uniform_arena_pipeline(a4, a2, a1, s)
 
-            return out, redo
+            return out, redo, tier
         return out
 
 

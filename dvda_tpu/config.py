@@ -30,7 +30,9 @@ CLIs and benchmarks:
                                     (default 256)
     ``DVDA_TPU_HUFFMAN_SPLIT=k``    device-Huffman sub-lane stride: decode
                                     every k-sample run as its own lane
-                                    (0 = one lane per block; default 8)
+                                    (default 0 = one lane per block — the
+                                    fastest shape on v5e, see the field
+                                    docstring)
     ``DVDA_TPU_PARSE_THREADS=N``    native MLP parse worker threads
                                     (0 = auto: min(8, cpu_count);
                                     sections split at full-restart
@@ -178,9 +180,16 @@ class DecodeConfig:
     #: device-Huffman sub-lane stride: the skip-values parser emits every
     #: k-th sample's bit offset so the residual kernel decodes each
     #: k-sample run as an independent lane (k·J scan steps instead of
-    #: S0·J — the sequential axis was the kernel's whole cost, VERDICT r2
-    #: #2).  0 = no split (one lane per block).
-    huffman_split: int = 8
+    #: S0·J).  The split mattered for the round-2 gather-based kernel
+    #: (whose cost scaled with the sequential axis); the round-3
+    #: gather-free kernel is LANE-throughput-bound instead, and the
+    #: round-4 sweep on v5e (k ∈ {0,2,4,8,16,24,32} at S0=40) measured
+    #: no-split fastest — 3.29 ms/chunk vs 4.82 at the old k=8 default
+    #: (1038× vs 708×/chip) — while also shrinking the parse's bitpos
+    #: tables to one entry per block.  0 = no split (one lane per block,
+    #: the default); set k>0 only for exotic streams with very large
+    #: blocks (S0 ≫ 64), where the S0-step scan could dominate again.
+    huffman_split: int = 0
 
     def resolved_huffman_split(self) -> int:
         return min(255, max(0, self.huffman_split))
@@ -219,7 +228,7 @@ class DecodeConfig:
                                              "1")),
             chunk_chains=int(os.environ.get("DVDA_TPU_CHUNK_CHAINS", "256")),
             parse_threads=int(os.environ.get("DVDA_TPU_PARSE_THREADS", "0")),
-            huffman_split=int(os.environ.get("DVDA_TPU_HUFFMAN_SPLIT", "8")),
+            huffman_split=int(os.environ.get("DVDA_TPU_HUFFMAN_SPLIT", "0")),
             narrow_d2h=_env_tristate("DVDA_TPU_NARROW_D2H"),
         )
 

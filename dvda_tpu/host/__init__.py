@@ -103,6 +103,8 @@ def _load():
                             c.c_int64, c.c_int64, c.c_int64]
     lib.mp_widen24.restype = None
     lib.mp_widen24.argtypes = [c.c_void_p, c.c_int64, c.c_void_p]
+    lib.mp_widen12.restype = None
+    lib.mp_widen12.argtypes = [c.c_void_p, c.c_int64, c.c_void_p]
     lib.mp_sub_every.restype = c.c_int32
     lib.mp_sub_every.argtypes = [c.c_void_p]
     lib.mp_fill_noise.restype = None
@@ -197,6 +199,24 @@ def widen24(pairs: np.ndarray, dst: np.ndarray) -> bool:
     n = pairs.size // 2
     assert dst.size == 3 * n
     lib.mp_widen24(pairs.ctypes.data_as(ctypes.c_void_p), n,
+                   dst.ctypes.data_as(ctypes.c_void_p))
+    return True
+
+
+def widen12(triples: np.ndarray, dst: np.ndarray) -> bool:
+    """Widen 12-bit-tier bytes (``triples``, uint8, 3 bytes per channel
+    PAIR: c0 = b0 | (b1&0xF)<<8, c1 = b1>>4 | b2<<4, both 12-bit signed)
+    into the 24-bit WAV byte layout ``dst`` (uint8, 6 bytes per triple,
+    C-contiguous).  Returns False when the native library is unavailable
+    (caller falls back to numpy)."""
+    lib = _load()
+    if lib is None:
+        return False
+    triples = np.ascontiguousarray(triples, dtype=np.uint8)
+    assert dst.flags["C_CONTIGUOUS"] and dst.dtype == np.uint8
+    n = triples.size // 3
+    assert dst.size == 6 * n
+    lib.mp_widen12(triples.ctypes.data_as(ctypes.c_void_p), n,
                    dst.ctypes.data_as(ctypes.c_void_p))
     return True
 

@@ -1888,4 +1888,24 @@ void mp_widen24(const uint8_t* pairs, int64_t n, uint8_t* dst) {
   }
 }
 
+// 12-bit-tier widen: each 3-byte triple packs a channel PAIR (c0 low
+// 12 bits little-first: b0 | (b1&0xF)<<8; c1: b1>>4 | b2<<4); emit the
+// two samples' sign-extended 24-bit little-endian bytes (6 out bytes
+// per triple).  n = number of triples.
+void mp_widen12(const uint8_t* src, int64_t n, uint8_t* dst) {
+  for (int64_t i = 0; i < n; i++) {
+    uint32_t b0 = src[0], b1 = src[1], b2 = src[2];
+    int32_t c0 = (int32_t((b0 | ((b1 & 0xF) << 8)) << 20)) >> 20;
+    int32_t c1 = (int32_t(((b1 >> 4) | (b2 << 4)) << 20)) >> 20;
+    dst[0] = uint8_t(c0);
+    dst[1] = uint8_t(uint32_t(c0) >> 8);
+    dst[2] = uint8_t(uint32_t(c0) >> 16);
+    dst[3] = uint8_t(c1);
+    dst[4] = uint8_t(uint32_t(c1) >> 8);
+    dst[5] = uint8_t(uint32_t(c1) >> 16);
+    src += 3;
+    dst += 6;
+  }
+}
+
 }  // extern "C"

@@ -729,28 +729,32 @@ def test_mp_pack_rejects_undersized_arena():
 
 @pytest.mark.parametrize("devhuff", [False, True])
 def test_narrow_d2h_parity_quiet_and_loud(devhuff):
-    """narrow_d2h (config.py) is lossless both ways: a quiet stream rides
-    the int16 buffer (flag set on device), a LOUD stream — samples beyond
-    int16, synthesised via out_shift_range — trips the per-chunk wide
-    fallback in _finish_uniform.  Both must be byte-identical to the
+    """narrow_d2h (config.py) is lossless across all three tiers: a QUIET
+    stream rides the 12-bit channel-pair buffer, a MID stream (beyond 12
+    bits but within int16, via out_shift_range) settles on the 16-bit
+    tier, and a LOUD stream — samples beyond int16 — trips the per-chunk
+    wide fallback in _finish_uniform.  All must be byte-identical to the
     narrow_d2h=False decode and to the sequential spec."""
     from dataclasses import replace
 
     from dvda_tpu.config import DecodeConfig
 
     base = DecodeConfig.from_env()
-    for loud in (False, True):
+    seen = set()
+    for shifts, kind in (((0, 1), "quiet"), ((5, 6), "mid"),
+                         ((7, 8), "loud")):
         cfg = MlpSynthConfig(channel_assignment=17, substream_count=2,
-                             n_frames=24, seed=11,
-                             out_shift_range=(6, 8) if loud else (0, 2))
+                             n_frames=24, seed=11, out_shift_range=shifts)
         stream = synth_mlp_stream(cfg)
         params = stream_params(cfg)
         spec = MlpDecoder(params)
         spec.decode_bytes(stream)
         ref = spec.take_frames()
-        # the loud knob must actually overflow int16, else the fallback
-        # branch isn't what's being tested
-        assert (np.abs(ref).max() > 32767) == loud
+        amax = np.abs(ref).max()
+        got = ("loud" if amax > 32767 else
+               "mid" if amax > 2047 else "quiet")
+        assert got == kind, (kind, amax)  # the knob must hit the range
+        seen.add(kind)
         on = decode_native(stream, np.zeros(0, np.int64), len(stream),
                            params, want_packed=True,
                            config=replace(base, narrow_d2h=True,
@@ -762,24 +766,52 @@ def test_narrow_d2h_parity_quiet_and_loud(devhuff):
         assert on is not None and off is not None
         assert bytes(on) == bytes(off)
         assert bytes(on) == bytes(pack_samples_le(ref, 24))
+    assert seen == {"quiet", "mid", "loud"}
+
+
+def test_host_widen12_matches_numpy():
+    """mp_widen12 (the 12-bit-tier drain widen) is byte-exact vs the
+    numpy formula, including sign extension at the 12-bit boundary."""
+    from dvda_tpu import host
+
+    if not host.available():
+        pytest.skip("native host library unavailable")
+    rng = np.random.default_rng(7)
+    for n in (1, 2, 5, 64, 1001):
+        vals = rng.integers(-2048, 2048, size=(n, 2), dtype=np.int32)
+        vals[: min(n, 4)] = [[-2048, 2047], [-1, 0], [2047, -2048],
+                             [0, -1]][: min(n, 4)]
+        c0, c1 = vals[:, 0] & 0xFFF, vals[:, 1] & 0xFFF
+        triples = np.empty((n, 3), np.uint8)
+        triples[:, 0] = c0 & 0xFF
+        triples[:, 1] = ((c0 >> 8) & 0xF) | ((c1 & 0xF) << 4)
+        triples[:, 2] = (c1 >> 4) & 0xFF
+        dst = np.empty(6 * n, np.uint8)
+        assert host.widen12(triples, dst)
+        want = np.empty((n, 2, 3), np.uint8)
+        for j in range(2):
+            want[:, j, 0] = vals[:, j] & 0xFF
+            want[:, j, 1] = (vals[:, j] >> 8) & 0xFF
+            want[:, j, 2] = (vals[:, j] >> 16) & 0xFF
+        assert np.array_equal(dst.reshape(n, 2, 3), want)
 
 
 def test_narrow_poll_semantics():
-    """_narrow_poll checks only the FIRST narrow chunk (adaptive mode
-    switch; all later chunks drain through the batched fetch): a landed
+    """_narrow_poll checks only the FIRST narrow chunk (adaptive tier
+    settle; all later chunks drain through the batched fetch): a landed
     fits-chunk is kept as a host copy with its redo closure dropped and
-    narrow mode stays on; an overflowed first chunk fires its wide redo
-    exactly once and turns narrow mode off for later dispatches; an
-    unready chunk is left alone by nonblocking polls; and once checked,
-    later polls are no-ops."""
+    the tier stays; a 12-bit chunk that fits only int16 (flag bit 1)
+    reruns through the 16-bit program and moves the track to tier 16; a
+    full overflow reruns wide and turns narrow off; an unready chunk is
+    left alone by nonblocking polls; once checked, later polls no-op."""
     from dvda_tpu.codecs.mlp.native_engine import _narrow_poll
 
     class FakeDev:
         """Array-convertible stand-in for a narrow+flag device buffer."""
 
-        def __init__(self, fits, ready=True):
+        def __init__(self, flag, ready=True):
             self.arr = np.zeros((9, 4), np.uint8)
-            self.arr[-1, -1] = 1 if fits else 0
+            self.arr[-1, -1] = flag
             self.ready = ready
 
         def is_ready(self):
@@ -788,34 +820,43 @@ def test_narrow_poll_semantics():
         def __array__(self, dtype=None, copy=None):
             return self.arr
 
-    def mk(fits, ready=True):
+    def mk(flag, tier, ready=True):
         calls = []
-        redo = lambda: calls.append(1) or np.ones((8, 12), np.uint8)
-        return (FakeDev(fits, ready), redo), calls
+        redo = lambda retier=0: (calls.append(retier)
+                                 or np.ones((8, 12), np.uint8))
+        return (FakeDev(flag, ready), redo, tier), calls
 
-    # fits case: host copy kept, redo dropped, mode stays on, one check
-    fit_dev, fit_calls = mk(True)
-    other_dev, other_calls = mk(False)
+    # fits case: host copy kept, redo dropped, tier stays, one check
+    fit_dev, fit_calls = mk(3, 12)
+    other_dev, other_calls = mk(0, 12)
     pending = [(fit_dev, 8), (other_dev, 8)]
-    state = {"narrow": True, "checked": False}
+    state = {"narrow": 12, "checked": False}
     _narrow_poll(pending, state)
-    assert state["checked"] and state["narrow"]
+    assert state["checked"] and state["narrow"] == 12
     assert pending[0][0][1] is None and not fit_calls
     _narrow_poll(pending, state)  # later polls never touch chunk 2
     assert not other_calls and pending[1][0][1] is not None
 
-    # overflow case: redo fired once, wide array replaces it, mode off
-    ovf_dev, ovf_calls = mk(False)
-    pending = [(ovf_dev, 8)]
-    state = {"narrow": True, "checked": False}
+    # 12-bit overflow that fits int16: redo(16), tier moves to 16
+    mid_dev, mid_calls = mk(2, 12)
+    pending = [(mid_dev, 8)]
+    state = {"narrow": 12, "checked": False}
     _narrow_poll(pending, state)
-    assert ovf_calls == [1] and isinstance(pending[0][0], np.ndarray)
+    assert mid_calls == [16] and state["narrow"] == 16
+    assert isinstance(pending[0][0], tuple) and pending[0][0][2] == 16
+
+    # full overflow: redo() wide once, plain array, narrow off
+    ovf_dev, ovf_calls = mk(0, 16)
+    pending = [(ovf_dev, 8)]
+    state = {"narrow": 16, "checked": False}
+    _narrow_poll(pending, state)
+    assert ovf_calls == [0] and isinstance(pending[0][0], np.ndarray)
     assert not state["narrow"] and state["checked"]
 
     # unready chunk: nonblocking poll leaves it; blocking poll consumes it
-    late_dev, late_calls = mk(True, ready=False)
+    late_dev, late_calls = mk(1, 16, ready=False)
     pending = [(late_dev, 8)]
-    state = {"narrow": True, "checked": False}
+    state = {"narrow": 16, "checked": False}
     _narrow_poll(pending, state)
     assert not state["checked"] and pending[0][0][1] is not None
     _narrow_poll(pending, state, block=True)
