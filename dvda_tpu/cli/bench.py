@@ -501,17 +501,13 @@ def _capture_chunk_args(mlp_cfg, out_ch, use_pallas=False,
         # exactly the requested block ranges)
         CHUNK = min(512, min(int(si[0]["NB"]) // si[3] for si in subs_info))
 
-        words_all = None
-        if device_huffman:
-            pad = (-len(stream)) % 4 + 8
-            words_all = np.frombuffer(bytes(stream) + b"\0" * pad,
-                                      dtype=">u4").astype(np.uint32)
+        words_all = ne._SharedWords(stream) if device_huffman else None
         captured = {}
         orig = ne._uniform_arena_pipeline
 
-        def capture(a4, a2, a1, spec):
-            captured["args"] = (a4, a2, a1, spec)
-            return orig(a4, a2, a1, spec)
+        def capture(a4, a2, a1, spec, words=None):
+            captured["args"] = (a4, a2, a1, spec, words)
+            return orig(a4, a2, a1, spec, words)
 
         ne._uniform_arena_pipeline = capture
         try:
@@ -548,7 +544,7 @@ def _ramp_time_per_exec(args):
 
     from ..codecs.mlp.native_engine import _uniform_arena_pipeline as orig
 
-    a4, a2, a1, spec = args
+    a4, a2, a1, spec, words = (args if len(args) == 5 else args + (None,))
     dev = jax.devices()[0]
     rng = np.random.default_rng(0)
     variants = []
@@ -559,10 +555,13 @@ def _ramp_time_per_exec(args):
         variants.append(tuple(jax.device_put(x, dev)
                               for x in (v4, a2, a1)))
     jax.block_until_ready(variants)
+    if words is not None:
+        words = jax.device_put(np.asarray(words), dev)
+        jax.block_until_ready(words)
     # _uniform_arena_pipeline always returns one array (a narrow-d2h spec
     # just concatenates the fits-flag rows onto the packed output)
     summ = jax.jit(lambda a4, a2, a1:
-                   orig(a4, a2, a1, spec).astype(jnp.int32).sum())
+                   orig(a4, a2, a1, spec, words).astype(jnp.int32).sum())
     np.asarray(summ(*variants[0]))  # warm (compile)
 
     def run(n):

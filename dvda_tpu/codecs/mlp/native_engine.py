@@ -80,16 +80,19 @@ from functools import partial
 
 
 @partial(jax.jit, static_argnums=(3,))
-def _uniform_arena_pipeline(a4, a2, a1, spec):
+def _uniform_arena_pipeline(a4, a2, a1, spec, words=None):
     """Arena-packed gather-free pipeline for *uniform* streams (constant
     block size, equal-length chains, constant frame length — the norm for
     real MLP encoders).
 
-    All inputs arrive in three flat arenas (int32/int16/int8) so the host
-    performs exactly three h2d transfers — through this environment's
-    narrow TPU tunnel the transfer count and byte volume, not compute,
-    dominate end-to-end time (the whole device pipeline runs in ~tens of
-    ms).  ``spec`` is a static tuple of (name, width, offset, shape,
+    All per-chunk inputs arrive in three flat arenas (int32/int16/int8)
+    so the host performs exactly three h2d transfers per chunk — through
+    this environment's narrow TPU tunnel the transfer count and byte
+    volume, not compute, dominate end-to-end time (the whole device
+    pipeline runs in ~tens of ms).  In device-Huffman mode the raw
+    bitstream ``words`` arrive as a SEPARATE whole-track buffer shared by
+    every chunk (uploaded once per device, _SharedWords); chunks locate
+    their bits through the ``wordbase`` arena scalar.  ``spec`` is a static tuple of (name, width, offset, shape,
     dtype) describing each packed array; dtypes are minimised on the host
     (int16 filter coefficients/residuals, int8 shifts/flags, per-frame
     LFSR seeds instead of materialised noise, bit-packed bypass flags)
@@ -105,6 +108,11 @@ def _uniform_arena_pipeline(a4, a2, a1, spec):
     arenas = {4: a4, 2: a2, 1: a1}
     arrs = {}
     flags = {}
+    if words is not None:
+        # whole-track bitstream words, uploaded once and shared by every
+        # chunk program (see _SharedWords); per-chunk windows re-shipped
+        # the stream ~1.4x through the relay's costly h2d
+        arrs["words"] = words
     for name, width, off, shape, dtype in spec:
         if dtype == "flag":  # static markers: value rides in the offset
             flags[name] = off
@@ -157,7 +165,9 @@ def _uniform_arena_pipeline(a4, a2, a1, spec):
                 S0, flags[f"s{i}_J"],
                 flags.get(f"s{i}_k", flags[f"s{i}_S"]),
                 flags.get(f"s{i}_NW", 32),
-                NB0)                       # [NB0, S0, n_ch*Bc], [Lc, S0]
+                NB0,
+                word_base=arrs.get("wordbase"))
+            #                              [NB0, S0, n_ch*Bc], [Lc, S0]
             if f"s{i}_bypk" in arrs:
                 # slot m's bit is the kidx[m]-th bypass symbol of the
                 # packed burst field: a per-lane variable shift per slot.
@@ -635,13 +645,9 @@ def _decode_pipelined(inc, stream, boundaries, probe_end, parameters,
     path; already-dispatched device work is simply discarded)."""
     out_ch = parameters.channel_count
     pack_bits = _pack_bits(parameters.bits_per_sample)
-    words_all = None
-    if device_huffman:
-        # the raw stream as big-endian 32-bit words; per-chunk windows are
-        # sliced from this and shipped in the chunk's arena
-        pad = (-len(stream)) % 4 + 8
-        words_all = np.frombuffer(bytes(stream) + b"\0" * pad,
-                                  dtype=">u4").astype(np.uint32)
+    # the raw stream as 32-bit words, uploaded to each decode device once
+    # and shared by every chunk program (see _SharedWords)
+    words_all = _SharedWords(stream) if device_huffman else None
 
     st = {"more": True}
 
@@ -781,35 +787,59 @@ def _max_matrix_slots(mat_active: np.ndarray) -> int:
 def _window_rows(span_bits: int) -> int:
     """Aligned window row size (words, power of two) for the residual
     kernel: a sub-lane's max bit span plus a 64-bit guard must fit in
-    NW*32 bits (ops/huffman_decode.py).  Uncapped — a huge span (only
-    reachable with the split disabled on large dense blocks) costs
-    select-tree depth, never silent wraparound; the dispatcher sizes the
-    chunk window to at least NW rows."""
+    NW*32 bits (ops/huffman_decode.py).  A huge span (only reachable
+    with the split disabled on large dense blocks) costs select-tree
+    depth, never silent wraparound.  Bounded by 8192 so the shared
+    whole-track words buffer (padded to a multiple of 8192 words,
+    _SharedWords) always tiles into NW rows; the format cannot exceed it
+    (one block is ≤511 samples × ≤8 ch × ≤33 bits ≈ 4.2k words)."""
     need = (int(span_bits) + 64 + 31) // 32
-    return _bucket(need, lo=8)
+    rows = _bucket(need, lo=8)
+    if rows > 8192:
+        raise ValueError(f"residual sub-lane span {span_bits} bits "
+                         f"exceeds the 8192-word window bound")
+    return rows
 
 
-def _chunk_window(parse, subs_info, words_all, f_base, c0, c1, fpc):
-    """Device-Huffman chunk window: the uint32 slice of the raw stream
-    covering every residual bit chains [c0, c1) read — from the first
-    block's bit position to the end of the chunk's last frame, plus a
-    guard for the kernel's 64-bit window loads.  Length is bucketed to
-    a multiple of (and at least) the largest substream NW so the
-    kernel's [W/NW, NW] reshape is valid even for huge spans.  Shared
-    by the native/numpy dispatchers (a differential pair — one copy so
-    the window math cannot drift).  Returns (window, base_bit)."""
+class _SharedWords:
+    """Whole-track bitstream words for device-Huffman mode, uploaded to a
+    device ONCE and shared by every chunk program (round 4): the previous
+    per-chunk stream windows re-shipped the track ~1.4× (pow2-bucketed
+    slices) through the relay's costly h2d serialize.  The buffer is
+    padded to a multiple of 8192 words (plus a 16-word guard for the
+    kernel's 64-bit loads) so any kernel NW — a power of two ≤ 8192 by
+    format bounds (one block's residuals fit well inside 8192·32 bits) —
+    tiles it exactly; chunks index it through a per-chunk ``wordbase``
+    aligned to 8192 words, keeping their bitpos tables int32-safe for
+    arbitrarily long tracks."""
+
+    def __init__(self, stream: bytes):
+        n = (len(stream) + 3) // 4 + 16
+        n = -(-n // 8192) * 8192
+        buf = np.zeros(n * 4, np.uint8)
+        buf[: len(stream)] = np.frombuffer(stream, np.uint8)
+        self.np = buf.view(">u4").astype(np.uint32)
+        self._per: dict = {}
+
+    def on(self, device=None):
+        """The device-resident copy for ``device`` (uploaded lazily once
+        per device; None = default placement)."""
+        if device not in self._per:
+            self._per[device] = (jax.device_put(self.np, device)
+                                 if device is not None
+                                 else jax.device_put(self.np))
+        return self._per[device]
+
+
+def _chunk_word_base(subs_info, c0: int) -> int:
+    """Bit offset every chunk bitpos is made relative to: the first
+    residual bit of the chunk's first block, aligned DOWN to 2^18 bits
+    (= 8192 words, a multiple of any kernel NW, matching _SharedWords
+    padding).  Shared by the native/numpy dispatchers (a differential
+    pair — one copy so the base math cannot drift)."""
     bit0 = min(int(si[0]["res_bitpos"][si[1] + c0 * si[3]])
                for si in subs_info)
-    w0 = bit0 >> 5
-    end_byte = int(parse.frame_end[f_base + c1 * fpc - 1]) + 8
-    w1 = min(words_all.shape[0], (end_byte + 3) // 4 + 1)
-    nw_max = max(_window_rows(si[0].get("sub_span_max", 0))
-                 for si in subs_info)
-    wlen = _bucket(max(w1 - w0, 1), lo=max(1024, nw_max))
-    win = np.zeros(wlen, np.uint32)
-    seg = words_all[w0 : min(w1, w0 + wlen)]
-    win[: seg.shape[0]] = seg
-    return win, w0 * 32
+    return (bit0 >> 18) << 18
 
 
 def _narrow_tier0(pack_bits: int, out_ch: int, cfg) -> int:
@@ -1336,10 +1366,11 @@ def _dispatch_uniform_chunk(parse, subs_info, c0, c1, CHUNK, period, L0,
     per substream; ``f_base``/``t_base`` are the section's absolute frame
     and sample offsets (nonzero for piecewise-uniform streams).
 
-    With ``words_all`` (device-Huffman mode) the chunk ships its window of
-    the raw bitstream plus per-block decode tables instead of residual
-    values; the residual kernel (ops/huffman_decode.py) re-decodes them on
-    device, fused ahead of the filter.
+    With ``words_all`` (device-Huffman mode, a :class:`_SharedWords`) the
+    chunk ships per-block decode tables instead of residual values and
+    reads the raw bitstream from the track's shared device-resident word
+    buffer; the residual kernel (ops/huffman_decode.py) re-decodes the
+    values on device, fused ahead of the filter.
 
     Arena assembly runs in the native runtime by default (mp_pack via
     :class:`_NativeArenaBuilder`); ``native_pack=False`` (or a parse
@@ -1360,9 +1391,11 @@ def _dispatch_uniform_chunk(parse, subs_info, c0, c1, CHUNK, period, L0,
 
 
 def _finish_dispatch(b, t_build, pack_bits, device, use_pallas, unroll=1,
-                     narrow=False):
+                     narrow=False, words_dev=None):
     """Shared dispatch tail: pallas routing mark, arena finish, packing
-    flag, device placement, async pipeline call."""
+    flag, device placement, async pipeline call.  ``words_dev`` is the
+    track's shared device-resident bitstream words (device-Huffman
+    mode)."""
     import time as _time
 
     if use_pallas:
@@ -1385,17 +1418,18 @@ def _finish_dispatch(b, t_build, pack_bits, device, use_pallas, unroll=1,
         if device is not None:
             # committed inputs pin the chunk's program to this device
             a4, a2, a1 = (jax.device_put(a, device) for a in (a4, a2, a1))
-        out = _uniform_arena_pipeline(a4, a2, a1, spec)
+        out = _uniform_arena_pipeline(a4, a2, a1, spec, words_dev)
         if tier:
             # keep the chunk's (device-resident) arenas alive so the
             # drain can rerun a wider program if the flag says the
             # chunk overflowed this tier: redo() runs the wide program
             # (exactly the narrow_d2h=False program, shared with the
             # compile cache); redo(16) the int16-tier program
-            def redo(retier=0, a4=a4, a2=a2, a1=a1, wide_spec=wide_spec):
+            def redo(retier=0, a4=a4, a2=a2, a1=a1, wide_spec=wide_spec,
+                     words_dev=words_dev):
                 s = wide_spec if not retier else wide_spec + (
                     ("__narrow__", 0, retier, (), "flag"),)
-                return _uniform_arena_pipeline(a4, a2, a1, s)
+                return _uniform_arena_pipeline(a4, a2, a1, s, words_dev)
 
             return out, redo, tier
         return out
@@ -1417,10 +1451,11 @@ def _dispatch_chunk_native(parse, subs_info, c0, c1, CHUNK, period, L0,
     t0, t1 = t_base + c0 * period, t_base + c1 * period
     _t_build = _time.perf_counter()
     base_bit = 0
+    words_dev = None
     if words_all is not None:
-        win, base_bit = _chunk_window(parse, subs_info, words_all,
-                                      f_base, c0, c1, fpc)
-        b.add_host("words", win)
+        base_bit = _chunk_word_base(subs_info, c0)
+        words_dev = words_all.on(device)
+        b.add_host("wordbase", np.asarray(base_bit >> 5, np.int32))
     for s_idx, si in enumerate(subs_info):
         sub, blk_base, S0, NB0 = si[:4]
         suboff_base = si[4] if len(si) > 4 else None
@@ -1517,7 +1552,7 @@ def _dispatch_chunk_native(parse, subs_info, c0, c1, CHUNK, period, L0,
     jumps = np.array([_jump_columns(k) for k in range(K)], dtype=np.uint32)
     b.add_host("jumps", jumps)
     return _finish_dispatch(b, _t_build, pack_bits, device, use_pallas,
-                            unroll, narrow=narrow)
+                            unroll, narrow=narrow, words_dev=words_dev)
 
 
 def _dispatch_chunk_py(parse, subs_info, c0, c1, CHUNK, period, L0,
@@ -1538,10 +1573,11 @@ def _dispatch_chunk_py(parse, subs_info, c0, c1, CHUNK, period, L0,
     t0, t1 = t_base + c0 * period, t_base + c1 * period
     _t_build = _time.perf_counter()
     base_bit = 0
+    words_dev = None
     if words_all is not None:
-        win, base_bit = _chunk_window(parse, subs_info, words_all,
-                                      f_base, c0, c1, fpc)
-        b.add("words", win)
+        base_bit = _chunk_word_base(subs_info, c0)
+        words_dev = words_all.on(device)
+        b.add("wordbase", np.asarray(base_bit >> 5, np.int32))
     for s_idx, si in enumerate(subs_info):
         sub, blk_base, S0, NB0 = si[:4]
         suboff_base = si[4] if len(si) > 4 else None
@@ -1672,7 +1708,7 @@ def _dispatch_chunk_py(parse, subs_info, c0, c1, CHUNK, period, L0,
     b.add("jumps", jumps)
 
     return _finish_dispatch(b, _t_build, pack_bits, device, use_pallas,
-                            unroll, narrow=narrow)
+                            unroll, narrow=narrow, words_dev=words_dev)
 
 
 def _padded_residuals_range(sub, t_lo: int, t_hi: int, n_blocks: int,

@@ -81,8 +81,10 @@ def codebook_arith_decode(cb_is1, cb_is2, cb_is3, p):
 
 @partial(jax.jit, static_argnums=(7, 8, 9, 10, 11, 12))
 def decode_residuals_device(
-    words,      # uint32 [W]      chunk window, W a multiple of NW (+guard)
-    bitpos0,    # int32  [L, nsub]  per-sub-lane absolute start bit
+    words,      # uint32 [W]      bitstream words, W a multiple of NW
+                # (whole-track shared buffer, or a per-chunk window)
+    bitpos0,    # int32  [L, nsub]  per-sub-lane start bit, relative to
+                # word_base*32 (word_base = 0 for a per-chunk window)
     codebook,   # int32  [L, C]   0 = no Huffman MSB
     lsb_bits,   # int32  [L, C]   0..24 (parser-enforced, mlp.c:975 analog)
     offset,     # int32  [L, C]   signed huffman offset (precombined)
@@ -104,6 +106,12 @@ def decode_residuals_device(
                 # comma-set of {nosel, noarith} stubbing scan stages to
                 # attribute device time.  NOT bit-exact — never set in
                 # production.
+    word_base=None,  # int32 scalar: base WORD index of this chunk's bit
+                # positions inside ``words`` — lets one whole-track
+                # device buffer serve every chunk while bitpos stays
+                # int32-safe for arbitrarily long tracks.  MUST be a
+                # multiple of NW (callers align to 8192 words).  None/0 =
+                # bitpos indexes ``words`` directly.
 ):
     """Returns (residuals int32 [C, L, S0], byp_field int32 [L, S0]) —
     or (residuals_tl int32 [NB0, S0, C*Bc], byp_field) when NB0 > 0.
@@ -136,9 +144,10 @@ def decode_residuals_device(
     words2d = words.reshape(-1, NW)
     flat_bp = bitpos0.reshape(Lp)
     row = (flat_bp >> (5 + LOG)).astype(jnp.int32)
+    fetch_row = row if word_base is None else row + (word_base >> LOG)
     win = jnp.concatenate(
-        [jnp.take(words2d, row, axis=0),
-         jnp.take(words2d, row + 1, axis=0)], axis=1)      # [Lp, 2*NW]
+        [jnp.take(words2d, fetch_row, axis=0),
+         jnp.take(words2d, fetch_row + 1, axis=0)], axis=1)  # [Lp, 2*NW]
     local0 = flat_bp - (row << (5 + LOG))                   # [0, 2*NW*32)
 
     def sel(i):  # win[:, i] via a select tree (no gather); i int32 [Lp]

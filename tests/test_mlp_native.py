@@ -655,17 +655,14 @@ def test_native_pack_matches_numpy_pack(devhuff, monkeypatch):
     stream = synth_mlp_stream(cfg)
     parse, subs_info, period, L0 = _chunk_inputs(
         stream, skip_values=devhuff, sub_every=8 if devhuff else 0)
-    words_all = None
-    if devhuff:
-        pad = (-len(stream)) % 4 + 8
-        words_all = np.frombuffer(bytes(stream) + b"\0" * pad,
-                                  dtype=">u4").astype(np.uint32)
+    words_all = ne._SharedWords(stream) if devhuff else None
     nc = (subs_info[0][0]["NB"] // subs_info[0][3]) - 1  # partial chunk
     CHUNK = 16
 
     captured = []
     monkeypatch.setattr(ne, "_uniform_arena_pipeline",
-                        lambda a4, a2, a1, spec: (a4, a2, a1, spec))
+                        lambda a4, a2, a1, spec, words=None:
+                        (a4, a2, a1, spec))
     for native in (True, False):
         captured.append(ne._dispatch_uniform_chunk(
             parse, subs_info, 0, nc, CHUNK, period, L0, 6,

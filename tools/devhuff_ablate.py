@@ -34,18 +34,19 @@ def capture_kernel_args():
     cfg, out_ch = B._devcompute_cases()["mlp_51_96k"]
     cap = B._capture_chunk_args(cfg, out_ch, device_huffman=True)
     assert cap is not None, "capture failed"
-    (a4, a2, a1, spec), audio = cap
+    (a4, a2, a1, spec, words), audio = cap
 
     calls = []
     orig = hd.decode_residuals_device
 
     def spy(words, bp, cb, lsbb, off, quant, nbyp, S0, J, k, NW, NB0=0,
-            _ablate=""):
+            _ablate="", word_base=None):
         calls.append((tuple(np.asarray(a) for a in
                             (words, bp, cb, lsbb, off, quant, nbyp)),
-                      (S0, J, k, NW, NB0)))
+                      (S0, J, k, NW, NB0),
+                      None if word_base is None else np.asarray(word_base)))
         return orig(words, bp, cb, lsbb, off, quant, nbyp, S0, J, k, NW,
-                    NB0)
+                    NB0, word_base=word_base)
 
     # native_engine imports the symbol inside the function body, so
     # patching the ops module is sufficient
@@ -53,7 +54,7 @@ def capture_kernel_args():
     try:
         # the pipeline is jitted (and already traced during capture) —
         # run the unwrapped function so the spy actually executes
-        ne._uniform_arena_pipeline.__wrapped__(a4, a2, a1, spec)
+        ne._uniform_arena_pipeline.__wrapped__(a4, a2, a1, spec, words)
     finally:
         hd.decode_residuals_device = orig
     assert calls, "kernel not reached (device_huffman path not taken?)"
@@ -83,14 +84,14 @@ def pipeline_times(audio):
     fuses away) does not see."""
     cfg, out_ch = B._devcompute_cases()["mlp_51_96k"]
     cap = B._capture_chunk_args(cfg, out_ch, device_huffman=True)
-    (a4, a2, a1, spec), _ = cap
+    (a4, a2, a1, spec, words_dev), _ = cap
 
     def _res_shape(cb, S0, NB0):
         L, C = cb.shape
         return (NB0, S0, C * (L // NB0)) if NB0 > 0 else (C, L, S0)
 
     def stub(words, bp, cb, lsbb, off, quant, nbyp, S0, J, k, NW, NB0=0,
-             _ablate=""):
+             _ablate="", word_base=None):
         L, C = cb.shape
         dep = (bp[0, 0] + words[0].astype(jnp.int32))
         res = jnp.broadcast_to(dep, _res_shape(cb, S0, NB0))
@@ -98,13 +99,13 @@ def pipeline_times(audio):
         return res.astype(jnp.int32), byp.astype(jnp.int32)
 
     def konly(words, bp, cb, lsbb, off, quant, nbyp, S0, J, k, NW, NB0=0,
-              _ablate=""):
+              _ablate="", word_base=None):
         # real kernel, output reduced to a scalar then re-broadcast:
         # downstream layout folds to broadcasts, so konly - stub is the
         # kernel-in-context cost and full - konly the cost of actually
         # consuming its output layout
         res, byp = hd_orig(words, bp, cb, lsbb, off, quant, nbyp,
-                           S0, J, k, NW, NB0)
+                           S0, J, k, NW, NB0, word_base=word_base)
         L, C = cb.shape
         dep = res.sum() + byp.sum()
         res2 = jnp.broadcast_to(dep, _res_shape(cb, S0, NB0))
@@ -112,11 +113,11 @@ def pipeline_times(audio):
         return res2, byp2
 
     def resonly(words, bp, cb, lsbb, off, quant, nbyp, S0, J, k, NW,
-                NB0=0, _ablate=""):
+                NB0=0, _ablate="", word_base=None):
         # real residuals, bypass field zeroed: full - resonly is the
         # bypass-consumption cost (rows shifts + rematrix byp adds)
         res, byp = hd_orig(words, bp, cb, lsbb, off, quant, nbyp,
-                           S0, J, k, NW, NB0)
+                           S0, J, k, NW, NB0, word_base=word_base)
         return res, jnp.zeros_like(byp)
 
     hd_orig = hd.decode_residuals_device
@@ -127,7 +128,8 @@ def pipeline_times(audio):
             hd.decode_residuals_device = patch
         try:
             inner = ne._uniform_arena_pipeline.__wrapped__
-            fn = jax.jit(lambda x4, x2, x1: inner(x4, x2, x1, spec)
+            fn = jax.jit(lambda x4, x2, x1:
+                         inner(x4, x2, x1, spec, words_dev)
                          .astype(jnp.int32).sum())
             dev = jax.devices()[0]
             rng = np.random.default_rng(1)
