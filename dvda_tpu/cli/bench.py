@@ -210,7 +210,7 @@ def bench_mlp_51(tmp, results):
     hc = replace(DecodeConfig.from_env(), device_huffman=True)
     _decode_track_packed(layout.path, True, hc)  # warm (compile)
     best_h, times_h = _best(
-        lambda: _decode_track_packed(layout.path, True, hc), 3)
+        lambda: _decode_track_packed(layout.path, True, hc), 5)
     log(f"mlp_51_devhuff runs: {[f'{t:.2f}' for t in times_h]}")
     _record(results, "mlp_51_devhuff", audio, best_h, ref, times_h)
     return audio, best
