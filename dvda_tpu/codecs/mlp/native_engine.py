@@ -592,6 +592,9 @@ def decode_native(stream: bytes, boundaries: np.ndarray, probe_end: int,
     if not host.available():
         return None
     cfg = config if config is not None else default_config()
+    if cfg.resolved_host_complete():
+        return _decode_host_complete(stream, boundaries, probe_end,
+                                     parameters, want_packed, cfg)
     # device-Huffman mode: residual bits walked length-only on the host,
     # values re-decoded on device from the raw stream (ops/huffman_decode)
     skip_values = cfg.resolved_device_huffman() and cfg.use_device
@@ -626,6 +629,40 @@ def decode_native(stream: bytes, boundaries: np.ndarray, probe_end: int,
     finally:
         if inc is not None:
             inc.close()  # frees the zero-copy parse buffers
+
+
+def _decode_host_complete(stream, boundaries, probe_end, parameters,
+                          want_packed, cfg) -> np.ndarray | None:
+    """Host-complete decode: native parse (optionally multi-threaded) +
+    native reconstruction (mp_reconstruct) — no device kernels, no
+    host↔device transfers.  The production executor when no accelerator
+    is attached or the link to it is slower than host compute; output
+    bytes are identical to the device pipeline's (test_host_complete).
+    ``None`` falls back to the Python engines (parse bail)."""
+    inc = host.parse_mlp_stream_begin(
+        stream, threads=cfg.resolved_parse_threads())
+    if inc is None:
+        return None
+    try:
+        with global_timer.stage("mlp/native-parse"):
+            inc.step(0)
+        parse = inc.view()
+        if parse.status != 0:
+            _warn_bail(parse)
+            return None
+        out_ch = parameters.channel_count
+        if parse.F == 0:
+            return np.zeros((0, out_ch), dtype=np.int32)
+        F = _frame_cut(parse.frame_end,
+                       np.asarray(boundaries, dtype=np.int64), probe_end)
+        if F == 0:
+            return np.zeros((0, out_ch), dtype=np.int32)
+        pb = _pack_bits(parameters.bits_per_sample) if want_packed else 0
+        with global_timer.stage("mlp/host-recon"):
+            return parse.reconstruct(F, out_ch, pb,
+                                     _wave_perm(parse, out_ch))
+    finally:
+        inc.close()
 
 
 def _decode_pipelined(inc, stream, boundaries, probe_end, parameters,

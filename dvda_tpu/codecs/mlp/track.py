@@ -49,7 +49,11 @@ def decode_mlp_track(
     cfg = config if config is not None else default_config()
     if use_device is None:
         use_device = cfg.use_device
-    if use_device and cfg.use_native:
+    # the native path serves both executors: device pipeline, or the
+    # host-complete reconstruction when configured (an explicit
+    # ``use_device=False`` argument still selects the Python engines —
+    # config-level host_complete/DISABLE_DEVICE selects host-complete)
+    if cfg.use_native and (use_device or cfg.resolved_host_complete()):
         out = _try_native(aob, span, parameters, want_packed, cfg)
         if out is not None:
             return out

@@ -24,6 +24,11 @@ CLIs and benchmarks:
                                     TPU backends with <16 host cores per
                                     chip — the measured crossover, see
                                     ``resolved_device_huffman``)
+    ``DVDA_TPU_HOST_COMPLETE=1/0``  force the host-complete executor
+                                    (native filter + rematrix + pack; no
+                                    device kernels) on/off (unset = auto:
+                                    on when the device is disabled and
+                                    the native runtime is available)
     ``DVDA_TPU_FILTER_KERNEL=pallas``  Pallas AR-filter kernel instead of
                                     the lax.scan variant
     ``DVDA_TPU_CHUNK_CHAINS=N``     restart chains per device chunk
@@ -177,6 +182,21 @@ class DecodeConfig:
         bit-identical for any chunk size — test_chunk_chains_invariance)."""
         return max(1, round(max(1, self.chunk_chains) * 6 / max(1, out_ch)))
 
+    #: host-complete decode: reconstruct PCM (filter + rematrix + output +
+    #: pack) entirely in the native runtime (mp_reconstruct) instead of
+    #: dispatching device kernels — the right executor when no accelerator
+    #: is attached or the device link is slower than host compute (both
+    #: executors consume the same parse and emit identical bytes).  None =
+    #: auto: on when ``use_device`` is False and the native runtime is
+    #: available (replacing the ~1000× slower pure-Python spec as the
+    #: host-only production path); off otherwise
+    host_complete: bool | None = None
+
+    def resolved_host_complete(self) -> bool:
+        if self.host_complete is not None:
+            return self.host_complete
+        return not self.use_device
+
     #: device-Huffman sub-lane stride: the skip-values parser emits every
     #: k-th sample's bit offset so the residual kernel decodes each
     #: k-sample run as an independent lane (k·J scan steps instead of
@@ -230,6 +250,7 @@ class DecodeConfig:
             parse_threads=int(os.environ.get("DVDA_TPU_PARSE_THREADS", "0")),
             huffman_split=int(os.environ.get("DVDA_TPU_HUFFMAN_SPLIT", "0")),
             narrow_d2h=_env_tristate("DVDA_TPU_NARROW_D2H"),
+            host_complete=_env_tristate("DVDA_TPU_HOST_COMPLETE"),
         )
 
 

@@ -101,6 +101,10 @@ def _load():
     lib.mp_pack.argtypes = [c.c_void_p, c.c_void_p, c.c_int64,
                             c.c_void_p, c.c_void_p, c.c_void_p,
                             c.c_int64, c.c_int64, c.c_int64]
+    lib.mp_reconstruct.restype = c.c_int64
+    lib.mp_reconstruct.argtypes = [c.c_void_p, c.c_int64, c.c_int32,
+                                   c.c_int32, c.c_void_p, c.c_void_p,
+                                   c.c_int64]
     lib.mp_widen24.restype = None
     lib.mp_widen24.argtypes = [c.c_void_p, c.c_int64, c.c_void_p]
     lib.mp_widen12.restype = None
@@ -348,6 +352,36 @@ class NativeParse:
                     sub["sub_every"] = int(lib.mp_sub_every(h))
                 sub["sub_span_max"] = int(lib.mp_sub_span_max(h, s))
             self.sub.append(sub)
+
+    def reconstruct(self, n_frames: int, out_ch: int, pack_bits: int,
+                    wave_perm: "np.ndarray") -> "np.ndarray | None":
+        """Host-complete reconstruction (mp_reconstruct): filter +
+        rematrix + output shifts + WAVE mapping + packing, all in the
+        native runtime.  Returns packed WAV payload bytes — uint8
+        [T, out_ch*pack_bits/8] for pack_bits 16/24 — or int32
+        [T, out_ch] samples for pack_bits 0; None when this parse can't
+        be reconstructed (bail status or skip-values mode)."""
+        if self._h is None or self.status != 0 or self.skip_values:
+            return None
+        if pack_bits not in (0, 16, 24):
+            raise ValueError(f"pack_bits must be 0, 16 or 24: {pack_bits}")
+        n_frames = min(int(n_frames), self.F)
+        T = int(self.frame_len[:n_frames].sum())
+        width = pack_bits // 8 if pack_bits else 4
+        if pack_bits:
+            out = np.empty((T, out_ch * width), dtype=np.uint8)
+        else:
+            out = np.empty((T, out_ch), dtype=np.int32)
+        perm = np.ascontiguousarray(wave_perm, dtype=np.int32)
+        if perm.shape != (out_ch,):
+            raise ValueError("wave_perm must be int32 [out_ch]")
+        got = self._lib.mp_reconstruct(
+            self._h, n_frames, out_ch, pack_bits,
+            perm.ctypes.data_as(ctypes.c_void_p),
+            out.ctypes.data_as(ctypes.c_void_p), out.nbytes)
+        if got != out.nbytes:
+            raise RuntimeError(f"mp_reconstruct failed ({got})")
+        return out
 
     def pack(self, inst: "np.ndarray", a4: "np.ndarray", a2: "np.ndarray",
              a1: "np.ndarray") -> None:

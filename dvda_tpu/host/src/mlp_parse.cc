@@ -1888,6 +1888,192 @@ void mp_widen24(const uint8_t* pairs, int64_t n, uint8_t* dst) {
   }
 }
 
+// ---------------------------------------------------------------------------
+// Host-complete reconstruction: run the decode's math stages — AR filter
+// (filter_channel, mlp.c:1243-1306), rematrix (rematrix_channels,
+// :1308-1358), output shifts + WAVE channel mapping (:514-533) and WAV
+// byte packing — entirely on the host, from the completed parse's flat
+// tensors.  This is the production executor when no accelerator is
+// attached or the device link is slower than host compute (e.g. a
+// tunneled TPU); the same parse feeds either executor and the output is
+// byte-identical (tests/test_host_complete.py).  Exact int32 semantics:
+// int64 accumulate, arithmetic shift, two's-complement truncation —
+// the same contract the device path reproduces via limb arithmetic.
+//
+// n_frames: decode frames [0, n_frames) (the caller's dvda_read frame
+// cut); <0 = all parsed frames.  dst layout: bps=16/24 → packed
+// little-endian WAV payload bytes [T, out_ch*bps/8]; bps=0 → int32
+// samples [T, out_ch] (other widths, e.g. 20-bit, pack on the host via
+// utils/wav.py exactly like the device path).  wave_perm[w] = MLP
+// channel feeding output slot w.  Returns bytes written, or <0 on
+// invalid input / undersized dst.
+int64_t mp_reconstruct(void* h, int64_t n_frames, int32_t out_ch,
+                       int32_t bps, const int32_t* wave_perm,
+                       uint8_t* dst, int64_t cap) {
+  Parser* p = static_cast<Parser*>(h);
+  Result& o = p->out;
+  if (o.status != 0 || p->skip_values) return -1;
+  if (out_ch < 1 || out_ch > kMaxChannels) return -1;
+  if (bps != 0 && bps != 16 && bps != 24) return -1;
+  int64_t F = n_frames < 0 ? int64_t(o.frame_len.size()) : n_frames;
+  if (F > int64_t(o.frame_len.size())) return -1;
+  const int C = o.mmc + 1;
+  if (C < 1 || C > kMaxChannels) return -1;
+  for (int w = 0; w < out_ch; w++)
+    if (wave_perm[w] < 0 || wave_perm[w] >= C) return -1;
+  int64_t T = 0, maxL = 1;
+  for (int64_t f = 0; f < F; f++) {
+    T += o.frame_len[f];
+    if (o.frame_len[f] > maxL) maxL = o.frame_len[f];
+  }
+  const int64_t bytes_per = int64_t(out_ch) * (bps ? bps / 8 : 4);
+  if (T * bytes_per > cap) return -2;
+  if (T == 0) return 0;
+
+  // -- stage 1: AR filter, per substream, blocks in stream order ----------
+  // series[t*C + c]: sample-major channel matrix (channels no substream
+  // covers stay 0, the spec's default for unused channels)
+  std::vector<int32_t> series(size_t(T) * C);  // zero-initialised
+  for (int s = 0; s < o.substream_count; s++) {
+    const int nch = o.max_ch[s] - o.min_ch[s] + 1;
+    if (nch < 1 || o.min_ch[s] + nch > C) return -1;
+    int64_t nb_keep = 0;
+    for (int64_t f = 0; f < F; f++) nb_keep += o.fr_nblocks[s][f];
+    if (nb_keep > int64_t(o.blk_len[s].size())) return -1;
+    const int32_t* res = o.residuals[s].data();
+    const int64_t res_n = int64_t(o.residuals[s].size());
+    // rolling 24-slot history double-buffers: the 8-tap window is
+    // [w-8, w) with slot w-1 the most recent value (matching the tap
+    // layout: rc[7] multiplies the latest sample); recompacted every
+    // 16 samples instead of shifting 8 slots per sample
+    alignas(64) int32_t FH[kMaxChannels][24];
+    alignas(64) int32_t IH[kMaxChannels][24];
+    int fw[kMaxChannels];
+    std::memset(FH, 0, sizeof FH);
+    std::memset(IH, 0, sizeof IH);
+    for (int i = 0; i < nch; i++) fw[i] = 8;
+    int64_t t = 0;
+    size_t ri = 0;
+    for (int64_t b = 0; b < nb_keep; b++) {
+      const int bs_ = o.blk_len[s][b];
+      if (t + bs_ > T || int64_t(ri) + int64_t(nch) * bs_ > res_n)
+        return -1;
+      for (int i = 0; i < nch; i++) {
+        const size_t ci = size_t(b) * nch + i;
+        const int32_t* fc = &o.blk_rc_fir[s][ci * 8];
+        const int32_t* gc = &o.blk_rc_iir[s][ci * 8];
+        const int shift = o.blk_shift[s][ci];
+        const int q = o.blk_quant[s][ci];
+        int32_t* FHi = FH[i];
+        int32_t* IHi = IH[i];
+        int w = fw[i];
+        if (o.blk_iir_reset[s][ci]) {
+          const int32_t* init = &o.blk_iir_init[s][ci * 8];
+          for (int j = 0; j < 8; j++) IHi[w - 8 + j] = init[j];
+        }
+        const int32_t* rr = res + ri + size_t(i) * bs_;
+        int32_t* dp = series.data() + size_t(t) * C + (o.min_ch[s] + i);
+        for (int k = 0; k < bs_; k++) {
+          if (w == 24) {
+            std::memcpy(FHi, FHi + 16, 8 * sizeof(int32_t));
+            std::memcpy(IHi, IHi + 16, 8 * sizeof(int32_t));
+            w = 8;
+          }
+          const int32_t* fh = FHi + (w - 8);
+          const int32_t* ih = IHi + (w - 8);
+          int64_t acc = 0;
+          for (int j = 0; j < 8; j++)
+            acc += int64_t(fc[j]) * fh[j] + int64_t(gc[j]) * ih[j];
+          const int32_t shifted = int32_t(uint32_t(uint64_t(acc >> shift)));
+          int32_t value = int32_t(uint32_t(shifted) + uint32_t(rr[k]));
+          if (q) value = (value >> q) << q;
+          FHi[w] = value;
+          IHi[w] = int32_t(uint32_t(value) - uint32_t(shifted));
+          w++;
+          dp[size_t(k) * C] = value;
+        }
+        fw[i] = w;
+      }
+      ri += size_t(nch) * bs_;
+      t += bs_;
+    }
+    if (t != T) return -1;
+  }
+
+  // -- stage 2: per frame — LFSR noise, sequential in-place matrices,
+  //    output shifts fused into the WAVE-permuted pack -------------------
+  std::vector<int32_t> n0(static_cast<size_t>(maxL));
+  std::vector<int32_t> n1(static_cast<size_t>(maxL));
+  int64_t t0 = 0;
+  uint8_t* dp8 = dst;
+  for (int64_t f = 0; f < F; f++) {
+    const int64_t L = o.frame_len[f];
+    uint32_t seed = o.frame_seed[f];
+    const int nsh = o.frame_nshift[f];
+    for (int64_t i = 0; i < L; i++) {
+      const uint32_t shifted = (seed >> 7) & 0xFFFF;
+      n0[i] = int32_t(int8_t(uint8_t(seed >> 15))) << nsh;
+      n1[i] = int32_t(int8_t(uint8_t(shifted))) << nsh;
+      seed = ((seed << 16) ^ shifted ^ (shifted << 5)) & 0xFFFFFFFFu;
+    }
+    int32_t* base = series.data() + size_t(t0) * C;
+    const uint8_t* byp = o.bypassed.data() + t0;
+    for (int m = 0; m < kMaxMatrices; m++) {
+      if (!o.mat_active[size_t(f) * kMaxMatrices + m]) continue;
+      const size_t mrow = size_t(f) * kMaxMatrices + m;
+      const int32_t* mc = &o.mat_coeff[mrow * kMaxChannels];
+      const int64_t na = o.mat_noise[mrow * 2];
+      const int64_t nb = o.mat_noise[mrow * 2 + 1];
+      const int oc = o.mat_out[mrow];
+      const int q = o.mat_quant[mrow];
+      if (oc < 0 || oc >= C) return -1;
+      int32_t* row = base;
+      for (int64_t i = 0; i < L; i++, row += C) {
+        int64_t acc = 0;
+        for (int c = 0; c < C; c++) acc += int64_t(row[c]) * mc[c];
+        acc += int64_t(n0[i]) * na + int64_t(n1[i]) * nb;
+        int32_t v = int32_t(uint32_t(uint64_t(acc >> 14)));
+        if (q) v = (v >> q) << q;
+        row[oc] = int32_t(uint32_t(v) + uint32_t((byp[i] >> m) & 1));
+      }
+    }
+    const int32_t* osh = &o.out_shift[size_t(f) * kMaxChannels];
+    int32_t sh[kMaxChannels], pc[kMaxChannels];
+    for (int w = 0; w < out_ch; w++) {
+      pc[w] = wave_perm[w];
+      sh[w] = osh[pc[w]] & 31;
+    }
+    const int32_t* row = base;
+    if (bps == 24) {
+      for (int64_t i = 0; i < L; i++, row += C) {
+        for (int w = 0; w < out_ch; w++) {
+          const uint32_t v = uint32_t(row[pc[w]]) << sh[w];
+          dp8[0] = uint8_t(v);
+          dp8[1] = uint8_t(v >> 8);
+          dp8[2] = uint8_t(v >> 16);
+          dp8 += 3;
+        }
+      }
+    } else if (bps == 16) {
+      for (int64_t i = 0; i < L; i++, row += C) {
+        for (int w = 0; w < out_ch; w++) {
+          const uint32_t v = uint32_t(row[pc[w]]) << sh[w];
+          dp8[0] = uint8_t(v);
+          dp8[1] = uint8_t(v >> 8);
+          dp8 += 2;
+        }
+      }
+    } else {
+      int32_t* d32 = reinterpret_cast<int32_t*>(dst) + t0 * out_ch;
+      for (int64_t i = 0; i < L; i++, row += C)
+        for (int w = 0; w < out_ch; w++)
+          d32[i * out_ch + w] = int32_t(uint32_t(row[pc[w]]) << sh[w]);
+    }
+    t0 += L;
+  }
+  return T * bytes_per;
+}
+
 // 12-bit-tier widen: each 3-byte triple packs a channel PAIR (c0 low
 // 12 bits little-first: b0 | (b1&0xF)<<8; c1: b1>>4 | b2<<4); emit the
 // two samples' sign-extended 24-bit little-endian bytes (6 out bytes

@@ -1,0 +1,229 @@
+"""Host-complete executor tests: native parse + mp_reconstruct.
+
+The host-complete path runs the decode's math stages — AR filter
+(mlp.c:1243-1306), rematrix (:1308-1358), output shifts + WAVE mapping
+(:514-533) and WAV byte packing — entirely in the native runtime, with no
+device kernels and no host<->device transfers.  It is the production
+executor when no accelerator is attached or the device link is slower
+than host compute; these tests pin its contract: byte-identical output to
+the Python spec decoder (itself oracle-parity tested) and to the device
+pipeline, across packing widths, plus the auto-selection and bail
+semantics.
+"""
+
+import logging
+
+import numpy as np
+import pytest
+
+from dvda_tpu import host
+from dvda_tpu.api import DVDA
+from dvda_tpu.codecs.mlp.native_engine import decode_native
+from dvda_tpu.codecs.mlp.spec import MlpDecoder
+from dvda_tpu.codecs.params import StreamParameters
+from dvda_tpu.config import DecodeConfig
+from dvda_tpu.testutil.mlp_synth import MlpSynthConfig, synth_mlp_stream
+from dvda_tpu.testutil.synth import BPS_CODE, RATE_CODE, MlpTrackSpec, build_disc
+from dvda_tpu.utils.profiling import global_timer
+from dvda_tpu.utils.wav import pack_samples_le, wave_header
+
+pytestmark = pytest.mark.skipif(not host.available(),
+                                reason="native host library unavailable")
+
+HC = DecodeConfig(host_complete=True, use_device=False)
+
+
+def stream_params(cfg):
+    return StreamParameters(BPS_CODE[cfg.bits_per_sample], 0xF,
+                            RATE_CODE[cfg.sample_rate], 0xF,
+                            cfg.channel_assignment)
+
+
+CONFIGS = [
+    (1, 1), (17, 2), (12, 2), (0, 1), (6, 1), (20, 2),
+]
+
+
+@pytest.mark.parametrize("assign,nsub", CONFIGS)
+@pytest.mark.parametrize("seed", [0, 3])
+def test_host_complete_matches_spec(assign, nsub, seed):
+    cfg = MlpSynthConfig(channel_assignment=assign, substream_count=nsub,
+                         n_frames=24, seed=seed)
+    stream = synth_mlp_stream(cfg)
+    params = stream_params(cfg)
+    spec = MlpDecoder(params)
+    spec.decode_bytes(stream)
+    a = spec.take_frames()
+    b = decode_native(stream, np.zeros(0, np.int64), len(stream), params,
+                      config=HC)
+    assert b is not None and b.dtype == np.int32
+    assert np.array_equal(a, b)
+
+
+@pytest.mark.parametrize("assign,nsub", [(1, 1), (17, 2), (12, 2)])
+def test_host_complete_packed_24(assign, nsub):
+    """want_packed on a 24-bit stream: uint8 [T, C*3] little-endian WAV
+    payload bytes, identical to packing the int32 samples on the host."""
+    cfg = MlpSynthConfig(channel_assignment=assign, substream_count=nsub,
+                         n_frames=24, seed=1)
+    stream = synth_mlp_stream(cfg)
+    params = stream_params(cfg)
+    spec = MlpDecoder(params)
+    spec.decode_bytes(stream)
+    ref = pack_samples_le(spec.take_frames(), 24)
+    b = decode_native(stream, np.zeros(0, np.int64), len(stream), params,
+                      want_packed=True, config=HC)
+    assert b is not None and b.dtype == np.uint8
+    assert b.shape[1] == params.channel_count * 3
+    assert b.tobytes() == ref
+
+
+def test_host_complete_packed_16():
+    cfg = MlpSynthConfig(channel_assignment=1, bits_per_sample=16,
+                         sample_rate=48000, n_frames=24, seed=2)
+    stream = synth_mlp_stream(cfg)
+    params = stream_params(cfg)
+    spec = MlpDecoder(params)
+    spec.decode_bytes(stream)
+    ref = pack_samples_le(spec.take_frames(), 16)
+    b = decode_native(stream, np.zeros(0, np.int64), len(stream), params,
+                      want_packed=True, config=HC)
+    assert b is not None and b.dtype == np.uint8 and b.tobytes() == ref
+
+
+def test_host_complete_nonuniform_and_coupled():
+    """Block-size switch mid-stream (sectioned geometry) and FIR state
+    carried across restarts both reconstruct bit-identically."""
+    base = dict(channel_assignment=17, substream_count=2)
+    c1 = MlpSynthConfig(blocks_per_frame=2, block_size=32, n_frames=8,
+                        seed=11, **base)
+    c2 = MlpSynthConfig(blocks_per_frame=2, block_size=64, n_frames=8,
+                        seed=12, **base)
+    for stream in [synth_mlp_stream(c1) + synth_mlp_stream(c2),
+                   synth_mlp_stream(MlpSynthConfig(
+                       restart_every=2, major_sync_every=2, n_frames=16,
+                       seed=7, **base))]:
+        params = stream_params(c1)
+        spec = MlpDecoder(params)
+        spec.decode_bytes(stream)
+        a = spec.take_frames()
+        b = decode_native(stream, np.zeros(0, np.int64), len(stream),
+                          params, config=HC)
+        assert b is not None and np.array_equal(a, b)
+
+
+def test_reconstruct_frame_cut():
+    """mp_reconstruct honors the n_frames cut: decoding the first k
+    frames equals the prefix of the full decode (the dvda_read frame-cut
+    contract, reference dvd-audio.c:1712-1765)."""
+    cfg = MlpSynthConfig(channel_assignment=17, substream_count=2,
+                         n_frames=16, seed=5)
+    stream = synth_mlp_stream(cfg)
+    parse = host.parse_mlp_stream(stream)
+    assert parse.status == 0
+    from dvda_tpu.codecs.mlp.native_engine import _wave_perm
+    perm = _wave_perm(parse, 6)
+    full = parse.reconstruct(parse.F, 6, 0, perm)
+    for k in (1, 7, parse.F):
+        part = parse.reconstruct(k, 6, 0, perm)
+        t = int(parse.frame_len[:k].sum())
+        assert np.array_equal(part, full[:t])
+    parse.close()
+
+
+def test_track_auto_selects_host_complete(tmp_path):
+    """With use_device=False in the config, the track decode runs the
+    native host-complete executor (not the ~1000x slower Python spec):
+    the 'mlp/host-recon' stage fires, and output matches the default
+    (device/CPU-jax) path byte for byte."""
+    mlp = MlpSynthConfig(channel_assignment=17, substream_count=2,
+                         n_frames=32, seed=9)
+    spec = MlpTrackSpec(mlp_stream=synth_mlp_stream(mlp),
+                        pcm_frames=mlp.total_pcm_frames,
+                        sample_rate=96000, channel_assignment=17)
+    layout = build_disc(str(tmp_path / "AUDIO_TS"), [[spec]])
+
+    def read(config):
+        r = (DVDA(layout.path, config=config).open_titleset(1)
+             .open_title(1).open_track(1).open_reader())
+        data = r.read_all_packed()
+        r.close()
+        return data
+
+    default = read(None)  # device pipeline (CPU jax under tests)
+    global_timer.reset()
+    hc = read(DecodeConfig(use_device=False))  # auto: host-complete
+    assert "mlp/host-recon" in global_timer.totals
+    assert "mlp/native-parse" in global_timer.totals
+    assert hc == default
+
+
+def test_explicit_reader_flag_still_selects_python(tmp_path):
+    """open_reader(use_device=False) — the argument, not the config —
+    keeps selecting the Python engines (back-compat for tests/debugging);
+    config-level use_device=False selects host-complete instead."""
+    mlp = MlpSynthConfig(channel_assignment=1, n_frames=8, seed=3)
+    spec = MlpTrackSpec(mlp_stream=synth_mlp_stream(mlp),
+                        pcm_frames=mlp.total_pcm_frames,
+                        sample_rate=96000, channel_assignment=1)
+    layout = build_disc(str(tmp_path / "AUDIO_TS"), [[spec]])
+    r = (DVDA(layout.path).open_titleset(1).open_title(1).open_track(1)
+         .open_reader(use_device=False))
+    global_timer.reset()
+    out = r.read_all()
+    r.close()
+    assert "mlp/host-recon" not in global_timer.totals
+    assert out.shape[1] == 2
+
+
+def test_host_complete_wav_parity_vs_oracle(tmp_path, ref_oracle):
+    """End-to-end: host-complete decode of a synthesized 5.1/24/96k disc
+    is byte-identical to the reference dvda2wav's WAV output."""
+    mlp = MlpSynthConfig(channel_assignment=17, substream_count=2,
+                         n_frames=48, seed=13)
+    spec = MlpTrackSpec(mlp_stream=synth_mlp_stream(mlp),
+                        pcm_frames=mlp.total_pcm_frames,
+                        sample_rate=96000, channel_assignment=17)
+    layout = build_disc(str(tmp_path / "AUDIO_TS"), [[spec]])
+    golden = ref_oracle.run_dvda2wav(layout.path, str(tmp_path / "gold"))
+    r = (DVDA(layout.path, config=DecodeConfig(use_device=False))
+         .open_titleset(1).open_title(1).open_track(1).open_reader())
+    payload = r.read_all_packed()
+    hdr = wave_header(r.sample_rate, r.channel_count, r.channel_mask,
+                      r.bits_per_sample, len(payload) // (r.channel_count * 3))
+    r.close()
+    assert hdr + payload == golden["track-01-01.wav"]
+
+
+def test_host_complete_bail_falls_back(tmp_path, caplog):
+    """A native-parse bail under host-complete logs the reason and falls
+    back to the Python engines — the decode still succeeds."""
+    cfg = MlpSynthConfig(channel_assignment=17, substream_count=2,
+                         n_frames=32, seed=7, major_sync_every=8,
+                         restart_every=8, blocks_per_frame=2, block_size=40)
+    stream = bytearray(synth_mlp_stream(cfg))
+    stream[40] ^= 0x5A  # frame 0 CRC-dropped; frame 1 lacks a restart
+    stream = bytes(stream)
+    params = stream_params(cfg)
+    with caplog.at_level(logging.WARNING, logger="dvda_tpu"):
+        out = decode_native(stream, np.zeros(0, np.int64), len(stream),
+                            params, config=HC)
+    assert out is None  # track.py then falls back to the Python engines
+    assert any("native MLP parse bailed" in r.getMessage()
+               for r in caplog.records)
+    spec = MlpDecoder(params)  # the fallback target still decodes it
+    spec.decode_bytes(stream)
+    assert spec.take_frames().shape[0] > 0
+
+
+def test_reconstruct_rejects_bad_args():
+    cfg = MlpSynthConfig(channel_assignment=1, n_frames=4, seed=0)
+    stream = synth_mlp_stream(cfg)
+    parse = host.parse_mlp_stream(stream)
+    assert parse.status == 0
+    perm = np.array([0, 1], dtype=np.int32)
+    with pytest.raises(ValueError):
+        parse.reconstruct(parse.F, 2, 20, perm)  # unsupported pack width
+    with pytest.raises(ValueError):
+        parse.reconstruct(parse.F, 3, 0, perm)  # perm shape mismatch
+    parse.close()
