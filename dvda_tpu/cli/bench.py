@@ -163,16 +163,43 @@ def bench_mlp_stereo(tmp, results):
     seconds = 20
     layout, audio = _mlp_disc(tmp, "mlpst", seconds, 1, 1, seed=5)
     ref = time_reference(layout.path, os.path.join(tmp, "mlpst"))
-    from ..config import default_config
+    _bench_mlp_modes(layout, audio, ref, "mlp_stereo_96k", results)
 
-    mode = ("device_huffman" if default_config().resolved_device_huffman()
-            else "standard")
-    _decode_track_packed(layout.path, use_device=True)  # warm (compile)
-    best, times = _best(
-        lambda: _decode_track_packed(layout.path, use_device=True), 3)
-    log(f"mlp_stereo runs ({mode}): {[f'{t:.2f}' for t in times]}")
-    _record(results, "mlp_stereo_96k", audio, best, ref, times)
-    results["mlp_stereo_96k"]["mode"] = mode
+
+def _bench_mlp_modes(layout, audio, ref, name, results, reps=3):
+    """Time the device pipeline (library device-mode auto: standard or
+    device-Huffman) AND the host-complete executor on one track; record
+    the better as the config entry (mode named) with the other's number
+    kept alongside.  Both are production modes and bit-exact — the entry
+    mirrors what resolved_host_complete auto-selects per environment."""
+    from dataclasses import replace
+
+    from ..config import DecodeConfig, default_config
+
+    dev_mode = ("device_huffman"
+                if default_config().resolved_device_huffman()
+                else "standard")
+    dc = replace(DecodeConfig.from_env(), host_complete=False)
+    _decode_track_packed(layout.path, True, dc)  # warm (compile)
+    best_d, times_d = _best(
+        lambda: _decode_track_packed(layout.path, True, dc), reps)
+    log(f"{name} runs ({dev_mode}): {[f'{t:.2f}' for t in times_d]}")
+
+    cc = replace(DecodeConfig.from_env(), use_device=False)
+    _decode_track_packed(layout.path, None, cc)  # warm (native build)
+    best_c, times_c = _best(
+        lambda: _decode_track_packed(layout.path, None, cc), reps)
+    log(f"{name} runs (host_complete): {[f'{t:.2f}' for t in times_c]}")
+
+    if best_c < best_d:
+        _record(results, name, audio, best_c, ref, times_c)
+        results[name]["mode"] = "host_complete"
+        results[name]["device_path_x_realtime"] = round(audio / best_d, 1)
+        results[name]["device_path_mode"] = dev_mode
+    else:
+        _record(results, name, audio, best_d, ref, times_d)
+        results[name]["mode"] = dev_mode
+        results[name]["host_complete_x_realtime"] = round(audio / best_c, 1)
 
 
 def bench_mlp_51(tmp, results):
@@ -190,7 +217,8 @@ def bench_mlp_51(tmp, results):
 
     from ..config import DecodeConfig
 
-    sc = replace(DecodeConfig.from_env(), device_huffman=False)
+    sc = replace(DecodeConfig.from_env(), device_huffman=False,
+                 host_complete=False)
     t0 = time.perf_counter()
     out = _decode_track_packed(layout.path, True, sc)
     warm = time.perf_counter() - t0
@@ -207,12 +235,24 @@ def bench_mlp_51(tmp, results):
 
     # same track with on-device Huffman residual decode (host parses
     # length-only; see ops/huffman_decode.py) for the measured comparison
-    hc = replace(DecodeConfig.from_env(), device_huffman=True)
+    hc = replace(DecodeConfig.from_env(), device_huffman=True,
+                 host_complete=False)
     _decode_track_packed(layout.path, True, hc)  # warm (compile)
     best_h, times_h = _best(
         lambda: _decode_track_packed(layout.path, True, hc), 5)
     log(f"mlp_51_devhuff runs: {[f'{t:.2f}' for t in times_h]}")
     _record(results, "mlp_51_devhuff", audio, best_h, ref, times_h)
+
+    # third production mode: host-complete (native parse + mp_reconstruct,
+    # no device round-trip) — the auto-selected executor when the only
+    # accelerator is remote-tunneled (config.resolved_host_complete)
+    cc = replace(DecodeConfig.from_env(), use_device=False)
+    out_c = _decode_track_packed(layout.path, None, cc)  # warm + bit check
+    assert out_c == out, "host-complete output diverged from device path"
+    best_c, times_c = _best(
+        lambda: _decode_track_packed(layout.path, None, cc), 5)
+    log(f"mlp_51_hostcomplete runs: {[f'{t:.2f}' for t in times_c]}")
+    _record(results, "mlp_51_hostcomplete", audio, best_c, ref, times_c)
     return audio, best
 
 
@@ -291,22 +331,13 @@ def bench_mlp_nonuniform(tmp, results):
                      sample_rate=rate, channel_assignment=17)]])
     audio = frames / rate
     ref = time_reference(layout.path, os.path.join(tmp, "nonu"))
-    _decode_track_packed(layout.path, use_device=True)  # warm (compile)
     from ..codecs.mlp import native_engine as ne
     from ..utils.profiling import global_timer
 
-    from ..config import default_config
-
-    mode = ("device_huffman" if default_config().resolved_device_huffman()
-            else "standard")
     global_timer.reset()
-    best, times = _best(
-        lambda: _decode_track_packed(layout.path, use_device=True), 3)
-    log(f"mlp_nonuniform runs ({mode}): {[f'{t:.2f}' for t in times]}")
+    _bench_mlp_modes(layout, audio, ref, "mlp_nonuniform", results)
     log(f"mlp_nonuniform pipeline: {ne._LAST_PIPELINE_INFO}")
     log("mlp_nonuniform stage breakdown:\n" + global_timer.summary())
-    _record(results, "mlp_nonuniform", audio, best, ref, times)
-    results["mlp_nonuniform"]["mode"] = mode
 
 
 def _mds_child():
@@ -731,12 +762,21 @@ def main(argv=None):
                               "configs": results}))
             return
 
-        # headline: the better of the two production modes (both bit-exact;
-        # device_huffman moves residual decode on-chip — see performance.md)
+        # headline: the best of the three production modes (all bit-exact;
+        # device_huffman moves residual decode on-chip, host_complete runs
+        # the whole reconstruction in the native runtime with no device
+        # round-trip — see performance.md).  The library's auto-selection
+        # (resolved_host_complete / resolved_device_huffman) makes the
+        # same choice per environment
         head, mode = results["mlp_51_96k"], "standard"
+        best_dev = head  # best DEVICE-pipeline mode, for tunnel efficiency
         dh = results.get("mlp_51_devhuff")
         if dh and dh["ours_x_realtime"] > head["ours_x_realtime"]:
             head, mode = dh, "device_huffman"
+            best_dev = dh
+        hcr = results.get("mlp_51_hostcomplete")
+        if hcr and hcr["ours_x_realtime"] > head["ours_x_realtime"]:
+            head, mode = hcr, "host_complete"
         med = head.get("median_x_realtime")
         ref = head.get("ref_x_realtime")
         print(json.dumps({
@@ -750,8 +790,12 @@ def main(argv=None):
             "device_compute_x_realtime": devx,
             "tunnel_d2h_MBps": d2h,
             "tunnel_ceiling_x_realtime": round(ceiling, 1),
+            # tunnel-overlap quality of the best DEVICE-pipeline mode (the
+            # host-complete executor never touches the tunnel, so the
+            # ceiling doesn't apply to it)
             "pipeline_efficiency": round(
-                head["ours_x_realtime"] / ceiling, 2) if ceiling else None,
+                best_dev["ours_x_realtime"] / ceiling, 2) if ceiling
+            else None,
             "configs": results,
         }))
 

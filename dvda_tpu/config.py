@@ -27,8 +27,9 @@ CLIs and benchmarks:
     ``DVDA_TPU_HOST_COMPLETE=1/0``  force the host-complete executor
                                     (native filter + rematrix + pack; no
                                     device kernels) on/off (unset = auto:
-                                    on when the device is disabled and
-                                    the native runtime is available)
+                                    on when the device is disabled or the
+                                    only accelerator is remote-tunneled —
+                                    see ``resolved_host_complete``)
     ``DVDA_TPU_FILTER_KERNEL=pallas``  Pallas AR-filter kernel instead of
                                     the lax.scan variant
     ``DVDA_TPU_CHUNK_CHAINS=N``     restart chains per device chunk
@@ -187,15 +188,24 @@ class DecodeConfig:
     #: dispatching device kernels — the right executor when no accelerator
     #: is attached or the device link is slower than host compute (both
     #: executors consume the same parse and emit identical bytes).  None =
-    #: auto: on when ``use_device`` is False and the native runtime is
-    #: available (replacing the ~1000× slower pure-Python spec as the
-    #: host-only production path); off otherwise
+    #: auto: on when ``use_device`` is False (replacing the ~1000× slower
+    #: pure-Python spec as the host-only production path), and on when the
+    #: only accelerator is *remote-tunneled* (the ``axon`` relay platform:
+    #: ~30 MB/s d2h and ~25 ms/MB of host drain CPU, vs PCIe DMA's
+    #: ~16 GB/s) — there the readback alone costs more host time than the
+    #: whole native reconstruction, for any core count.  A directly
+    #: attached TPU keeps the device pipeline
     host_complete: bool | None = None
 
     def resolved_host_complete(self) -> bool:
         if self.host_complete is not None:
             return self.host_complete
-        return not self.use_device
+        if not self.use_device:
+            return True
+        # reading the platform config string never initialises a backend;
+        # tests force jax_platforms="cpu" so they keep covering the device
+        # pipeline by default
+        return "axon" in _jax_platforms().split(",")
 
     #: device-Huffman sub-lane stride: the skip-values parser emits every
     #: k-th sample's bit offset so the residual kernel decodes each
@@ -252,6 +262,17 @@ class DecodeConfig:
             narrow_d2h=_env_tristate("DVDA_TPU_NARROW_D2H"),
             host_complete=_env_tristate("DVDA_TPU_HOST_COMPLETE"),
         )
+
+
+def _jax_platforms() -> str:
+    """The configured JAX platform list (e.g. ``"axon,cpu"``), without
+    initialising any backend; ``""`` when jax is unavailable."""
+    try:
+        import jax
+
+        return str(jax.config.jax_platforms or "")
+    except Exception:
+        return ""
 
 
 def default_config() -> DecodeConfig:

@@ -216,6 +216,26 @@ def test_host_complete_bail_falls_back(tmp_path, caplog):
     assert spec.take_frames().shape[0] > 0
 
 
+def test_resolved_host_complete_auto(monkeypatch):
+    """Auto-selection: on when the device is disabled, on when the only
+    accelerator sits behind the axon relay (remote-tunneled: the d2h
+    drain costs more host CPU than the whole native reconstruction), off
+    on a directly attached backend; an explicit pin always wins."""
+    from dvda_tpu import config as cfgmod
+
+    assert DecodeConfig(host_complete=True).resolved_host_complete()
+    assert not DecodeConfig(host_complete=False,
+                            use_device=False).resolved_host_complete()
+    assert DecodeConfig(use_device=False).resolved_host_complete()
+    monkeypatch.setattr(cfgmod, "_jax_platforms", lambda: "cpu")
+    assert not DecodeConfig().resolved_host_complete()
+    monkeypatch.setattr(cfgmod, "_jax_platforms", lambda: "axon,cpu")
+    assert DecodeConfig().resolved_host_complete()
+    assert not DecodeConfig(host_complete=False).resolved_host_complete()
+    monkeypatch.setattr(cfgmod, "_jax_platforms", lambda: "tpu")
+    assert not DecodeConfig().resolved_host_complete()
+
+
 def test_reconstruct_rejects_bad_args():
     cfg = MlpSynthConfig(channel_assignment=1, n_frames=4, seed=0)
     stream = synth_mlp_stream(cfg)
