@@ -1889,6 +1889,115 @@ void mp_widen24(const uint8_t* pairs, int64_t n, uint8_t* dst) {
 }
 
 // ---------------------------------------------------------------------------
+// Channel-lockstep AR filter for one substream.  Every channel of a
+// substream shares the same block boundaries (the parse emits one blk_len
+// per block, channels channel-minor within it), so all channels advance
+// one sample per step in lockstep: the 16-tap FIR+IIR MAC runs across W
+// channel lanes (W = nch padded to a vector width; the compiler
+// vectorizes the fixed-trip j×c loops).  Exact int32 semantics are
+// preserved lane-for-lane: int64 accumulate, arithmetic shift,
+// two's-complement truncation, and quantization as a low-bit AND mask
+// ((v>>q)<<q clears the low q bits exactly).  Histories are rolling
+// 24-row double-buffers recompacted every 16 samples, lane-minor
+// [row][W]; unused lanes carry zero coefficients/residuals so they stay
+// 0 and never affect stores (only nch lanes are written out).
+// rt: caller scratch holding one block's residuals transposed to
+// sample-major [bs][W].  series is channel-major [C][T] (stride T
+// between channels) so stage 2's rematrix runs sample-parallel.
+extern "C++" {
+namespace {
+template <int W>
+int ar_substream(const Result& o, int s, int64_t F, int64_t T,
+                 int64_t maxL, int32_t* series, int32_t* __restrict rt) {
+  const int nch = o.max_ch[s] - o.min_ch[s] + 1;
+  int64_t nb_keep = 0;
+  for (int64_t f = 0; f < F; f++) nb_keep += o.fr_nblocks[s][f];
+  if (nb_keep > int64_t(o.blk_len[s].size())) return -1;
+  const int32_t* res = o.residuals[s].data();
+  const int64_t res_n = int64_t(o.residuals[s].size());
+  alignas(64) int32_t FH[24 * W];
+  alignas(64) int32_t IH[24 * W];
+  alignas(64) int32_t fcT[8 * W];
+  alignas(64) int32_t gcT[8 * W];
+  alignas(64) int32_t sh[W];
+  alignas(64) uint32_t qm[W];
+  std::memset(FH, 0, sizeof FH);
+  std::memset(IH, 0, sizeof IH);
+  int w = 8;
+  int64_t t = 0;
+  size_t ri = 0;
+  for (int64_t b = 0; b < nb_keep; b++) {
+    const int bs_ = o.blk_len[s][b];
+    if (bs_ > maxL || t + bs_ > T ||
+        int64_t(ri) + int64_t(nch) * bs_ > res_n)
+      return -1;
+    // per-block lane setup: transpose taps to [j][lane], fold quant into
+    // an AND mask, splice per-lane IIR reset state into the live window
+    for (int c = 0; c < W; c++) {
+      const size_t ci = size_t(b) * nch + c;
+      if (c < nch) {
+        for (int j = 0; j < 8; j++) {
+          fcT[j * W + c] = o.blk_rc_fir[s][ci * 8 + j];
+          gcT[j * W + c] = o.blk_rc_iir[s][ci * 8 + j];
+        }
+        sh[c] = o.blk_shift[s][ci];
+        qm[c] = ~uint32_t(0) << (o.blk_quant[s][ci] & 31);
+        if (o.blk_iir_reset[s][ci]) {
+          const int32_t* init = &o.blk_iir_init[s][ci * 8];
+          for (int j = 0; j < 8; j++) IH[(w - 8 + j) * W + c] = init[j];
+        }
+      } else {
+        for (int j = 0; j < 8; j++) fcT[j * W + c] = gcT[j * W + c] = 0;
+        sh[c] = 0;
+        qm[c] = ~uint32_t(0);
+      }
+    }
+    for (int c = 0; c < nch; c++) {
+      const int32_t* rc = res + ri + size_t(c) * bs_;
+      for (int k = 0; k < bs_; k++) rt[size_t(k) * W + c] = rc[k];
+    }
+    if (nch < W)
+      for (int k = 0; k < bs_; k++)
+        for (int c = nch; c < W; c++) rt[size_t(k) * W + c] = 0;
+    int32_t* dp = series + size_t(o.min_ch[s]) * T + t;
+    for (int k = 0; k < bs_; k++) {
+      if (w == 24) {
+        std::memcpy(FH, FH + 16 * W, 8 * W * sizeof(int32_t));
+        std::memcpy(IH, IH + 16 * W, 8 * W * sizeof(int32_t));
+        w = 8;
+      }
+      const int32_t* fh = FH + (w - 8) * W;
+      const int32_t* ih = IH + (w - 8) * W;
+      int64_t acc[W];
+      for (int c = 0; c < W; c++) acc[c] = 0;
+      for (int j = 0; j < 8; j++)
+        for (int c = 0; c < W; c++)
+          acc[c] += int64_t(fcT[j * W + c]) * fh[j * W + c] +
+                    int64_t(gcT[j * W + c]) * ih[j * W + c];
+      int32_t* fhw = FH + w * W;
+      int32_t* ihw = IH + w * W;
+      const int32_t* rk = rt + size_t(k) * W;
+      for (int c = 0; c < W; c++) {
+        const int32_t shifted =
+            int32_t(uint32_t(uint64_t(acc[c] >> sh[c])));
+        int32_t value = int32_t(uint32_t(shifted) + uint32_t(rk[c]));
+        value = int32_t(uint32_t(value) & qm[c]);
+        fhw[c] = value;
+        ihw[c] = int32_t(uint32_t(value) - uint32_t(shifted));
+      }
+      for (int c = 0; c < nch; c++) dp[size_t(c) * T] = fhw[c];
+      w++;
+      dp++;
+    }
+    ri += size_t(nch) * bs_;
+    t += bs_;
+  }
+  return t == T ? 0 : -1;
+}
+}  // namespace
+}  // extern "C++"
+
+// ---------------------------------------------------------------------------
 // Host-complete reconstruction: run the decode's math stages — AR filter
 // (filter_channel, mlp.c:1243-1306), rematrix (rematrix_channels,
 // :1308-1358), output shifts + WAVE channel mapping (:514-533) and WAV
@@ -1931,79 +2040,31 @@ int64_t mp_reconstruct(void* h, int64_t n_frames, int32_t out_ch,
   if (T == 0) return 0;
 
   // -- stage 1: AR filter, per substream, blocks in stream order ----------
-  // series[t*C + c]: sample-major channel matrix (channels no substream
-  // covers stay 0, the spec's default for unused channels)
+  // series[c*T + t]: channel-major sample matrix (channels no substream
+  // covers stay 0, the spec's default for unused channels).  The filter
+  // itself runs channel-lockstep (ar_substream above), lane width padded
+  // to 4 or 8 so the tap MACs vectorize; channel-major makes stage 2's
+  // per-matrix apply a contiguous sample-parallel sweep.
   std::vector<int32_t> series(size_t(T) * C);  // zero-initialised
+  std::vector<int32_t> rt(size_t(maxL) * kMaxChannels);  // residual scratch
   for (int s = 0; s < o.substream_count; s++) {
     const int nch = o.max_ch[s] - o.min_ch[s] + 1;
     if (nch < 1 || o.min_ch[s] + nch > C) return -1;
-    int64_t nb_keep = 0;
-    for (int64_t f = 0; f < F; f++) nb_keep += o.fr_nblocks[s][f];
-    if (nb_keep > int64_t(o.blk_len[s].size())) return -1;
-    const int32_t* res = o.residuals[s].data();
-    const int64_t res_n = int64_t(o.residuals[s].size());
-    // rolling 24-slot history double-buffers: the 8-tap window is
-    // [w-8, w) with slot w-1 the most recent value (matching the tap
-    // layout: rc[7] multiplies the latest sample); recompacted every
-    // 16 samples instead of shifting 8 slots per sample
-    alignas(64) int32_t FH[kMaxChannels][24];
-    alignas(64) int32_t IH[kMaxChannels][24];
-    int fw[kMaxChannels];
-    std::memset(FH, 0, sizeof FH);
-    std::memset(IH, 0, sizeof IH);
-    for (int i = 0; i < nch; i++) fw[i] = 8;
-    int64_t t = 0;
-    size_t ri = 0;
-    for (int64_t b = 0; b < nb_keep; b++) {
-      const int bs_ = o.blk_len[s][b];
-      if (t + bs_ > T || int64_t(ri) + int64_t(nch) * bs_ > res_n)
-        return -1;
-      for (int i = 0; i < nch; i++) {
-        const size_t ci = size_t(b) * nch + i;
-        const int32_t* fc = &o.blk_rc_fir[s][ci * 8];
-        const int32_t* gc = &o.blk_rc_iir[s][ci * 8];
-        const int shift = o.blk_shift[s][ci];
-        const int q = o.blk_quant[s][ci];
-        int32_t* FHi = FH[i];
-        int32_t* IHi = IH[i];
-        int w = fw[i];
-        if (o.blk_iir_reset[s][ci]) {
-          const int32_t* init = &o.blk_iir_init[s][ci * 8];
-          for (int j = 0; j < 8; j++) IHi[w - 8 + j] = init[j];
-        }
-        const int32_t* rr = res + ri + size_t(i) * bs_;
-        int32_t* dp = series.data() + size_t(t) * C + (o.min_ch[s] + i);
-        for (int k = 0; k < bs_; k++) {
-          if (w == 24) {
-            std::memcpy(FHi, FHi + 16, 8 * sizeof(int32_t));
-            std::memcpy(IHi, IHi + 16, 8 * sizeof(int32_t));
-            w = 8;
-          }
-          const int32_t* fh = FHi + (w - 8);
-          const int32_t* ih = IHi + (w - 8);
-          int64_t acc = 0;
-          for (int j = 0; j < 8; j++)
-            acc += int64_t(fc[j]) * fh[j] + int64_t(gc[j]) * ih[j];
-          const int32_t shifted = int32_t(uint32_t(uint64_t(acc >> shift)));
-          int32_t value = int32_t(uint32_t(shifted) + uint32_t(rr[k]));
-          if (q) value = (value >> q) << q;
-          FHi[w] = value;
-          IHi[w] = int32_t(uint32_t(value) - uint32_t(shifted));
-          w++;
-          dp[size_t(k) * C] = value;
-        }
-        fw[i] = w;
-      }
-      ri += size_t(nch) * bs_;
-      t += bs_;
-    }
-    if (t != T) return -1;
+    const int rc = nch <= 4
+        ? ar_substream<4>(o, s, F, T, maxL, series.data(), rt.data())
+        : ar_substream<8>(o, s, F, T, maxL, series.data(), rt.data());
+    if (rc != 0) return -1;
   }
 
   // -- stage 2: per frame — LFSR noise, sequential in-place matrices,
   //    output shifts fused into the WAVE-permuted pack -------------------
+  // Matrices apply one at a time (each may feed the next), but within a
+  // matrix every sample is independent: with channel-major series the
+  // apply is a per-channel broadcast-MAC over contiguous samples
+  // (vectorizable), accumulated in an int64 frame buffer.
   std::vector<int32_t> n0(static_cast<size_t>(maxL));
   std::vector<int32_t> n1(static_cast<size_t>(maxL));
+  std::vector<int64_t> acc(static_cast<size_t>(maxL));
   int64_t t0 = 0;
   uint8_t* dp8 = dst;
   for (int64_t f = 0; f < F; f++) {
@@ -2016,58 +2077,74 @@ int64_t mp_reconstruct(void* h, int64_t n_frames, int32_t out_ch,
       n1[i] = int32_t(int8_t(uint8_t(shifted))) << nsh;
       seed = ((seed << 16) ^ shifted ^ (shifted << 5)) & 0xFFFFFFFFu;
     }
-    int32_t* base = series.data() + size_t(t0) * C;
     const uint8_t* byp = o.bypassed.data() + t0;
     for (int m = 0; m < kMaxMatrices; m++) {
       if (!o.mat_active[size_t(f) * kMaxMatrices + m]) continue;
       const size_t mrow = size_t(f) * kMaxMatrices + m;
       const int32_t* mc = &o.mat_coeff[mrow * kMaxChannels];
-      const int64_t na = o.mat_noise[mrow * 2];
-      const int64_t nb = o.mat_noise[mrow * 2 + 1];
+      const int32_t na = int32_t(o.mat_noise[mrow * 2]);
+      const int32_t nb = int32_t(o.mat_noise[mrow * 2 + 1]);
       const int oc = o.mat_out[mrow];
       const int q = o.mat_quant[mrow];
       if (oc < 0 || oc >= C) return -1;
-      int32_t* row = base;
-      for (int64_t i = 0; i < L; i++, row += C) {
-        int64_t acc = 0;
-        for (int c = 0; c < C; c++) acc += int64_t(row[c]) * mc[c];
-        acc += int64_t(n0[i]) * na + int64_t(n1[i]) * nb;
-        int32_t v = int32_t(uint32_t(uint64_t(acc >> 14)));
-        if (q) v = (v >> q) << q;
-        row[oc] = int32_t(uint32_t(v) + uint32_t((byp[i] >> m) & 1));
+      int64_t* __restrict ap = acc.data();
+      const int32_t* __restrict np0 = n0.data();
+      const int32_t* __restrict np1 = n1.data();
+      for (int64_t i = 0; i < L; i++)
+        ap[i] = int64_t(np0[i]) * na + int64_t(np1[i]) * nb;
+      for (int c = 0; c < C; c++) {
+        const int32_t w = mc[c];
+        if (!w) continue;
+        const int32_t* __restrict ch = series.data() + size_t(c) * T + t0;
+        for (int64_t i = 0; i < L; i++) ap[i] += int64_t(ch[i]) * w;
+      }
+      const uint32_t qmask = ~uint32_t(0) << (q & 31);
+      int32_t* __restrict out = series.data() + size_t(oc) * T + t0;
+      for (int64_t i = 0; i < L; i++) {
+        int32_t v = int32_t(uint32_t(uint64_t(ap[i] >> 14)));
+        v = int32_t(uint32_t(v) & qmask);
+        out[i] = int32_t(uint32_t(v) + uint32_t((byp[i] >> m) & 1));
       }
     }
     const int32_t* osh = &o.out_shift[size_t(f) * kMaxChannels];
-    int32_t sh[kMaxChannels], pc[kMaxChannels];
-    for (int w = 0; w < out_ch; w++) {
-      pc[w] = wave_perm[w];
-      sh[w] = osh[pc[w]] & 31;
-    }
-    const int32_t* row = base;
     if (bps == 24) {
-      for (int64_t i = 0; i < L; i++, row += C) {
-        for (int w = 0; w < out_ch; w++) {
-          const uint32_t v = uint32_t(row[pc[w]]) << sh[w];
-          dp8[0] = uint8_t(v);
-          dp8[1] = uint8_t(v >> 8);
-          dp8[2] = uint8_t(v >> 16);
-          dp8 += 3;
+      for (int w = 0; w < out_ch; w++) {
+        const int pc = wave_perm[w];
+        const int sh = osh[pc] & 31;
+        const int32_t* __restrict ch = series.data() + size_t(pc) * T + t0;
+        uint8_t* __restrict d = dp8 + 3 * w;
+        const int64_t stride = 3 * int64_t(out_ch);
+        for (int64_t i = 0; i < L; i++, d += stride) {
+          const uint32_t v = uint32_t(ch[i]) << sh;
+          d[0] = uint8_t(v);
+          d[1] = uint8_t(v >> 8);
+          d[2] = uint8_t(v >> 16);
         }
       }
+      dp8 += 3 * int64_t(out_ch) * L;
     } else if (bps == 16) {
-      for (int64_t i = 0; i < L; i++, row += C) {
-        for (int w = 0; w < out_ch; w++) {
-          const uint32_t v = uint32_t(row[pc[w]]) << sh[w];
-          dp8[0] = uint8_t(v);
-          dp8[1] = uint8_t(v >> 8);
-          dp8 += 2;
+      for (int w = 0; w < out_ch; w++) {
+        const int pc = wave_perm[w];
+        const int sh = osh[pc] & 31;
+        const int32_t* __restrict ch = series.data() + size_t(pc) * T + t0;
+        uint8_t* __restrict d = dp8 + 2 * w;
+        const int64_t stride = 2 * int64_t(out_ch);
+        for (int64_t i = 0; i < L; i++, d += stride) {
+          const uint32_t v = uint32_t(ch[i]) << sh;
+          d[0] = uint8_t(v);
+          d[1] = uint8_t(v >> 8);
         }
       }
+      dp8 += 2 * int64_t(out_ch) * L;
     } else {
       int32_t* d32 = reinterpret_cast<int32_t*>(dst) + t0 * out_ch;
-      for (int64_t i = 0; i < L; i++, row += C)
-        for (int w = 0; w < out_ch; w++)
-          d32[i * out_ch + w] = int32_t(uint32_t(row[pc[w]]) << sh[w]);
+      for (int w = 0; w < out_ch; w++) {
+        const int pc = wave_perm[w];
+        const int sh = osh[pc] & 31;
+        const int32_t* __restrict ch = series.data() + size_t(pc) * T + t0;
+        for (int64_t i = 0; i < L; i++)
+          d32[i * out_ch + w] = int32_t(uint32_t(ch[i]) << sh);
+      }
     }
     t0 += L;
   }
