@@ -19,6 +19,7 @@
 #include <atomic>
 #include <condition_variable>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <memory>
 #include <mutex>
@@ -170,13 +171,110 @@ struct Substream {
 // default construction on growth (trivial element types only; fill/copy
 // construction still initializes), `bump` grows-and-returns a write
 // pointer, and reserve_after_first_frame() sizes every array once.
+// Large-block pool behind NoInit.  Parse arenas are tens-of-MB buffers
+// allocated and freed once per parse; glibc serves blocks this big with
+// fresh mmap/munmap pairs, so every parse repaid the full page-fault
+// cost of its working set (~118 ms of sys time per 30 s 5.1 stream,
+// ~1/3 of the parse).  Blocks >= kPoolMin bytes are recycled through a
+// small best-fit freelist instead (user pointer prefixed by a 64-byte
+// header holding the block's true capacity).  Thread-safe: MT-section
+// workers allocate arenas concurrently.  The pool holds at most
+// kPoolCap bytes (DVDA_HOST_POOL_MB overrides); oversize or non-fitting
+// blocks fall through to plain new/delete.
+namespace pool {
+constexpr size_t kMin = size_t(1) << 20;  // pool blocks >= 1 MiB
+constexpr int kSlots = 32;
+constexpr size_t kHdr = 64;  // keeps max_align for the user pointer
+struct Block {
+  void* user;
+  size_t cap;
+};
+static std::mutex mu;
+static Block slots[kSlots];
+static int n_slots = 0;
+static size_t held = 0;
+
+static size_t cap_bytes() {
+  static const size_t v = [] {
+    const char* e = std::getenv("DVDA_HOST_POOL_MB");
+    long mb = e ? std::atol(e) : 384;
+    return size_t(mb < 0 ? 0 : mb) << 20;
+  }();
+  return v;
+}
+
+static void* take(size_t need) {
+  std::lock_guard<std::mutex> g(mu);
+  int best = -1;
+  for (int i = 0; i < n_slots; i++)
+    if (slots[i].cap >= need && slots[i].cap <= need * 4 &&
+        (best < 0 || slots[i].cap < slots[best].cap))
+      best = i;
+  if (best < 0) return nullptr;
+  void* p = slots[best].user;
+  held -= slots[best].cap;
+  slots[best] = slots[--n_slots];
+  return p;
+}
+
+// true if the block was pooled; false = caller frees it
+static bool give(void* user, size_t cap) {
+  std::lock_guard<std::mutex> g(mu);
+  if (n_slots == kSlots || held + cap > cap_bytes()) {
+    // prefer keeping bigger blocks: evict the smallest pooled block if
+    // the incoming one beats it and fits the cap once it's gone
+    int sm = -1;
+    for (int i = 0; i < n_slots; i++)
+      if (sm < 0 || slots[i].cap < slots[sm].cap) sm = i;
+    if (sm < 0 || slots[sm].cap >= cap ||
+        held - slots[sm].cap + cap > cap_bytes())
+      return false;
+    ::operator delete(static_cast<char*>(slots[sm].user) - kHdr);
+    held -= slots[sm].cap;
+    slots[sm] = slots[--n_slots];
+  }
+  slots[n_slots++] = {user, cap};
+  held += cap;
+  return true;
+}
+
+static void* alloc(size_t bytes) {
+  if (bytes >= kMin) {
+    if (void* p = take(bytes)) return p;
+    char* raw = static_cast<char*>(::operator new(bytes + kHdr));
+    *reinterpret_cast<size_t*>(raw) = bytes;
+    return raw + kHdr;
+  }
+  return ::operator new(bytes);
+}
+
+static void free_(void* p, size_t bytes) noexcept {
+  if (bytes >= kMin) {
+    char* raw = static_cast<char*>(p) - kHdr;
+    const size_t cap = *reinterpret_cast<size_t*>(raw);
+    if (give(p, cap)) return;
+    ::operator delete(raw);
+    return;
+  }
+  ::operator delete(p);
+}
+
+static void clear() {
+  std::lock_guard<std::mutex> g(mu);
+  for (int i = 0; i < n_slots; i++)
+    ::operator delete(static_cast<char*>(slots[i].user) - kHdr);
+  n_slots = 0;
+  held = 0;
+}
+}  // namespace pool
+
 template <class T>
 struct NoInit {
   using value_type = T;
   T* allocate(size_t n) {
-    return static_cast<T*>(::operator new(n * sizeof(T)));
+    return static_cast<T*>(pool::alloc(n * sizeof(T)));
   }
-  void deallocate(T* p, size_t) noexcept { ::operator delete(p); }
+  void deallocate(T* p, size_t n) noexcept { pool::free_(p, n * sizeof(T)); }
   template <class U, class... A>
   void construct(U* p, A&&... a) noexcept {
     if constexpr (sizeof...(A) > 0)
@@ -1499,6 +1597,12 @@ void* mlp_parse(const uint8_t* data, int64_t size, const int32_t* lut_val,
 
 void mlp_parse_free(void* h) { delete static_cast<Parser*>(h); }
 
+// Release every block held by the arena pool (see namespace pool).  The
+// pool is self-limiting (DVDA_HOST_POOL_MB, default 384); this is for
+// callers that want the memory back NOW (end of a batch job) and for
+// leak-checking tests.
+void mp_pool_clear() { pool::clear(); }
+
 // Incremental variant: begin without parsing, then step frame batches so
 // callers can interleave parsing with downstream work (device dispatch).
 // flags bit 0 = skip residual values (emit device-decode tables instead).
@@ -2044,9 +2148,20 @@ int64_t mp_reconstruct(void* h, int64_t n_frames, int32_t out_ch,
   // covers stay 0, the spec's default for unused channels).  The filter
   // itself runs channel-lockstep (ar_substream above), lane width padded
   // to 4 or 8 so the tap MACs vectorize; channel-major makes stage 2's
-  // per-matrix apply a contiguous sample-parallel sweep.
-  std::vector<int32_t> series(size_t(T) * C);  // zero-initialised
-  std::vector<int32_t> rt(size_t(maxL) * kMaxChannels);  // residual scratch
+  // per-matrix apply a contiguous sample-parallel sweep.  Pool-backed
+  // uninitialized storage: covered channels are fully written by their
+  // substream (the t==T check), so only uncovered rows need zeroing.
+  rawvec<int32_t> series(size_t(T) * C);
+  rawvec<int32_t> rt(size_t(maxL) * kMaxChannels);  // residual scratch
+  {
+    bool covered[kMaxChannels] = {};
+    for (int s = 0; s < o.substream_count; s++)
+      for (int c = o.min_ch[s]; c <= o.max_ch[s] && c < C; c++)
+        covered[c] = true;
+    for (int c = 0; c < C; c++)
+      if (!covered[c])
+        std::memset(series.data() + size_t(c) * T, 0, size_t(T) * 4);
+  }
   for (int s = 0; s < o.substream_count; s++) {
     const int nch = o.max_ch[s] - o.min_ch[s] + 1;
     if (nch < 1 || o.min_ch[s] + nch > C) return -1;
