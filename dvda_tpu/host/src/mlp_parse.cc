@@ -21,6 +21,9 @@
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
+#if defined(__AVX512F__) && defined(__AVX512VL__) && defined(__AVX512DQ__)
+#include <immintrin.h>
+#endif
 #include <memory>
 #include <mutex>
 #include <thread>
@@ -2023,7 +2026,7 @@ int ar_substream(const Result& o, int s, int64_t F, int64_t T,
   alignas(64) int32_t IH[24 * W];
   alignas(64) int32_t fcT[8 * W];
   alignas(64) int32_t gcT[8 * W];
-  alignas(64) int32_t sh[W];
+  alignas(64) int64_t sh[W];  // int64 lanes: the acc>>sh shift vectorizes
   alignas(64) uint32_t qm[W];
   std::memset(FH, 0, sizeof FH);
   std::memset(IH, 0, sizeof IH);
@@ -2098,6 +2101,152 @@ int ar_substream(const Result& o, int s, int64_t F, int64_t T,
   }
   return t == T ? 0 : -1;
 }
+
+#if defined(__AVX512F__) && defined(__AVX512VL__) && defined(__AVX512DQ__)
+// AVX-512 build of the channel-lockstep AR filter.  The autovectorized
+// portable kernel above keeps its rolling history in memory; the 4-byte
+// lane stores defeat store→load forwarding into the next sample's row
+// loads, and gcc scalarizes the per-lane variable shift (no vpsravq),
+// leaving ~140 cycles/sample.  Here history rows live in registers as
+// int64 lanes: vpmuldq reads only the signed low-32 of each lane, so
+// products are exact int32×int32→int64 with no narrowing step anywhere
+// in the feedback chain — per-sample critical path is mul → add-tree →
+// vpsravq → add/and, ~15 cycles.  Lane semantics match the portable
+// kernel bit-for-bit (32-bit wrap adds, AND-mask quantization); only
+// the low 32 bits of a lane are ever meaningful.
+namespace simd {
+template <int W> struct Traits;
+template <> struct Traits<8> {
+  using V = __m512i;
+  static V load(const void* p) { return _mm512_load_si512(p); }
+  static void store(void* p, V v) { _mm512_store_si512(p, v); }
+  // 8 int32 -> 8 int64 lanes (unaligned source); sign/zero variants are
+  // interchangeable here (only low 32 bits of a lane carry meaning)
+  static V widen(const int32_t* p) {
+    return _mm512_cvtepi32_epi64(
+        _mm256_loadu_si256(reinterpret_cast<const __m256i*>(p)));
+  }
+  static V mul32(V a, V b) { return _mm512_mul_epi32(a, b); }
+  static V add64(V a, V b) { return _mm512_add_epi64(a, b); }
+  static V srav64(V a, V s) { return _mm512_srav_epi64(a, s); }
+  static V add32(V a, V b) { return _mm512_add_epi32(a, b); }
+  static V sub32(V a, V b) { return _mm512_sub_epi32(a, b); }
+  static V and_(V a, V b) { return _mm512_and_si512(a, b); }
+  static V zero() { return _mm512_setzero_si512(); }
+};
+template <> struct Traits<4> {
+  using V = __m256i;
+  static V load(const void* p) {
+    return _mm256_load_si256(reinterpret_cast<const __m256i*>(p));
+  }
+  static void store(void* p, V v) {
+    _mm256_store_si256(reinterpret_cast<__m256i*>(p), v);
+  }
+  static V widen(const int32_t* p) {
+    return _mm256_cvtepi32_epi64(
+        _mm_loadu_si128(reinterpret_cast<const __m128i*>(p)));
+  }
+  static V mul32(V a, V b) { return _mm256_mul_epi32(a, b); }
+  static V add64(V a, V b) { return _mm256_add_epi64(a, b); }
+  static V srav64(V a, V s) { return _mm256_srav_epi64(a, s); }
+  static V add32(V a, V b) { return _mm256_add_epi32(a, b); }
+  static V sub32(V a, V b) { return _mm256_sub_epi32(a, b); }
+  static V and_(V a, V b) { return _mm256_and_si256(a, b); }
+  static V zero() { return _mm256_setzero_si256(); }
+};
+}  // namespace simd
+
+template <int W>
+int ar_substream_simd(const Result& o, int s, int64_t F, int64_t T,
+                      int64_t maxL, int32_t* series, int32_t* __restrict rt) {
+  using TR = simd::Traits<W>;
+  using V = typename TR::V;
+  const int nch = o.max_ch[s] - o.min_ch[s] + 1;
+  int64_t nb_keep = 0;
+  for (int64_t f = 0; f < F; f++) nb_keep += o.fr_nblocks[s][f];
+  if (nb_keep > int64_t(o.blk_len[s].size())) return -1;
+  const int32_t* res = o.residuals[s].data();
+  const int64_t res_n = int64_t(o.residuals[s].size());
+  // per-block lane data, int64 lanes (low-32 meaningful for coeffs/mask)
+  alignas(64) int64_t fcq[8][W];
+  alignas(64) int64_t gcq[8][W];
+  alignas(64) int64_t shq[W];
+  alignas(64) int64_t qmq[W];
+  alignas(64) int64_t stage[8][W];  // ih spill for per-lane IIR resets
+  alignas(64) int64_t vout[W];      // value lanes for the dp stores
+  V fh[8], ih[8];
+  for (int j = 0; j < 8; j++) fh[j] = TR::zero();
+  for (int j = 0; j < 8; j++) ih[j] = TR::zero();
+  int64_t t = 0;
+  size_t ri = 0;
+  for (int64_t b = 0; b < nb_keep; b++) {
+    const int bs_ = o.blk_len[s][b];
+    if (bs_ > maxL || t + bs_ > T ||
+        int64_t(ri) + int64_t(nch) * bs_ > res_n)
+      return -1;
+    bool any_reset = false;
+    for (int c = 0; c < W; c++) {
+      const size_t ci = size_t(b) * nch + c;
+      if (c < nch) {
+        for (int j = 0; j < 8; j++) {
+          fcq[j][c] = o.blk_rc_fir[s][ci * 8 + j];
+          gcq[j][c] = o.blk_rc_iir[s][ci * 8 + j];
+        }
+        shq[c] = o.blk_shift[s][ci];
+        qmq[c] = int64_t(~uint32_t(0) << (o.blk_quant[s][ci] & 31));
+        any_reset |= bool(o.blk_iir_reset[s][ci]);
+      } else {
+        for (int j = 0; j < 8; j++) fcq[j][c] = gcq[j][c] = 0;
+        shq[c] = 0;
+        qmq[c] = int64_t(~uint32_t(0));
+      }
+    }
+    if (any_reset) {
+      for (int j = 0; j < 8; j++) TR::store(stage[j], ih[j]);
+      for (int c = 0; c < nch; c++) {
+        const size_t ci = size_t(b) * nch + c;
+        if (!o.blk_iir_reset[s][ci]) continue;
+        const int32_t* init = &o.blk_iir_init[s][ci * 8];
+        for (int j = 0; j < 8; j++) stage[j][c] = init[j];
+      }
+      for (int j = 0; j < 8; j++) ih[j] = TR::load(stage[j]);
+    }
+    for (int c = 0; c < nch; c++) {
+      const int32_t* rc = res + ri + size_t(c) * bs_;
+      for (int k = 0; k < bs_; k++) rt[size_t(k) * W + c] = rc[k];
+    }
+    if (nch < W)
+      for (int k = 0; k < bs_; k++)
+        for (int c = nch; c < W; c++) rt[size_t(k) * W + c] = 0;
+    const V shv = TR::load(shq);
+    const V qmv = TR::load(qmq);
+    int32_t* dp = series + size_t(o.min_ch[s]) * T + t;
+    for (int k = 0; k < bs_; k++) {
+      V acc = TR::mul32(TR::load(fcq[0]), fh[0]);
+      acc = TR::add64(acc, TR::mul32(TR::load(gcq[0]), ih[0]));
+      for (int j = 1; j < 8; j++) {
+        acc = TR::add64(acc, TR::mul32(TR::load(fcq[j]), fh[j]));
+        acc = TR::add64(acc, TR::mul32(TR::load(gcq[j]), ih[j]));
+      }
+      const V shifted = TR::srav64(acc, shv);
+      const V rv = TR::widen(rt + size_t(k) * W);
+      V value = TR::add32(shifted, rv);
+      value = TR::and_(value, qmv);
+      const V ihn = TR::sub32(value, shifted);
+      for (int j = 0; j < 7; j++) fh[j] = fh[j + 1];
+      for (int j = 0; j < 7; j++) ih[j] = ih[j + 1];
+      fh[7] = value;
+      ih[7] = ihn;
+      TR::store(vout, value);
+      for (int c = 0; c < nch; c++)
+        dp[size_t(c) * T + k] = int32_t(vout[c]);
+    }
+    ri += size_t(nch) * bs_;
+    t += bs_;
+  }
+  return t == T ? 0 : -1;
+}
+#endif  // AVX-512
 }  // namespace
 }  // extern "C++"
 
@@ -2165,9 +2314,15 @@ int64_t mp_reconstruct(void* h, int64_t n_frames, int32_t out_ch,
   for (int s = 0; s < o.substream_count; s++) {
     const int nch = o.max_ch[s] - o.min_ch[s] + 1;
     if (nch < 1 || o.min_ch[s] + nch > C) return -1;
+#if defined(__AVX512F__) && defined(__AVX512VL__) && defined(__AVX512DQ__)
+    const int rc = nch <= 4
+        ? ar_substream_simd<4>(o, s, F, T, maxL, series.data(), rt.data())
+        : ar_substream_simd<8>(o, s, F, T, maxL, series.data(), rt.data());
+#else
     const int rc = nch <= 4
         ? ar_substream<4>(o, s, F, T, maxL, series.data(), rt.data())
         : ar_substream<8>(o, s, F, T, maxL, series.data(), rt.data());
+#endif
     if (rc != 0) return -1;
   }
 
