@@ -367,17 +367,21 @@ class TrackReader:
         self._cursor = data.shape[0]
         return out
 
-    def read_all_packed(self) -> bytes:
+    def read_all_packed(self) -> "bytes | bytearray":
         """Whole track as little-endian WAV data bytes (what follows the
         ``data`` chunk header).  On the native 24- and 16-bit MLP paths
-        the device packs the bytes itself, so this skips two full host
-        passes (unpack to int32 + repack) versus
-        ``pack_samples_le(read_all())`` — it is the production path for
-        disc→WAV conversion."""
+        the device (or host-complete reconstruction) packs the bytes
+        itself, so this skips two full host passes (unpack to int32 +
+        repack) versus ``pack_samples_le(read_all())`` — it is the
+        production path for disc→WAV conversion.  May return a
+        ``bytearray`` (bytes-compatible for writing, comparison and
+        slicing) to avoid copying the whole track once more."""
         from .utils.wav import pack_samples_le
 
         bps = self.bits_per_sample
-        if (self.codec == "MLP" and bps in (16, 24) and self._device_enabled()
+        if (self.codec == "MLP" and bps in (16, 24)
+                and (self._device_enabled()
+                     or self._cfg().resolved_host_complete())
                 and "_decoded" not in self.__dict__ and self._cursor == 0):
             from .codecs.mlp.track import decode_mlp_track
 
@@ -389,6 +393,19 @@ class TrackReader:
             if out.dtype == np.uint8:
                 self._cursor = out.shape[0]
                 self._packed_frames = out.shape[0]
+                # a bytearray-backed decode (host-complete reconstruct)
+                # is handed over as-is — bytes-compatible for writing,
+                # comparison and slicing, no 50 MB+ copy
+                base = out.base
+                while base is not None:
+                    if isinstance(base, memoryview):
+                        base = base.obj
+                        continue
+                    if isinstance(base, bytearray):
+                        break
+                    base = getattr(base, "base", None)
+                if isinstance(base, bytearray) and len(base) == out.nbytes:
+                    return base
                 return out.tobytes()
             self.__dict__["_decoded"] = out  # fallback decoded int32: keep
         return pack_samples_le(self.read_all(), bps)

@@ -369,7 +369,11 @@ class NativeParse:
         T = int(self.frame_len[:n_frames].sum())
         width = pack_bits // 8 if pack_bits else 4
         if pack_bits:
-            out = np.empty((T, out_ch * width), dtype=np.uint8)
+            # bytearray-backed so read_all_packed can hand the payload to
+            # the caller without a tobytes() copy of the whole track
+            buf = bytearray(T * out_ch * width)
+            out = np.frombuffer(buf, dtype=np.uint8).reshape(
+                T, out_ch * width)
         else:
             out = np.empty((T, out_ch), dtype=np.int32)
         perm = np.ascontiguousarray(wave_perm, dtype=np.int32)
