@@ -107,6 +107,8 @@ def _load():
                                    c.c_int64]
     lib.mp_widen24.restype = None
     lib.mp_widen24.argtypes = [c.c_void_p, c.c_int64, c.c_void_p]
+    lib.mp_pool_clear.restype = None
+    lib.mp_pool_clear.argtypes = []
     lib.mp_widen12.restype = None
     lib.mp_widen12.argtypes = [c.c_void_p, c.c_int64, c.c_void_p]
     lib.mp_sub_every.restype = c.c_int32
@@ -187,6 +189,17 @@ def _load():
 
 def available() -> bool:
     return _load() is not None
+
+
+def pool_clear() -> None:
+    """Release every arena block held by the native large-block pool
+    (mp_pool_clear).  The pool is self-limiting (DVDA_HOST_POOL_MB,
+    default 384 MiB) and recycles parse/reconstruction arenas across
+    decodes; call this to return the memory to the OS immediately, e.g.
+    after a batch job."""
+    lib = _load()
+    if lib is not None:
+        lib.mp_pool_clear()
 
 
 def widen24(pairs: np.ndarray, dst: np.ndarray) -> bool:

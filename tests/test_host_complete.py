@@ -247,3 +247,49 @@ def test_reconstruct_rejects_bad_args():
     with pytest.raises(ValueError):
         parse.reconstruct(parse.F, 3, 0, perm)  # perm shape mismatch
     parse.close()
+
+
+def test_read_all_packed_returns_buffer_without_copy(tmp_path):
+    """The host-complete packed decode hands back the reconstruction's
+    own bytearray (no whole-track tobytes copy); content equals the
+    Python-spec packing and it behaves like bytes for write/compare."""
+    mlp = MlpSynthConfig(channel_assignment=17, substream_count=2,
+                         n_frames=16, seed=21)
+    spec = MlpTrackSpec(mlp_stream=synth_mlp_stream(mlp),
+                        pcm_frames=mlp.total_pcm_frames,
+                        sample_rate=96000, channel_assignment=17)
+    layout = build_disc(str(tmp_path / "AUDIO_TS"), [[spec]])
+    r = (DVDA(layout.path, config=DecodeConfig(use_device=False))
+         .open_titleset(1).open_title(1).open_track(1).open_reader())
+    packed = r.read_all_packed()
+    r.close()
+    assert isinstance(packed, bytearray)
+    r2 = (DVDA(layout.path, config=DecodeConfig(use_device=False))
+          .open_titleset(1).open_title(1).open_track(1).open_reader())
+    unpacked = r2.read_all()
+    r2.close()
+    assert packed == pack_samples_le(unpacked, 24)
+
+
+def test_arena_pool_recycles_and_clears():
+    """The native large-block pool recycles parse arenas across decodes
+    (same output bit-for-bit) and pool_clear() empties it; decode still
+    works right after a clear."""
+    cfg = MlpSynthConfig(channel_assignment=17, substream_count=2,
+                         n_frames=24, seed=5)
+    stream = synth_mlp_stream(cfg)
+    perm = np.arange(6, dtype=np.int32)
+
+    def run():
+        parse = host.parse_mlp_stream(stream)
+        assert parse.status == 0
+        out = parse.reconstruct(parse.F, 6, 24, perm)
+        parse.close()
+        return bytes(out)
+
+    first = run()
+    # second decode reuses pooled arenas (uninitialized memory on the
+    # pool's fast path) — output must be identical
+    assert run() == first
+    host.pool_clear()
+    assert run() == first
