@@ -1122,7 +1122,13 @@ def _finish_uniform(pending, T, out_ch, pack_bits, want_packed,
                               if retier else (got, pending[i][1]))
         nbytes = pack_bits // 8
         width = out_ch * nbytes if pack_bits else out_ch
-        raw = np.empty((T, width), dtype=np.uint8 if pack_bits else np.int32)
+        if pack_bits:
+            # bytearray-backed so read_all_packed can hand the payload
+            # to the caller without a whole-track tobytes() copy
+            raw = np.frombuffer(bytearray(T * width),
+                                dtype=np.uint8).reshape(T, width)
+        else:
+            raw = np.empty((T, width), dtype=np.int32)
         row = 0
         for (dev, n), got in zip(pending, resolved):
             take = min(n, T - row)

@@ -1222,7 +1222,6 @@ struct Parser {
     }
     int64_t pos = r.pos;
     const int64_t nbits = r.nbits;
-    int32_t am = *amax;
     // rolling 64-bit window (same scheme as skip_residuals): window()
     // pre-shifts by (wbase & 7), so 57 bits are guaranteed valid; a
     // channel consumes <=33 bits (<=9-bit code + <=24-bit LSB field),
@@ -1270,9 +1269,17 @@ struct Parser {
             uint32_t(uint32_t((msb << lb) + int32_t(lsb) + offsets[ci]))
             << quants[ci]);
         dst[size_t(ci) * bs + i] = v;
-        int32_t a = v < 0 ? ~v : v;  // |v| with INT32_MIN -> INT32_MAX
-        if (a > am) am = a;
       }
+    }
+    // amax (narrow-d2h tier selection) as a separate vectorizable sweep
+    // over the block's contiguous residuals instead of a serial-loop
+    // compare per symbol
+    int32_t am = *amax;
+    const int64_t nv = int64_t(n_ch) * bs;
+    for (int64_t j = 0; j < nv; j++) {
+      const int32_t v = dst[j];
+      const int32_t a = v < 0 ? ~v : v;  // |v| with INT32_MIN -> INT32_MAX
+      if (a > am) am = a;
     }
     *amax = am;
     r.pos = pos;
