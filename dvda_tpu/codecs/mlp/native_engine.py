@@ -660,7 +660,8 @@ def _decode_host_complete(stream, boundaries, probe_end, parameters,
         pb = _pack_bits(parameters.bits_per_sample) if want_packed else 0
         with global_timer.stage("mlp/host-recon"):
             return parse.reconstruct(F, out_ch, pb,
-                                     _wave_perm(parse, out_ch))
+                                     _wave_perm(parse, out_ch),
+                                     threads=cfg.resolved_parse_threads())
     finally:
         inc.close()
 

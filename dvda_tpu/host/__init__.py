@@ -104,7 +104,7 @@ def _load():
     lib.mp_reconstruct.restype = c.c_int64
     lib.mp_reconstruct.argtypes = [c.c_void_p, c.c_int64, c.c_int32,
                                    c.c_int32, c.c_void_p, c.c_void_p,
-                                   c.c_int64]
+                                   c.c_int64, c.c_int32]
     lib.mp_widen24.restype = None
     lib.mp_widen24.argtypes = [c.c_void_p, c.c_int64, c.c_void_p]
     lib.mp_pool_clear.restype = None
@@ -367,13 +367,16 @@ class NativeParse:
             self.sub.append(sub)
 
     def reconstruct(self, n_frames: int, out_ch: int, pack_bits: int,
-                    wave_perm: "np.ndarray") -> "np.ndarray | None":
+                    wave_perm: "np.ndarray",
+                    threads: int = 1) -> "np.ndarray | None":
         """Host-complete reconstruction (mp_reconstruct): filter +
         rematrix + output shifts + WAVE mapping + packing, all in the
         native runtime.  Returns packed WAV payload bytes — uint8
         [T, out_ch*pack_bits/8] for pack_bits 16/24 — or int32
         [T, out_ch] samples for pack_bits 0; None when this parse can't
-        be reconstructed (bail status or skip-values mode)."""
+        be reconstructed (bail status or skip-values mode).  threads ≥ 2
+        parallelizes the AR filter across substreams and the
+        rematrix/pack across frame ranges, bit-identically."""
         if self._h is None or self.status != 0 or self.skip_values:
             return None
         if pack_bits not in (0, 16, 24):
@@ -395,7 +398,8 @@ class NativeParse:
         got = self._lib.mp_reconstruct(
             self._h, n_frames, out_ch, pack_bits,
             perm.ctypes.data_as(ctypes.c_void_p),
-            out.ctypes.data_as(ctypes.c_void_p), out.nbytes)
+            out.ctypes.data_as(ctypes.c_void_p), out.nbytes,
+            max(1, int(threads)))
         if got != out.nbytes:
             raise RuntimeError(f"mp_reconstruct failed ({got})")
         return out

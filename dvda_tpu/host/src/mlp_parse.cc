@@ -16,6 +16,7 @@
 //
 // Build: g++ -O3 -shared -fPIC (no external dependencies).
 
+#include <algorithm>
 #include <atomic>
 #include <condition_variable>
 #include <cstdint>
@@ -2254,6 +2255,120 @@ int ar_substream_simd(const Result& o, int s, int64_t F, int64_t T,
   return t == T ? 0 : -1;
 }
 #endif  // AVX-512
+
+// stage-1 dispatch: pick lane width (and the AVX-512 build when
+// compiled in) for one substream
+inline int run_ar_substream(const Result& o, int s, int64_t F, int64_t T,
+                            int64_t maxL, int32_t* series, int32_t* rt) {
+  const int nch = o.max_ch[s] - o.min_ch[s] + 1;
+#if defined(__AVX512F__) && defined(__AVX512VL__) && defined(__AVX512DQ__)
+  return nch <= 4 ? ar_substream_simd<4>(o, s, F, T, maxL, series, rt)
+                  : ar_substream_simd<8>(o, s, F, T, maxL, series, rt);
+#else
+  return nch <= 4 ? ar_substream<4>(o, s, F, T, maxL, series, rt)
+                  : ar_substream<8>(o, s, F, T, maxL, series, rt);
+#endif
+}
+
+// Stage 2 over the frame range [f0, f1) whose first sample is t0: LFSR
+// noise, sequential in-place matrices (each may feed the next within a
+// frame), output shifts fused into the WAVE-permuted pack.  Within a
+// matrix every sample is independent: with channel-major series the
+// apply is a per-channel broadcast-MAC over contiguous samples
+// (vectorizable), accumulated in an int64 frame buffer.  Frames are
+// independent of each other (per-frame seed/matrices/shifts; series and
+// dst rows are range-disjoint), so ranges run concurrently.
+inline int recon_frames(const Result& o, int64_t f0, int64_t f1, int64_t t0,
+                        int32_t* series, int64_t T, int C, int32_t out_ch,
+                        int32_t bps, const int32_t* wave_perm, uint8_t* dst,
+                        int64_t maxL) {
+  std::vector<int32_t> n0(static_cast<size_t>(maxL));
+  std::vector<int32_t> n1(static_cast<size_t>(maxL));
+  std::vector<int64_t> acc(static_cast<size_t>(maxL));
+  uint8_t* dp8 = dst + t0 * int64_t(out_ch) * (bps / 8);
+  for (int64_t f = f0; f < f1; f++) {
+    const int64_t L = o.frame_len[f];
+    uint32_t seed = o.frame_seed[f];
+    const int nsh = o.frame_nshift[f];
+    for (int64_t i = 0; i < L; i++) {
+      const uint32_t shifted = (seed >> 7) & 0xFFFF;
+      n0[i] = int32_t(int8_t(uint8_t(seed >> 15))) << nsh;
+      n1[i] = int32_t(int8_t(uint8_t(shifted))) << nsh;
+      seed = ((seed << 16) ^ shifted ^ (shifted << 5)) & 0xFFFFFFFFu;
+    }
+    const uint8_t* byp = o.bypassed.data() + t0;
+    for (int m = 0; m < kMaxMatrices; m++) {
+      if (!o.mat_active[size_t(f) * kMaxMatrices + m]) continue;
+      const size_t mrow = size_t(f) * kMaxMatrices + m;
+      const int32_t* mc = &o.mat_coeff[mrow * kMaxChannels];
+      const int32_t na = int32_t(o.mat_noise[mrow * 2]);
+      const int32_t nb = int32_t(o.mat_noise[mrow * 2 + 1]);
+      const int oc = o.mat_out[mrow];
+      const int q = o.mat_quant[mrow];
+      if (oc < 0 || oc >= C) return -1;
+      int64_t* __restrict ap = acc.data();
+      const int32_t* __restrict np0 = n0.data();
+      const int32_t* __restrict np1 = n1.data();
+      for (int64_t i = 0; i < L; i++)
+        ap[i] = int64_t(np0[i]) * na + int64_t(np1[i]) * nb;
+      for (int c = 0; c < C; c++) {
+        const int32_t w = mc[c];
+        if (!w) continue;
+        const int32_t* __restrict ch = series + size_t(c) * T + t0;
+        for (int64_t i = 0; i < L; i++) ap[i] += int64_t(ch[i]) * w;
+      }
+      const uint32_t qmask = ~uint32_t(0) << (q & 31);
+      int32_t* __restrict out = series + size_t(oc) * T + t0;
+      for (int64_t i = 0; i < L; i++) {
+        int32_t v = int32_t(uint32_t(uint64_t(ap[i] >> 14)));
+        v = int32_t(uint32_t(v) & qmask);
+        out[i] = int32_t(uint32_t(v) + uint32_t((byp[i] >> m) & 1));
+      }
+    }
+    const int32_t* osh = &o.out_shift[size_t(f) * kMaxChannels];
+    if (bps == 24) {
+      for (int w = 0; w < out_ch; w++) {
+        const int pc = wave_perm[w];
+        const int sh = osh[pc] & 31;
+        const int32_t* __restrict ch = series + size_t(pc) * T + t0;
+        uint8_t* __restrict d = dp8 + 3 * w;
+        const int64_t stride = 3 * int64_t(out_ch);
+        for (int64_t i = 0; i < L; i++, d += stride) {
+          const uint32_t v = uint32_t(ch[i]) << sh;
+          d[0] = uint8_t(v);
+          d[1] = uint8_t(v >> 8);
+          d[2] = uint8_t(v >> 16);
+        }
+      }
+      dp8 += 3 * int64_t(out_ch) * L;
+    } else if (bps == 16) {
+      for (int w = 0; w < out_ch; w++) {
+        const int pc = wave_perm[w];
+        const int sh = osh[pc] & 31;
+        const int32_t* __restrict ch = series + size_t(pc) * T + t0;
+        uint8_t* __restrict d = dp8 + 2 * w;
+        const int64_t stride = 2 * int64_t(out_ch);
+        for (int64_t i = 0; i < L; i++, d += stride) {
+          const uint32_t v = uint32_t(ch[i]) << sh;
+          d[0] = uint8_t(v);
+          d[1] = uint8_t(v >> 8);
+        }
+      }
+      dp8 += 2 * int64_t(out_ch) * L;
+    } else {
+      int32_t* d32 = reinterpret_cast<int32_t*>(dst) + t0 * out_ch;
+      for (int w = 0; w < out_ch; w++) {
+        const int pc = wave_perm[w];
+        const int sh = osh[pc] & 31;
+        const int32_t* __restrict ch = series + size_t(pc) * T + t0;
+        for (int64_t i = 0; i < L; i++)
+          d32[i * out_ch + w] = int32_t(uint32_t(ch[i]) << sh);
+      }
+    }
+    t0 += L;
+  }
+  return 0;
+}
 }  // namespace
 }  // extern "C++"
 
@@ -2274,11 +2389,14 @@ int ar_substream_simd(const Result& o, int s, int64_t F, int64_t T,
 // little-endian WAV payload bytes [T, out_ch*bps/8]; bps=0 → int32
 // samples [T, out_ch] (other widths, e.g. 20-bit, pack on the host via
 // utils/wav.py exactly like the device path).  wave_perm[w] = MLP
-// channel feeding output slot w.  Returns bytes written, or <0 on
+// channel feeding output slot w.  threads ≥ 2 parallelizes stage 1
+// across substreams and stage 2 across frame ranges (bit-identical:
+// substreams write disjoint series rows, frames are independent and
+// their series/dst spans disjoint).  Returns bytes written, or <0 on
 // invalid input / undersized dst.
 int64_t mp_reconstruct(void* h, int64_t n_frames, int32_t out_ch,
                        int32_t bps, const int32_t* wave_perm,
-                       uint8_t* dst, int64_t cap) {
+                       uint8_t* dst, int64_t cap, int32_t threads) {
   Parser* p = static_cast<Parser*>(h);
   Result& o = p->out;
   if (o.status != 0 || p->skip_values) return -1;
@@ -2308,7 +2426,6 @@ int64_t mp_reconstruct(void* h, int64_t n_frames, int32_t out_ch,
   // uninitialized storage: covered channels are fully written by their
   // substream (the t==T check), so only uncovered rows need zeroing.
   rawvec<int32_t> series(size_t(T) * C);
-  rawvec<int32_t> rt(size_t(maxL) * kMaxChannels);  // residual scratch
   {
     bool covered[kMaxChannels] = {};
     for (int s = 0; s < o.substream_count; s++)
@@ -2321,109 +2438,59 @@ int64_t mp_reconstruct(void* h, int64_t n_frames, int32_t out_ch,
   for (int s = 0; s < o.substream_count; s++) {
     const int nch = o.max_ch[s] - o.min_ch[s] + 1;
     if (nch < 1 || o.min_ch[s] + nch > C) return -1;
-#if defined(__AVX512F__) && defined(__AVX512VL__) && defined(__AVX512DQ__)
-    const int rc = nch <= 4
-        ? ar_substream_simd<4>(o, s, F, T, maxL, series.data(), rt.data())
-        : ar_substream_simd<8>(o, s, F, T, maxL, series.data(), rt.data());
-#else
-    const int rc = nch <= 4
-        ? ar_substream<4>(o, s, F, T, maxL, series.data(), rt.data())
-        : ar_substream<8>(o, s, F, T, maxL, series.data(), rt.data());
-#endif
-    if (rc != 0) return -1;
+  }
+  if (threads < 1) threads = 1;
+  const int ns = o.substream_count;
+  if (threads > 1 && ns > 1) {
+    // one thread per substream (writes disjoint series channel rows)
+    std::vector<std::thread> ws;
+    std::vector<int> rcs(ns, 0);
+    std::vector<rawvec<int32_t>> rts(ns);
+    for (int s = 0; s < ns; s++) rts[s].resize(size_t(maxL) * kMaxChannels);
+    for (int s = 1; s < ns; s++)
+      ws.emplace_back([&, s] {
+        rcs[s] = run_ar_substream(o, s, F, T, maxL, series.data(),
+                                  rts[s].data());
+      });
+    rcs[0] = run_ar_substream(o, 0, F, T, maxL, series.data(),
+                              rts[0].data());
+    for (auto& w : ws) w.join();
+    for (int s = 0; s < ns; s++)
+      if (rcs[s] != 0) return -1;
+  } else {
+    rawvec<int32_t> rt(size_t(maxL) * kMaxChannels);  // residual scratch
+    for (int s = 0; s < ns; s++)
+      if (run_ar_substream(o, s, F, T, maxL, series.data(), rt.data()) != 0)
+        return -1;
   }
 
-  // -- stage 2: per frame — LFSR noise, sequential in-place matrices,
-  //    output shifts fused into the WAVE-permuted pack -------------------
-  // Matrices apply one at a time (each may feed the next), but within a
-  // matrix every sample is independent: with channel-major series the
-  // apply is a per-channel broadcast-MAC over contiguous samples
-  // (vectorizable), accumulated in an int64 frame buffer.
-  std::vector<int32_t> n0(static_cast<size_t>(maxL));
-  std::vector<int32_t> n1(static_cast<size_t>(maxL));
-  std::vector<int64_t> acc(static_cast<size_t>(maxL));
-  int64_t t0 = 0;
-  uint8_t* dp8 = dst;
-  for (int64_t f = 0; f < F; f++) {
-    const int64_t L = o.frame_len[f];
-    uint32_t seed = o.frame_seed[f];
-    const int nsh = o.frame_nshift[f];
-    for (int64_t i = 0; i < L; i++) {
-      const uint32_t shifted = (seed >> 7) & 0xFFFF;
-      n0[i] = int32_t(int8_t(uint8_t(seed >> 15))) << nsh;
-      n1[i] = int32_t(int8_t(uint8_t(shifted))) << nsh;
-      seed = ((seed << 16) ^ shifted ^ (shifted << 5)) & 0xFFFFFFFFu;
+  // -- stage 2: frames are independent — run [f0, f1) ranges of roughly
+  //    equal sample counts concurrently (recon_frames above) -------------
+  if (threads > 1 && F > 1) {
+    const int R = int(std::min<int64_t>(threads, F));
+    std::vector<std::thread> ws;
+    std::vector<int> rcs(R, 0);
+    const int64_t per = (T + R - 1) / R;  // target samples per range
+    int64_t f0 = 0, t0 = 0, r = 0;
+    while (f0 < F && r < R) {
+      int64_t f1 = f0, tend = t0;
+      const int64_t goal = (r == R - 1) ? T : std::min(T, t0 + per);
+      while (f1 < F && (tend < goal || f1 == f0)) tend += o.frame_len[f1++];
+      const int64_t rf0 = f0, rf1 = f1, rt0 = t0, rr = r;
+      ws.emplace_back([&, rf0, rf1, rt0, rr] {
+        rcs[rr] = recon_frames(o, rf0, rf1, rt0, series.data(), T, C,
+                               out_ch, bps, wave_perm, dst, maxL);
+      });
+      f0 = f1;
+      t0 = tend;
+      r++;
     }
-    const uint8_t* byp = o.bypassed.data() + t0;
-    for (int m = 0; m < kMaxMatrices; m++) {
-      if (!o.mat_active[size_t(f) * kMaxMatrices + m]) continue;
-      const size_t mrow = size_t(f) * kMaxMatrices + m;
-      const int32_t* mc = &o.mat_coeff[mrow * kMaxChannels];
-      const int32_t na = int32_t(o.mat_noise[mrow * 2]);
-      const int32_t nb = int32_t(o.mat_noise[mrow * 2 + 1]);
-      const int oc = o.mat_out[mrow];
-      const int q = o.mat_quant[mrow];
-      if (oc < 0 || oc >= C) return -1;
-      int64_t* __restrict ap = acc.data();
-      const int32_t* __restrict np0 = n0.data();
-      const int32_t* __restrict np1 = n1.data();
-      for (int64_t i = 0; i < L; i++)
-        ap[i] = int64_t(np0[i]) * na + int64_t(np1[i]) * nb;
-      for (int c = 0; c < C; c++) {
-        const int32_t w = mc[c];
-        if (!w) continue;
-        const int32_t* __restrict ch = series.data() + size_t(c) * T + t0;
-        for (int64_t i = 0; i < L; i++) ap[i] += int64_t(ch[i]) * w;
-      }
-      const uint32_t qmask = ~uint32_t(0) << (q & 31);
-      int32_t* __restrict out = series.data() + size_t(oc) * T + t0;
-      for (int64_t i = 0; i < L; i++) {
-        int32_t v = int32_t(uint32_t(uint64_t(ap[i] >> 14)));
-        v = int32_t(uint32_t(v) & qmask);
-        out[i] = int32_t(uint32_t(v) + uint32_t((byp[i] >> m) & 1));
-      }
-    }
-    const int32_t* osh = &o.out_shift[size_t(f) * kMaxChannels];
-    if (bps == 24) {
-      for (int w = 0; w < out_ch; w++) {
-        const int pc = wave_perm[w];
-        const int sh = osh[pc] & 31;
-        const int32_t* __restrict ch = series.data() + size_t(pc) * T + t0;
-        uint8_t* __restrict d = dp8 + 3 * w;
-        const int64_t stride = 3 * int64_t(out_ch);
-        for (int64_t i = 0; i < L; i++, d += stride) {
-          const uint32_t v = uint32_t(ch[i]) << sh;
-          d[0] = uint8_t(v);
-          d[1] = uint8_t(v >> 8);
-          d[2] = uint8_t(v >> 16);
-        }
-      }
-      dp8 += 3 * int64_t(out_ch) * L;
-    } else if (bps == 16) {
-      for (int w = 0; w < out_ch; w++) {
-        const int pc = wave_perm[w];
-        const int sh = osh[pc] & 31;
-        const int32_t* __restrict ch = series.data() + size_t(pc) * T + t0;
-        uint8_t* __restrict d = dp8 + 2 * w;
-        const int64_t stride = 2 * int64_t(out_ch);
-        for (int64_t i = 0; i < L; i++, d += stride) {
-          const uint32_t v = uint32_t(ch[i]) << sh;
-          d[0] = uint8_t(v);
-          d[1] = uint8_t(v >> 8);
-        }
-      }
-      dp8 += 2 * int64_t(out_ch) * L;
-    } else {
-      int32_t* d32 = reinterpret_cast<int32_t*>(dst) + t0 * out_ch;
-      for (int w = 0; w < out_ch; w++) {
-        const int pc = wave_perm[w];
-        const int sh = osh[pc] & 31;
-        const int32_t* __restrict ch = series.data() + size_t(pc) * T + t0;
-        for (int64_t i = 0; i < L; i++)
-          d32[i * out_ch + w] = int32_t(uint32_t(ch[i]) << sh);
-      }
-    }
-    t0 += L;
+    for (auto& w : ws) w.join();
+    for (int i = 0; i < R; i++)
+      if (rcs[i] != 0) return -1;
+  } else if (recon_frames(o, 0, F, 0, series.data(), T, C, out_ch, bps,
+                          wave_perm, dst, maxL) != 0) {
+    return -1;
   }
   return T * bytes_per;
 }

@@ -293,3 +293,21 @@ def test_arena_pool_recycles_and_clears():
     assert run() == first
     host.pool_clear()
     assert run() == first
+
+
+@pytest.mark.parametrize("threads", [2, 4])
+def test_reconstruct_threads_bit_identical(threads):
+    """Threaded reconstruction (substream-parallel AR filter +
+    frame-range-parallel rematrix/pack) is bit-identical to the serial
+    path, packed and unpacked."""
+    cfg = MlpSynthConfig(channel_assignment=17, substream_count=2,
+                         n_frames=40, seed=31, params_update_prob=0.4)
+    stream = synth_mlp_stream(cfg)
+    parse = host.parse_mlp_stream(stream)
+    assert parse.status == 0
+    perm = np.arange(6, dtype=np.int32)
+    for pb in (0, 24, 16):
+        serial = parse.reconstruct(parse.F, 6, pb, perm)
+        par = parse.reconstruct(parse.F, 6, pb, perm, threads=threads)
+        assert np.array_equal(serial, par), pb
+    parse.close()
