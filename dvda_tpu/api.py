@@ -418,7 +418,9 @@ class TrackReader:
         reads of long tracks skip most of the work.  Everywhere else it
         slices the cached full decode.  Does not move the cursor."""
         if (self.codec == "MLP" and "_decoded" not in self.__dict__
-                and self._device_enabled() and self._cfg().use_native):
+                and (self._device_enabled()
+                     or self._cfg().resolved_host_complete())
+                and self._cfg().use_native):
             from .codecs.mlp.track import decode_mlp_track_range
 
             out = decode_mlp_track_range(self.aob, self.track.span,

@@ -86,3 +86,23 @@ def test_pcm_track_has_no_manifest(tmp_path):
     assert reader.manifest is None
     assert np.array_equal(reader.read_range(10, 20),
                           reader.read_all()[10:30])
+
+
+def test_read_range_host_complete_resumes(tmp_path):
+    """Under the host-complete config (no device), read_range still takes
+    the manifest-resume native path — not a full decode + slice — and
+    matches the full decode."""
+    from dvda_tpu.config import DecodeConfig
+
+    track, cfg = _disc(tmp_path, fir_across_restart=False,
+                       params_update_prob=0.0)
+    full = track.open_reader(use_device=True).read_all()
+    reader = (DVDA(str(tmp_path / "AUDIO_TS"),
+                   config=DecodeConfig(use_device=False))
+              .open_titleset(1).open_title(1).open_track(1).open_reader())
+    per = cfg.frames_per_mlp_frame
+    for start, n in [(5 * per, 3 * per), (4 * per + 7, 10)]:
+        got = reader.read_range(start, n)
+        assert np.array_equal(got, full[start : start + n]), (start, n)
+    # the range path must not have materialized the full decode
+    assert "_decoded" not in reader.__dict__
