@@ -589,7 +589,10 @@ def assemble_mlp_stream(aob, first_sector: int, last_sector: int,
     c = ctypes
     state = np.zeros(10, dtype=np.int64)
     state[3] = -1  # ST_SYNC_OFF
-    stream = np.empty(batch * 2048, dtype=np.uint8)
+    # the assembled stream cannot exceed the span's sector payload:
+    # size once, no geometric regrow copies on multi-MB tracks
+    span = max(int(last_sector) - int(first_sector) + 1, 1)
+    stream = np.empty(min(span, 1 << 20) * 2048, dtype=np.uint8)
     bounds_cap = batch * 342  # > max audio packets per sector
     bounds_buf = np.empty(bounds_cap, dtype=np.int64)
     n_out = np.zeros(1, dtype=np.int64)

@@ -311,3 +311,29 @@ def test_reconstruct_threads_bit_identical(threads):
         par = parse.reconstruct(parse.F, 6, pb, perm, threads=threads)
         assert np.array_equal(serial, par), pb
     parse.close()
+
+
+def test_host_complete_20bit_wav_parity_vs_oracle(tmp_path, ref_oracle):
+    """20-bit MLP under host-complete: reconstruct returns int32 (pack
+    on host via utils/wav, like the device path) and the WAV is
+    byte-identical to the reference dvda2wav."""
+    mlp = MlpSynthConfig(channel_assignment=1, substream_count=1,
+                         bits_per_sample=20, n_frames=40, seed=17)
+    spec = MlpTrackSpec(mlp_stream=synth_mlp_stream(mlp),
+                        pcm_frames=mlp.total_pcm_frames,
+                        sample_rate=96000, channel_assignment=1)
+    layout = build_disc(str(tmp_path / "AUDIO_TS"), [[spec]])
+    golden = ref_oracle.run_dvda2wav(layout.path, str(tmp_path / "gold"))
+    r = (DVDA(layout.path, config=DecodeConfig(use_device=False))
+         .open_titleset(1).open_title(1).open_track(1).open_reader())
+    global_timer.reset()
+    payload = r.read_all_packed()
+    assert "mlp/host-recon" in global_timer.totals  # host-complete engaged
+    # 20-bit payloads are bit-packed (2.5 B/sample): recover the frame
+    # count from bits; wave_header reproduces the reference's quirky
+    # bits//8 size fields itself
+    frames = len(payload) * 8 // (r.channel_count * r.bits_per_sample)
+    hdr = wave_header(r.sample_rate, r.channel_count, r.channel_mask,
+                      r.bits_per_sample, frames)
+    r.close()
+    assert hdr + payload == golden["track-01-01.wav"]

@@ -32,6 +32,9 @@ void mp_fill_noise(void*);
 const int32_t* mp_noise0(void*);
 const int32_t* mp_residuals(void*, int);
 int64_t mp_residuals_size(void*, int);
+int32_t mp_mmc(void*);
+int64_t mp_reconstruct(void*, int64_t, int32_t, int32_t, const int32_t*,
+                       uint8_t*, int64_t, int32_t);
 }
 
 int main(int argc, char** argv) {
@@ -89,6 +92,22 @@ int main(int argc, char** argv) {
       if (mp_residuals_size(seq, s) != mp_residuals_size(mt, s)) ok = 0;
       if (ok && std::memcmp(mp_residuals(seq, s), mp_residuals(mt, s),
                             size_t(mp_residuals_size(seq, s)) * 4) != 0)
+        ok = 0;
+    }
+    // threaded reconstruction (substream-parallel AR + frame-range
+    // rematrix/pack) under TSAN: serial vs threads-N byte equality,
+    // arenas riding the shared pool concurrently
+    if (ok) {
+      const int32_t perm[8] = {0, 1, 2, 3, 4, 5, 6, 7};
+      const int out_ch = mp_mmc(seq) + 1;
+      const int64_t cap = mp_total_samples(seq) * int64_t(out_ch) * 3;
+      std::vector<uint8_t> a(static_cast<size_t>(cap));
+      std::vector<uint8_t> b(static_cast<size_t>(cap));
+      const int64_t ra =
+          mp_reconstruct(seq, -1, out_ch, 24, perm, a.data(), cap, 1);
+      const int64_t rb =
+          mp_reconstruct(mt, -1, out_ch, 24, perm, b.data(), cap, threads);
+      if (ra < 0 || ra != rb || std::memcmp(a.data(), b.data(), size_t(ra)))
         ok = 0;
     }
   }
