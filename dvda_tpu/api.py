@@ -379,6 +379,12 @@ class TrackReader:
         from .utils.wav import pack_samples_le
 
         bps = self.bits_per_sample
+        if (self.codec == "PCM" and bps in (16, 24)
+                and "_decoded" not in self.__dict__ and self._cursor == 0
+                and self._cfg().use_native_demux):
+            out = self._pcm_packed_native()
+            if out is not None:
+                return out
         if (self.codec == "MLP" and bps in (16, 24)
                 and (self._device_enabled()
                      or self._cfg().resolved_host_complete())
@@ -409,6 +415,40 @@ class TrackReader:
                 return out.tobytes()
             self.__dict__["_decoded"] = out  # fallback decoded int32: keep
         return pack_samples_le(self.read_all(), bps)
+
+    def _pcm_packed_native(self) -> "bytearray | None":
+        """PCM disc→WAV fast path: native demux/assembly straight into WAV
+        payload bytes through one composed byte-gather (mp_pcm_repack) —
+        the unswap scatter and the LE sample pack are both byte
+        permutations, so no int32 round trip is needed.  None → caller
+        falls back to the decode + pack_samples_le path (which remains
+        the executable spec; parity pinned in test_pcm)."""
+        from . import host
+
+        span = self.track.span
+        total = round(span.pts_length * self.parameters.sample_rate
+                      / PTS_PER_SECOND)
+        bps = self.parameters.bits_per_sample
+        ch = self.parameters.channel_count
+        csize = pcm_codec.chunk_size(bps, ch)
+        data = host.assemble_pcm_chunks(self.aob, span.first_sector,
+                                        self.parameters, total, csize)
+        if data is None:
+            return None
+        chunks = np.frombuffer(data, dtype=np.uint8)
+        n = chunks.size // csize
+        if n == 0:
+            return None
+        chunks = chunks[: n * csize].reshape(n, csize)
+        nb = bps // 8
+        table = pcm_codec.pcm_gather_indices(bps, ch)[:, :nb].reshape(-1)
+        frames = min(total, 2 * n)
+        buf = host.pcm_repack(chunks, table, 2 * ch * nb, frames * ch * nb)
+        if buf is None:
+            return None
+        self._cursor = frames
+        self._packed_frames = frames
+        return buf
 
     def read_range(self, start_frame: int, pcm_frames: int) -> np.ndarray:
         """Decode only ``[start_frame, start_frame + pcm_frames)``.

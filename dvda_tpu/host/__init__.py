@@ -109,6 +109,10 @@ def _load():
     lib.mp_widen24.argtypes = [c.c_void_p, c.c_int64, c.c_void_p]
     lib.mp_pool_clear.restype = None
     lib.mp_pool_clear.argtypes = []
+    lib.mp_pcm_repack.restype = None
+    lib.mp_pcm_repack.argtypes = [c.c_void_p, c.c_int64, c.c_int32,
+                                  c.c_void_p, c.c_int32, c.c_void_p,
+                                  c.c_int64]
     lib.mp_widen12.restype = None
     lib.mp_widen12.argtypes = [c.c_void_p, c.c_int64, c.c_void_p]
     lib.mp_sub_every.restype = c.c_int32
@@ -189,6 +193,30 @@ def _load():
 
 def available() -> bool:
     return _load() is not None
+
+
+def pcm_repack(chunks: "np.ndarray", table: "np.ndarray",
+               out_per_chunk: int, max_bytes: int):
+    """Repack PCM chunk bytes straight into WAV payload bytes through one
+    composed gather table (mp_pcm_repack) — see host/src/pcm_repack.cc.
+    ``chunks``: uint8 [n, csize] C-contiguous.  ``table``: int32
+    [out_per_chunk], source index per output byte (-1 → 0).  Returns a
+    bytearray of ``max_bytes`` WAV data bytes, or None when the native
+    library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    assert chunks.dtype == np.uint8 and chunks.flags["C_CONTIGUOUS"]
+    table = np.ascontiguousarray(table, dtype=np.int32)
+    assert table.shape == (out_per_chunk,)
+    buf = bytearray(int(max_bytes))
+    lib.mp_pcm_repack(
+        chunks.ctypes.data_as(ctypes.c_void_p), chunks.shape[0],
+        chunks.shape[1], table.ctypes.data_as(ctypes.c_void_p),
+        int(out_per_chunk),
+        (ctypes.c_char * len(buf)).from_buffer(buf) if buf else None,
+        len(buf))
+    return buf
 
 
 def pool_clear() -> None:

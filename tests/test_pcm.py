@@ -122,3 +122,23 @@ def test_read_pull_semantics(tmp_path):
     rest = reader.read_all()
     assert rest.shape == (860, 2)
     assert reader.read(10).shape == (0, 2)
+
+
+@pytest.mark.parametrize("bits,assign", [(16, 1), (24, 1), (24, 17)])
+def test_read_all_packed_native_repack_parity(tmp_path, bits, assign):
+    """The PCM packed fast path (native demux + mp_pcm_repack byte
+    gather) equals pack_samples_le(read_all()) and returns its buffer
+    without a copy (bytearray)."""
+    from dvda_tpu import host
+
+    if not host.available():
+        pytest.skip("native host library unavailable")
+    spec = PcmTrackSpec(pcm_frames=2880, sample_rate=96000,
+                        bits_per_sample=bits, channel_assignment=assign,
+                        seed=9)
+    layout = build_disc(str(tmp_path / "AUDIO_TS"), [[spec]])
+    title = DVDA(layout.path).open_titleset(1).open_title(1)
+    packed = title.open_track(1).open_reader().read_all_packed()
+    assert isinstance(packed, bytearray)
+    samples = title.open_track(1).open_reader().read_all()
+    assert bytes(packed) == pack_samples_le(samples, bits)
