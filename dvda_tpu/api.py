@@ -416,6 +416,41 @@ class TrackReader:
             self.__dict__["_decoded"] = out  # fallback decoded int32: keep
         return pack_samples_le(self.read_all(), bps)
 
+    def iter_packed(self, segment_pcm_frames: int | None = None):
+        """Stream the track's WAV payload as an iterator of bytes-like
+        chunks whose concatenation equals ``read_all_packed()``.
+
+        MLP tracks decode segment-by-segment from manifest resume points
+        (codecs/mlp/track.iter_mlp_packed_segments): peak memory is the
+        assembled MLP byte stream plus ONE segment's working set, instead
+        of whole-track arenas — the way to convert a multi-hour track in
+        bounded memory.  ``segment_pcm_frames`` defaults to ~30 seconds.
+        Tracks without mid-stream resume points (and PCM tracks, whose
+        payload is already within ~2x of the raw sectors) fall back to a
+        single chunk.  Does not move the pull cursor."""
+        if segment_pcm_frames is None:
+            segment_pcm_frames = 30 * self.sample_rate
+        if self.codec == "MLP" and "_decoded" not in self.__dict__:
+            from .codecs.mlp.track import iter_mlp_packed_segments
+
+            it = iter_mlp_packed_segments(self.aob, self.track.span,
+                                          self.parameters,
+                                          int(segment_pcm_frames),
+                                          config=self.config)
+            if it is not None:
+                return it
+
+        def _whole():
+            cursor = self._cursor
+            try:
+                self._cursor = 0
+                data = self.read_all_packed()
+            finally:
+                self._cursor = cursor
+            yield data
+
+        return _whole()
+
     def _pcm_packed_native(self) -> "bytearray | None":
         """PCM disc→WAV fast path: native demux/assembly straight into WAV
         payload bytes through one composed byte-gather (mp_pcm_repack) —

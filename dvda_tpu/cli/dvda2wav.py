@@ -38,28 +38,46 @@ def build_parser() -> argparse.ArgumentParser:
                    help="output directory (default: current directory)")
     p.add_argument("--no-device", action="store_true",
                    help="decode host-side only (skip the TPU pipeline)")
+    p.add_argument("--stream", action="store_true",
+                   help="write in bounded-memory segments (MLP tracks "
+                        "decode from manifest resume points instead of "
+                        "materializing whole-track buffers; output bytes "
+                        "are identical)")
     return p
 
 
 def extract_track(title, track_num: int, output_dir: str,
-                  use_device: bool | None) -> bool:
+                  use_device: bool | None, stream: bool = False) -> bool:
     track = title.open_track(track_num)
     reader = track.open_reader(use_device=use_device)
     print(f"* Extracting {reader.codec} track  "
           f"{reader.channel_count} channels  "
           f"{reader.sample_rate} Hz  {reader.bits_per_sample} bps")
-    # packed path: on the native 24-bit MLP pipeline the device emits the
-    # WAV data bytes directly (no host unpack/repack passes)
-    data = reader.read_all_packed()
-    frames = len(data) * 8 // max(
-        1, reader.channel_count * reader.bits_per_sample)
     name = f"track-{title.number:02d}-{track_num:02d}.wav"
     path = os.path.join(output_dir, name)
-    with open(path, "wb") as f:
-        f.write(wave_header(reader.sample_rate, reader.channel_count,
-                            reader.channel_mask, reader.bits_per_sample,
-                            frames))
-        f.write(data)
+    hdr = lambda frames: wave_header(  # noqa: E731 — one-shot builder
+        reader.sample_rate, reader.channel_count, reader.channel_mask,
+        reader.bits_per_sample, frames)
+    bits_per_frame = reader.channel_count * reader.bits_per_sample
+    if stream:
+        # single pass in bounded memory: placeholder header, stream the
+        # manifest-aligned segments, rewrite the header with the total
+        with open(path, "wb") as f:
+            f.write(hdr(0))
+            total = 0
+            for chunk in reader.iter_packed():
+                f.write(chunk)
+                total += len(chunk)
+            f.seek(0)
+            f.write(hdr(total * 8 // max(1, bits_per_frame)))
+    else:
+        # packed path: on the native MLP pipelines the executor emits the
+        # WAV data bytes directly (no host unpack/repack passes)
+        data = reader.read_all_packed()
+        frames = len(data) * 8 // max(1, bits_per_frame)
+        with open(path, "wb") as f:
+            f.write(hdr(frames))
+            f.write(data)
     reader.close()
     print(f'* Wrote: "{path}"')
     return True
@@ -92,7 +110,8 @@ def main(argv=None) -> int:
                   else range(1, title.track_count + 1))
         for track_num in tracks:
             try:
-                extract_track(title, track_num, args.dir, use_device)
+                extract_track(title, track_num, args.dir, use_device,
+                              stream=args.stream)
             except DvdaError:
                 print(f"*** Error: unable to open track {track_num} "
                       f"for reading", file=sys.stderr)

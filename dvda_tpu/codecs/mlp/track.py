@@ -29,7 +29,8 @@ from ..params import StreamParameters
 from .probe import find_major_sync, iter_mlp_payloads
 from .spec import MlpDecoder
 
-__all__ = ["decode_mlp_track", "decode_mlp_track_range", "track_manifest"]
+__all__ = ["decode_mlp_track", "decode_mlp_track_range", "track_manifest",
+           "iter_mlp_packed_segments"]
 
 
 def decode_mlp_track(
@@ -105,6 +106,100 @@ def _parse_with_manifest(aob: AOBReader, span,
     finally:
         parse.close()
     return stream, boundaries, probe_end, manifest
+
+
+def iter_mlp_packed_segments(aob: AOBReader, span,
+                             parameters: StreamParameters,
+                             segment_pcm_frames: int,
+                             config: DecodeConfig | None = None):
+    """Stream the track's WAV payload in bounded segments.
+
+    The reference decodes incrementally (dvda_read pulls frames); the
+    rebuild's batch decode materializes whole-track arenas, which for
+    multi-hour tracks is gigabytes.  This is the constant-working-set
+    path: a *skip-values* parse (length-only, no residual arenas) builds
+    the resume manifest, the track is cut at manifest points into
+    segments of >= ``segment_pcm_frames``, and each segment — a clean
+    restart, so it decodes standalone bit-exactly — runs the normal
+    native decode on its own slice.  Peak memory is the assembled MLP
+    byte stream (~1/10 of the WAV) plus ONE segment's working set.
+
+    Returns a generator of bytes-like payload chunks whose concatenation
+    equals ``read_all_packed()``, or ``None`` when streaming is
+    unsupported (native path unavailable, parse bail, or a bit layout
+    whose segments don't byte-align) — callers fall back to the batch
+    decode.
+    """
+    from ... import host
+    from ...utils.wav import pack_samples_le
+    from .manifest import build_manifest
+    from .native_engine import _frame_cut, decode_native
+
+    cfg = config if config is not None else default_config()
+    if not host.available() or not cfg.use_native:
+        return None
+    assembled = _assemble_stream(aob, span, cfg)
+    if assembled is None:
+        return None
+    stream, boundaries, probe_end = assembled
+    if not stream:
+        return None
+    # manifest from a skip-values parse: length-only, no residual arenas
+    inc = host.parse_mlp_stream_begin(stream, skip_values=True)
+    if inc is None:
+        return None
+    try:
+        inc.step(0)
+        parse = inc.view()
+        if parse.status != 0:
+            return None
+        F = _frame_cut(parse.frame_end,
+                       np.asarray(boundaries, dtype=np.int64), probe_end)
+        if F == 0:
+            return None
+        manifest = build_manifest(stream, parse, F)
+        frame_end = np.asarray(parse.frame_end[:F], dtype=np.int64)
+        end_byte = int(frame_end[F - 1])
+    finally:
+        inc.close()
+
+    # segment cut points: manifest-aligned, >= segment_pcm_frames apart
+    cuts = [manifest.points[0]]
+    for p in manifest.points[1:]:
+        if p.pcm_frame - cuts[-1].pcm_frame >= segment_pcm_frames:
+            cuts.append(p)
+    offs = [p.byte_offset for p in cuts] + [end_byte]
+    pcm0 = [p.pcm_frame for p in cuts] + [manifest.total_pcm_frames]
+    bps = parameters.bits_per_sample
+    ch = parameters.channel_count
+    # bit-packed widths (20-bit) must byte-align at every cut
+    if any((p * ch * bps) % 8 for p in pcm0):
+        return None
+
+    def gen():
+        for i in range(len(cuts)):
+            o0, o1 = offs[i], offs[i + 1]
+            # a manifest point is a clean restart + major sync: the slice
+            # decodes standalone, bit-identically to the same frames
+            # inside the full-track decode
+            seg = stream[o0:o1]
+            out = decode_native(seg, np.zeros(0, dtype=np.int64), 0,
+                                parameters, want_packed=True, config=cfg)
+            if out is None:
+                # pathological slice: the pure-Python spec decoder is the
+                # always-correct fallback for just this segment
+                dec = MlpDecoder(parameters)
+                dec.decode_bytes(seg)
+                out = dec.take_frames()
+            want = pcm0[i + 1] - pcm0[i]
+            if out.shape[0] != want:
+                out = out[:want]
+            if out.dtype == np.uint8:
+                yield out.tobytes()
+            else:
+                yield pack_samples_le(out, bps)
+
+    return gen()
 
 
 def track_manifest(aob: AOBReader, span, config: DecodeConfig | None = None):
