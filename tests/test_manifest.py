@@ -153,3 +153,32 @@ def test_cli_stream_flag_byte_identical(tmp_path):
     wa = (a / "track-01-01.wav").read_bytes()
     wb = (b / "track-01-01.wav").read_bytes()
     assert wa == wb
+
+
+def test_iter_packed_segment_bail_uses_spec_decoder(tmp_path, monkeypatch):
+    """A per-segment native-decode bail falls back to the pure-Python
+    spec decoder for that segment only — the stream stays byte-exact."""
+    import dvda_tpu.codecs.mlp.native_engine as ne
+    from dvda_tpu.config import DecodeConfig
+
+    track, cfg = _disc(tmp_path, fir_across_restart=False,
+                       params_update_prob=0.0)
+    per = cfg.frames_per_mlp_frame
+    t = (DVDA(str(tmp_path / "AUDIO_TS"), config=DecodeConfig(use_device=False))
+         .open_titleset(1).open_title(1).open_track(1))
+    full = bytes(t.open_reader().read_all_packed())
+
+    real = ne.decode_native
+    calls = {"n": 0}
+
+    def flaky(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 2:  # second segment: force the bail path
+            return None
+        return real(*a, **kw)
+
+    monkeypatch.setattr(ne, "decode_native", flaky)
+    segs = [bytes(s) for s in
+            t.open_reader().iter_packed(segment_pcm_frames=8 * per)]
+    assert calls["n"] >= 2 and len(segs) > 1
+    assert b"".join(segs) == full
