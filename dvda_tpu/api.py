@@ -381,7 +381,10 @@ class TrackReader:
         bps = self.bits_per_sample
         if (self.codec == "PCM" and bps in (16, 24)
                 and "_decoded" not in self.__dict__ and self._cursor == 0
-                and self._cfg().use_native_demux):
+                and self._cfg().use_native_demux
+                and self.use_device is not True):
+            # an explicit use_device=True keeps the device unpack path
+            # (the documented "explicitly requested" engine selection)
             out = self._pcm_packed_native()
             if out is not None:
                 return out
@@ -430,7 +433,12 @@ class TrackReader:
         single chunk.  Does not move the pull cursor."""
         if segment_pcm_frames is None:
             segment_pcm_frames = 30 * self.sample_rate
-        if self.codec == "MLP" and "_decoded" not in self.__dict__:
+        # an explicit open_reader(use_device=False) selects the Python
+        # engines everywhere (the documented escape hatch) — streaming
+        # would route through the native executors, so fall through to
+        # the single-chunk path which honors the override
+        if (self.codec == "MLP" and "_decoded" not in self.__dict__
+                and self.use_device is not False):
             from .codecs.mlp.track import iter_mlp_packed_segments
 
             it = iter_mlp_packed_segments(self.aob, self.track.span,
@@ -477,7 +485,11 @@ class TrackReader:
         chunks = chunks[: n * csize].reshape(n, csize)
         nb = bps // 8
         table = pcm_codec.pcm_gather_indices(bps, ch)[:, :nb].reshape(-1)
-        frames = min(total, 2 * n)
+        # all frames of consumed packets are emitted (the PTS countdown
+        # only stops packet consumption, _decode_pcm's documented
+        # semantics) — so the packed output matches read_all() exactly
+        # even when the countdown ends mid-packet
+        frames = 2 * n
         buf = host.pcm_repack(chunks, table, 2 * ch * nb, frames * ch * nb)
         if buf is None:
             return None

@@ -81,31 +81,44 @@ def _try_native(aob: AOBReader, span, parameters,
 
 
 def _parse_with_manifest(aob: AOBReader, span,
-                         config: DecodeConfig | None = None):
+                         config: DecodeConfig | None = None,
+                         skip_values: bool = False):
     """Assemble + parse + build the resume manifest; ``None`` if the native
-    path is unavailable.  Returns (stream, boundaries, probe_end, manifest)."""
+    path is unavailable.  Returns (stream, boundaries, probe_end, manifest,
+    end_byte) — end_byte is the stream offset where the last kept frame
+    ends.  ``skip_values`` uses the length-only parse (no residual arenas
+    — the manifest needs only geometry), the right mode when the caller
+    decodes separately (iter_mlp_packed_segments)."""
     from ... import host
     from .manifest import build_manifest
     from .native_engine import _frame_cut
 
     if not host.available():
         return None
-    assembled = _assemble_stream(aob, span, config)
+    cfg = config if config is not None else default_config()
+    assembled = _assemble_stream(aob, span, cfg)
     if assembled is None:
         return None
     stream, boundaries, probe_end = assembled
     if not stream:
         return None
-    parse = host.parse_mlp_stream(stream)
-    if parse is None or parse.status != 0:
+    inc = host.parse_mlp_stream_begin(
+        stream, skip_values=skip_values,
+        threads=cfg.resolved_parse_threads())
+    if inc is None:
         return None
     try:
+        inc.step(0)
+        parse = inc.view()
+        if parse.status != 0:
+            return None
         F = _frame_cut(parse.frame_end,
                        np.asarray(boundaries, dtype=np.int64), probe_end)
         manifest = build_manifest(stream, parse, F)
+        end_byte = int(parse.frame_end[F - 1]) if F else 0
     finally:
-        parse.close()
-    return stream, boundaries, probe_end, manifest
+        inc.close()
+    return stream, boundaries, probe_end, manifest, end_byte
 
 
 def iter_mlp_packed_segments(aob: AOBReader, span,
@@ -130,38 +143,20 @@ def iter_mlp_packed_segments(aob: AOBReader, span,
     whose segments don't byte-align) — callers fall back to the batch
     decode.
     """
-    from ... import host
+    from ...utils.log import logger as log
     from ...utils.wav import pack_samples_le
-    from .manifest import build_manifest
-    from .native_engine import _frame_cut, decode_native
+    from .native_engine import decode_native
 
     cfg = config if config is not None else default_config()
-    if not host.available() or not cfg.use_native:
-        return None
-    assembled = _assemble_stream(aob, span, cfg)
-    if assembled is None:
-        return None
-    stream, boundaries, probe_end = assembled
-    if not stream:
+    if not cfg.use_native:
         return None
     # manifest from a skip-values parse: length-only, no residual arenas
-    inc = host.parse_mlp_stream_begin(stream, skip_values=True)
-    if inc is None:
+    got = _parse_with_manifest(aob, span, cfg, skip_values=True)
+    if got is None:
         return None
-    try:
-        inc.step(0)
-        parse = inc.view()
-        if parse.status != 0:
-            return None
-        F = _frame_cut(parse.frame_end,
-                       np.asarray(boundaries, dtype=np.int64), probe_end)
-        if F == 0:
-            return None
-        manifest = build_manifest(stream, parse, F)
-        frame_end = np.asarray(parse.frame_end[:F], dtype=np.int64)
-        end_byte = int(frame_end[F - 1])
-    finally:
-        inc.close()
+    stream, _boundaries, _probe_end, manifest, end_byte = got
+    if manifest.total_frames == 0:
+        return None
 
     # segment cut points: manifest-aligned, >= segment_pcm_frames apart
     cuts = [manifest.points[0]]
@@ -192,12 +187,20 @@ def iter_mlp_packed_segments(aob: AOBReader, span,
                 dec.decode_bytes(seg)
                 out = dec.take_frames()
             want = pcm0[i + 1] - pcm0[i]
-            if out.shape[0] != want:
-                out = out[:want]
+            short = out.shape[0] < want
+            out = out[:want]
             if out.dtype == np.uint8:
                 yield out.tobytes()
             else:
                 yield pack_samples_le(out, bps)
+            if short:
+                # the segment decoded fewer frames than its geometry says
+                # (mid-track corruption): stop here, matching the batch
+                # path's truncate-at-the-damage semantics — never leave a
+                # silent hole between segments
+                log.warning("iter_packed: segment %d decoded %d/%d frames;"
+                            " stream truncated", i, out.shape[0], want)
+                return
 
     return gen()
 
@@ -205,7 +208,7 @@ def iter_mlp_packed_segments(aob: AOBReader, span,
 def track_manifest(aob: AOBReader, span, config: DecodeConfig | None = None):
     """The track's resume manifest (codecs/mlp/manifest.py), or ``None``
     when the native path is unavailable."""
-    got = _parse_with_manifest(aob, span, config)
+    got = _parse_with_manifest(aob, span, config, skip_values=True)
     return got[3] if got is not None else None
 
 
@@ -221,10 +224,10 @@ def decode_mlp_track_range(
     the nearest manifest point — the prefix is never decoded (SURVEY §5
     checkpoint/resume; the reference can only re-decode from the track
     start).  ``None`` falls back to a full decode + slice."""
-    got = _parse_with_manifest(aob, span, config)
+    got = _parse_with_manifest(aob, span, config, skip_values=True)
     if got is None:
         return None
-    stream, boundaries, probe_end, manifest = got
+    stream, boundaries, probe_end, manifest, _end = got
     rp = manifest.resume_for_pcm_frame(start_pcm)
     from .native_engine import decode_native
 

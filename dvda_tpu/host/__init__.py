@@ -35,7 +35,8 @@ __all__ = ["available", "parse_mlp_stream", "parse_mlp_stream_begin",
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SO = os.path.join(_DIR, "libdvda_host.so")
 _SOURCES = [os.path.join(_DIR, "src", f)
-            for f in ("mlp_parse.cc", "c2.cc", "demux.cc")]
+            for f in ("mlp_parse.cc", "c2.cc", "demux.cc",
+                      "pcm_repack.cc")]
 
 _lib = None
 _load_error: str | None = None
