@@ -368,7 +368,10 @@ def _mds_child():
         return out
 
     run()  # warm (compile; persistent cache shared across children)
-    best, _ = _best(run, 3)
+    # 5 timed reps: on the 1-core host the 8-device child competes with
+    # its own XLA thread pools, so single runs swing ±30% — best-of-5
+    # keeps the overhead figure about the scheduler, not the weather
+    best, _ = _best(run, 5)
     print(json.dumps({"best_s": best, "devices": len(jax.local_devices())}))
 
 
