@@ -353,13 +353,53 @@ class TrackReader:
     # -- pull API (dvda_read, dvd-audio.c:751-795) --------------------------
 
     def read(self, pcm_frames: int) -> np.ndarray:
-        """Return up to ``pcm_frames`` interleaved frames ([n, channels])."""
+        """Return up to ``pcm_frames`` interleaved frames ([n, channels]).
+
+        On MLP tracks with mid-stream resume points the pull API is
+        **segment-backed**: only the manifest segment(s) covering the
+        cursor are decoded (one stays cached), so sequential pulls and
+        seek+read through a multi-hour track run in bounded memory with
+        no prefix replay — the reference must decode from the track start.
+        Once a whole-track decode has been materialized (read_all), reads
+        serve from it instead."""
         if pcm_frames <= 0:
             return np.zeros((0, self.channel_count), dtype=np.int32)
+        if "_decoded" not in self.__dict__:
+            seg = self._segment_reader()
+            if seg is not None:
+                parts = []
+                pos = self._cursor
+                end = min(seg.total_pcm, pos + pcm_frames)
+                while pos < end:
+                    start, arr = seg.segment(seg.segment_index(pos))
+                    take = arr[pos - start : end - start]
+                    if take.shape[0] == 0:
+                        break  # corrupt-short segment: truncate here
+                    parts.append(take)
+                    pos += take.shape[0]
+                self._cursor = pos
+                if not parts:
+                    return np.zeros((0, self.channel_count), dtype=np.int32)
+                return parts[0] if len(parts) == 1 else np.concatenate(parts)
         data = self._decoded
         out = data[self._cursor : self._cursor + pcm_frames]
         self._cursor += out.shape[0]
         return out
+
+    def _segment_reader(self):
+        """Cached MlpSegmentReader (or None when unsupported / overridden
+        to the Python engines / not MLP)."""
+        got = getattr(self, "_seg_reader", None)
+        if got is None:
+            got = False
+            if self.codec == "MLP" and self.use_device is not False:
+                from .codecs.mlp.track import open_mlp_segment_reader
+
+                got = open_mlp_segment_reader(
+                    self.aob, self.track.span, self.parameters,
+                    30 * self.sample_rate, config=self.config) or False
+            self._seg_reader = got
+        return got or None
 
     def read_all(self) -> np.ndarray:
         data = self._decoded
@@ -535,8 +575,11 @@ class TrackReader:
 
     def seek(self, pcm_frame: int) -> int:
         """Seek to an absolute PCM frame within the track; returns the
-        actual (clamped) position."""
-        total = self._decoded.shape[0]
+        actual (clamped) position.  On segment-backed MLP readers this
+        clamps against the manifest total without decoding anything."""
+        seg = (None if "_decoded" in self.__dict__
+               else getattr(self, "_seg_reader", None))
+        total = seg.total_pcm if seg else self._decoded.shape[0]
         self._cursor = min(max(0, pcm_frame), total)
         return self._cursor
 
@@ -545,9 +588,12 @@ class TrackReader:
 
     @property
     def total_pcm_frames(self) -> int:
-        if "_decoded" not in self.__dict__ and \
-                getattr(self, "_packed_frames", None) is not None:
-            return self._packed_frames  # known from read_all_packed
+        if "_decoded" not in self.__dict__:
+            if getattr(self, "_packed_frames", None) is not None:
+                return self._packed_frames  # known from read_all_packed
+            seg = getattr(self, "_seg_reader", None)
+            if seg:  # known from the segment-backed pull path
+                return seg.total_pcm
         return self._decoded.shape[0]
 
     def close(self) -> None:

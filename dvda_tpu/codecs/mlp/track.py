@@ -30,7 +30,8 @@ from .probe import find_major_sync, iter_mlp_payloads
 from .spec import MlpDecoder
 
 __all__ = ["decode_mlp_track", "decode_mlp_track_range", "track_manifest",
-           "iter_mlp_packed_segments"]
+           "iter_mlp_packed_segments", "MlpSegmentReader",
+           "open_mlp_segment_reader"]
 
 
 def decode_mlp_track(
@@ -203,6 +204,73 @@ def iter_mlp_packed_segments(aob: AOBReader, span,
                 return
 
     return gen()
+
+
+class MlpSegmentReader:
+    """Random-access decode over manifest cut points: the pull-API
+    backend for bounded-memory reads.  Holds the assembled byte stream
+    plus ONE decoded segment (int32, WAVE order) at a time; any
+    read/seek position decodes just its segment — no prefix replay, no
+    whole-track arenas.  Segment boundaries and decode mechanics are
+    shared with iter_mlp_packed_segments (same slices, same executors,
+    bit-identical output)."""
+
+    def __init__(self, stream, cuts_pcm, cuts_off, end_byte, total_pcm,
+                 parameters, cfg):
+        self._stream = stream
+        self._pcm0 = cuts_pcm + [total_pcm]
+        self._offs = cuts_off + [end_byte]
+        self.total_pcm = total_pcm
+        self._parameters = parameters
+        self._cfg = cfg
+        self._cache_i = -1
+        self._cache = None
+
+    def segment_index(self, pcm: int) -> int:
+        import bisect
+
+        return max(0, bisect.bisect_right(self._pcm0, pcm) - 1)
+
+    def segment(self, i: int):
+        """(first_pcm_frame, int32 samples [n, ch]) of segment ``i``."""
+        if i == self._cache_i:
+            return self._pcm0[i], self._cache
+        from .native_engine import decode_native
+
+        seg = self._stream[self._offs[i] : self._offs[i + 1]]
+        out = decode_native(seg, np.zeros(0, dtype=np.int64), 0,
+                            self._parameters, config=self._cfg)
+        if out is None:
+            dec = MlpDecoder(self._parameters)
+            dec.decode_bytes(seg)
+            out = dec.take_frames()
+        out = out[: self._pcm0[i + 1] - self._pcm0[i]]
+        self._cache_i, self._cache = i, out
+        return self._pcm0[i], out
+
+
+def open_mlp_segment_reader(aob: AOBReader, span,
+                            parameters: StreamParameters,
+                            segment_pcm_frames: int,
+                            config: DecodeConfig | None = None):
+    """Build an :class:`MlpSegmentReader`, or ``None`` when unsupported
+    (native path unavailable / parse bail / empty track)."""
+    cfg = config if config is not None else default_config()
+    if not cfg.use_native:
+        return None
+    got = _parse_with_manifest(aob, span, cfg, skip_values=True)
+    if got is None:
+        return None
+    stream, _boundaries, _probe_end, manifest, end_byte = got
+    if manifest.total_frames == 0:
+        return None
+    cuts = [manifest.points[0]]
+    for p in manifest.points[1:]:
+        if p.pcm_frame - cuts[-1].pcm_frame >= segment_pcm_frames:
+            cuts.append(p)
+    return MlpSegmentReader(stream, [p.pcm_frame for p in cuts],
+                            [p.byte_offset for p in cuts], end_byte,
+                            manifest.total_pcm_frames, parameters, cfg)
 
 
 def track_manifest(aob: AOBReader, span, config: DecodeConfig | None = None):

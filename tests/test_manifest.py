@@ -182,3 +182,34 @@ def test_iter_packed_segment_bail_uses_spec_decoder(tmp_path, monkeypatch):
             t.open_reader().iter_packed(segment_pcm_frames=8 * per)]
     assert calls["n"] >= 2 and len(segs) > 1
     assert b"".join(segs) == full
+
+
+def test_segment_backed_pull_reads(tmp_path):
+    """read()/seek() on an MLP track decode only the manifest segment(s)
+    covering the cursor — no whole-track materialization — and match the
+    full decode exactly, including reads spanning segment boundaries."""
+    track, cfg = _disc(tmp_path, fir_across_restart=False,
+                       params_update_prob=0.0)
+    full = track.open_reader(use_device=True).read_all()
+    per = cfg.frames_per_mlp_frame
+    r = track.open_reader(use_device=True)
+    # force small segments so boundaries are crossed
+    from dvda_tpu.codecs.mlp.track import open_mlp_segment_reader
+
+    r._seg_reader = open_mlp_segment_reader(
+        r.aob, r.track.span, r.parameters, 8 * per, config=r.config)
+    assert r._seg_reader is not None
+    assert len(r._seg_reader._offs) > 2  # multiple segments
+    got = [r.read(5), r.read(9 * per), r.read(3)]  # spans a boundary
+    assert r.tell() == 5 + 9 * per + 3
+    r.seek(20 * per + 7)
+    got.append(r.read(10))
+    joined = np.concatenate(got[:3])
+    assert np.array_equal(joined, full[: joined.shape[0]])
+    assert np.array_equal(got[3], full[20 * per + 7 : 20 * per + 17])
+    assert "_decoded" not in r.__dict__  # never materialized
+    assert r.total_pcm_frames == full.shape[0]
+    # reading past the end terminates cleanly
+    r.seek(full.shape[0] - 2)
+    assert r.read(10).shape[0] == 2
+    assert r.read(10).shape[0] == 0
