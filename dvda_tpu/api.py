@@ -367,24 +367,30 @@ class TrackReader:
         if "_decoded" not in self.__dict__:
             seg = self._segment_reader()
             if seg is not None:
-                parts = []
-                pos = self._cursor
-                end = min(seg.total_pcm, pos + pcm_frames)
-                while pos < end:
-                    start, arr = seg.segment(seg.segment_index(pos))
-                    take = arr[pos - start : end - start]
-                    if take.shape[0] == 0:
-                        break  # corrupt-short segment: truncate here
-                    parts.append(take)
-                    pos += take.shape[0]
-                self._cursor = pos
-                if not parts:
-                    return np.zeros((0, self.channel_count), dtype=np.int32)
-                return parts[0] if len(parts) == 1 else np.concatenate(parts)
+                out = self._pull_segments(seg, self._cursor,
+                                          self._cursor + pcm_frames)
+                self._cursor += out.shape[0]
+                return out
         data = self._decoded
         out = data[self._cursor : self._cursor + pcm_frames]
         self._cursor += out.shape[0]
         return out
+
+    def _pull_segments(self, seg, pos: int, end: int) -> np.ndarray:
+        """Frames [pos, end) via the segment reader (clamped to the
+        track; truncates at a corrupt-short segment)."""
+        parts = []
+        end = min(seg.total_pcm, end)
+        while pos < end:
+            start, arr = seg.segment(seg.segment_index(pos))
+            take = arr[pos - start : end - start]
+            if take.shape[0] == 0:
+                break  # corrupt-short segment: truncate here
+            parts.append(take)
+            pos += take.shape[0]
+        if not parts:
+            return np.zeros((0, self.channel_count), dtype=np.int32)
+        return parts[0] if len(parts) == 1 else np.concatenate(parts)
 
     def _segment_reader(self):
         """Cached MlpSegmentReader (or None when unsupported / overridden
@@ -540,21 +546,25 @@ class TrackReader:
     def read_range(self, start_frame: int, pcm_frames: int) -> np.ndarray:
         """Decode only ``[start_frame, start_frame + pcm_frames)``.
 
-        On the native MLP path this resumes at the nearest manifest point
-        (codecs/mlp/manifest.py) — the prefix is never decoded, so partial
-        reads of long tracks skip most of the work.  Everywhere else it
-        slices the cached full decode.  Does not move the cursor."""
-        if (self.codec == "MLP" and "_decoded" not in self.__dict__
-                and (self._device_enabled()
-                     or self._cfg().resolved_host_complete())
-                and self._cfg().use_native):
-            from .codecs.mlp.track import decode_mlp_track_range
+        On the native MLP path this decodes only the manifest segment(s)
+        covering the range (the segment reader behind read()) — neither
+        the prefix nor the suffix is decoded.  Everywhere else it slices
+        the cached full decode.  Does not move the cursor."""
+        if self.codec == "MLP" and "_decoded" not in self.__dict__:
+            seg = self._segment_reader()
+            if seg is not None:
+                return self._pull_segments(seg, max(0, start_frame),
+                                           start_frame + pcm_frames)
+            if (self._device_enabled()
+                    or self._cfg().resolved_host_complete()) \
+                    and self._cfg().use_native:
+                from .codecs.mlp.track import decode_mlp_track_range
 
-            out = decode_mlp_track_range(self.aob, self.track.span,
-                                         self.parameters, start_frame,
-                                         pcm_frames, config=self.config)
-            if out is not None:
-                return out
+                out = decode_mlp_track_range(self.aob, self.track.span,
+                                             self.parameters, start_frame,
+                                             pcm_frames, config=self.config)
+                if out is not None:
+                    return out
         return self._decoded[start_frame : start_frame + pcm_frames]
 
     @property
