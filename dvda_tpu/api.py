@@ -398,7 +398,15 @@ class TrackReader:
         got = getattr(self, "_seg_reader", None)
         if got is None:
             got = False
-            if self.codec == "MLP" and self.use_device is not False:
+            # engage only when the batch decode would take a native
+            # executor too (decode_mlp_track's gate): never dispatch the
+            # device pipeline when both executors are disabled, and keep
+            # the use_device=False Python-engines escape hatch
+            cfg = self._cfg()
+            if (self.codec == "MLP" and self.use_device is not False
+                    and cfg.use_native
+                    and (self._device_enabled()
+                         or cfg.resolved_host_complete())):
                 from .codecs.mlp.track import open_mlp_segment_reader
 
                 got = open_mlp_segment_reader(
@@ -588,7 +596,7 @@ class TrackReader:
         actual (clamped) position.  On segment-backed MLP readers this
         clamps against the manifest total without decoding anything."""
         seg = (None if "_decoded" in self.__dict__
-               else getattr(self, "_seg_reader", None))
+               else self._segment_reader())
         total = seg.total_pcm if seg else self._decoded.shape[0]
         self._cursor = min(max(0, pcm_frame), total)
         return self._cursor
@@ -601,8 +609,8 @@ class TrackReader:
         if "_decoded" not in self.__dict__:
             if getattr(self, "_packed_frames", None) is not None:
                 return self._packed_frames  # known from read_all_packed
-            seg = getattr(self, "_seg_reader", None)
-            if seg:  # known from the segment-backed pull path
+            seg = self._segment_reader()
+            if seg is not None:  # the manifest total, no decode needed
                 return seg.total_pcm
         return self._decoded.shape[0]
 

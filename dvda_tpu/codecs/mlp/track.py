@@ -156,16 +156,10 @@ def iter_mlp_packed_segments(aob: AOBReader, span,
     if got is None:
         return None
     stream, _boundaries, _probe_end, manifest, end_byte = got
-    if manifest.total_frames == 0:
+    if manifest.total_frames == 0 or not manifest.points:
         return None
 
-    # segment cut points: manifest-aligned, >= segment_pcm_frames apart
-    cuts = [manifest.points[0]]
-    for p in manifest.points[1:]:
-        if p.pcm_frame - cuts[-1].pcm_frame >= segment_pcm_frames:
-            cuts.append(p)
-    offs = [p.byte_offset for p in cuts] + [end_byte]
-    pcm0 = [p.pcm_frame for p in cuts] + [manifest.total_pcm_frames]
+    pcm0, offs = _segment_cuts(manifest, segment_pcm_frames, end_byte)
     bps = parameters.bits_per_sample
     ch = parameters.channel_count
     # bit-packed widths (20-bit) must byte-align at every cut
@@ -173,7 +167,7 @@ def iter_mlp_packed_segments(aob: AOBReader, span,
         return None
 
     def gen():
-        for i in range(len(cuts)):
+        for i in range(len(pcm0) - 1):
             o0, o1 = offs[i], offs[i + 1]
             # a manifest point is a clean restart + major sync: the slice
             # decodes standalone, bit-identically to the same frames
@@ -206,6 +200,21 @@ def iter_mlp_packed_segments(aob: AOBReader, span,
     return gen()
 
 
+def _segment_cuts(manifest, segment_pcm_frames: int, end_byte: int):
+    """Manifest-aligned segment boundaries ≥ ``segment_pcm_frames``
+    apart: (pcm0, offs) with the end sentinels appended — the ONE
+    cut-point policy shared by iter_mlp_packed_segments and
+    MlpSegmentReader so the streaming and pull paths always slice the
+    stream identically."""
+    cuts = [manifest.points[0]]
+    for p in manifest.points[1:]:
+        if p.pcm_frame - cuts[-1].pcm_frame >= segment_pcm_frames:
+            cuts.append(p)
+    pcm0 = [p.pcm_frame for p in cuts] + [manifest.total_pcm_frames]
+    offs = [p.byte_offset for p in cuts] + [end_byte]
+    return pcm0, offs
+
+
 class MlpSegmentReader:
     """Random-access decode over manifest cut points: the pull-API
     backend for bounded-memory reads.  Holds the assembled byte stream
@@ -215,12 +224,11 @@ class MlpSegmentReader:
     shared with iter_mlp_packed_segments (same slices, same executors,
     bit-identical output)."""
 
-    def __init__(self, stream, cuts_pcm, cuts_off, end_byte, total_pcm,
-                 parameters, cfg):
+    def __init__(self, stream, pcm0, offs, parameters, cfg):
         self._stream = stream
-        self._pcm0 = cuts_pcm + [total_pcm]
-        self._offs = cuts_off + [end_byte]
-        self.total_pcm = total_pcm
+        self._pcm0 = pcm0  # cut frames + total sentinel (_segment_cuts)
+        self._offs = offs  # cut byte offsets + end sentinel
+        self.total_pcm = pcm0[-1]
         self._parameters = parameters
         self._cfg = cfg
         self._cache_i = -1
@@ -262,15 +270,10 @@ def open_mlp_segment_reader(aob: AOBReader, span,
     if got is None:
         return None
     stream, _boundaries, _probe_end, manifest, end_byte = got
-    if manifest.total_frames == 0:
+    if manifest.total_frames == 0 or not manifest.points:
         return None
-    cuts = [manifest.points[0]]
-    for p in manifest.points[1:]:
-        if p.pcm_frame - cuts[-1].pcm_frame >= segment_pcm_frames:
-            cuts.append(p)
-    return MlpSegmentReader(stream, [p.pcm_frame for p in cuts],
-                            [p.byte_offset for p in cuts], end_byte,
-                            manifest.total_pcm_frames, parameters, cfg)
+    pcm0, offs = _segment_cuts(manifest, segment_pcm_frames, end_byte)
+    return MlpSegmentReader(stream, pcm0, offs, parameters, cfg)
 
 
 def track_manifest(aob: AOBReader, span, config: DecodeConfig | None = None):
@@ -296,6 +299,8 @@ def decode_mlp_track_range(
     if got is None:
         return None
     stream, boundaries, probe_end, manifest, _end = got
+    if not manifest.points:
+        return None  # zero kept frames: let the caller's fallback decide
     rp = manifest.resume_for_pcm_frame(start_pcm)
     from .native_engine import decode_native
 

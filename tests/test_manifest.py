@@ -213,3 +213,18 @@ def test_segment_backed_pull_reads(tmp_path):
     r.seek(full.shape[0] - 2)
     assert r.read(10).shape[0] == 2
     assert r.read(10).shape[0] == 0
+
+
+def test_seek_first_stays_bounded(tmp_path):
+    """seek()/total_pcm_frames on a FRESH reader open the segment reader
+    (manifest totals) instead of materializing the whole-track decode."""
+    track, cfg = _disc(tmp_path, fir_across_restart=False,
+                       params_update_prob=0.0)
+    full = track.open_reader(use_device=True).read_all()
+    per = cfg.frames_per_mlp_frame
+    r = track.open_reader(use_device=True)
+    assert r.total_pcm_frames == full.shape[0]
+    assert r.seek(12 * per + 3) == 12 * per + 3
+    got = r.read(7)
+    assert np.array_equal(got, full[12 * per + 3 : 12 * per + 10])
+    assert "_decoded" not in r.__dict__
