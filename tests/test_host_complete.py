@@ -337,3 +337,41 @@ def test_host_complete_20bit_wav_parity_vs_oracle(tmp_path, ref_oracle):
                       r.bits_per_sample, frames)
     r.close()
     assert hdr + payload == golden["track-01-01.wav"]
+
+
+def test_arena_pool_disabled_still_decodes():
+    """DVDA_HOST_POOL_MB=0 disables pooling (every block straight to
+    new/delete) without changing output bytes.  Subprocess: the cap is
+    read once per process."""
+    import subprocess
+    import sys
+
+    import os
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    code = """
+import sys
+sys.path.insert(0, {repo!r})
+import numpy as np
+from dvda_tpu import host
+from dvda_tpu.testutil.mlp_synth import MlpSynthConfig, synth_mlp_stream
+cfg = MlpSynthConfig(channel_assignment=17, substream_count=2,
+                     n_frames=12, seed=5)
+stream = synth_mlp_stream(cfg)
+perm = np.arange(6, dtype=np.int32)
+outs = []
+for _ in range(2):
+    p = host.parse_mlp_stream(stream)
+    assert p.status == 0
+    outs.append(bytes(p.reconstruct(p.F, 6, 24, perm)))
+    p.close()
+assert outs[0] == outs[1]
+host.pool_clear()
+print("OK", len(outs[0]))
+""".format(repo=repo_root)
+    env = dict(os.environ, DVDA_HOST_POOL_MB="0", JAX_PLATFORMS="cpu",
+               PALLAS_AXON_POOL_IPS="")
+    r = subprocess.run([sys.executable, "-c", code], env=env,
+                       capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert r.stdout.startswith("OK")
