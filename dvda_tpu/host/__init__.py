@@ -196,6 +196,21 @@ def available() -> bool:
     return _load() is not None
 
 
+def alloc_bytearray(n: int) -> bytearray:
+    """bytearray of ``n`` uninitialized bytes — callers fully overwrite
+    it (reconstruct/pcm_repack/drain outputs).  The zeroing constructor
+    costs a full memset pass (~10 ms per 52 MB track); CPython's
+    ``PyByteArray_FromStringAndSize(NULL, n)`` documents the contents as
+    uninitialized.  Falls back to the plain constructor."""
+    try:
+        f = ctypes.pythonapi.PyByteArray_FromStringAndSize
+        f.restype = ctypes.py_object
+        f.argtypes = [ctypes.c_char_p, ctypes.c_ssize_t]
+        return f(None, int(n))
+    except Exception:  # pragma: no cover - non-CPython fallback
+        return bytearray(int(n))
+
+
 def pcm_repack(chunks: "np.ndarray", table: "np.ndarray",
                out_per_chunk: int, max_bytes: int):
     """Repack PCM chunk bytes straight into WAV payload bytes through one
@@ -210,7 +225,10 @@ def pcm_repack(chunks: "np.ndarray", table: "np.ndarray",
     assert chunks.dtype == np.uint8 and chunks.flags["C_CONTIGUOUS"]
     table = np.ascontiguousarray(table, dtype=np.int32)
     assert table.shape == (out_per_chunk,)
-    buf = bytearray(int(max_bytes))
+    buf = alloc_bytearray(int(max_bytes))
+    avail = chunks.shape[0] * int(out_per_chunk)
+    if len(buf) > avail:  # uninitialized tail beyond the chunk data
+        buf[avail:] = bytes(len(buf) - avail)
     lib.mp_pcm_repack(
         chunks.ctypes.data_as(ctypes.c_void_p), chunks.shape[0],
         chunks.shape[1], table.ctypes.data_as(ctypes.c_void_p),
@@ -415,8 +433,10 @@ class NativeParse:
         width = pack_bits // 8 if pack_bits else 4
         if pack_bits:
             # bytearray-backed so read_all_packed can hand the payload to
-            # the caller without a tobytes() copy of the whole track
-            buf = bytearray(T * out_ch * width)
+            # the caller without a tobytes() copy of the whole track;
+            # uninitialized alloc is safe — mp_reconstruct either fills
+            # all T*width bytes or the call errors out
+            buf = alloc_bytearray(T * out_ch * width)
             out = np.frombuffer(buf, dtype=np.uint8).reshape(
                 T, out_ch * width)
         else:
