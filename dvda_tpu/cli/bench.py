@@ -756,13 +756,14 @@ def main(argv=None):
             print(json.dumps({"error": f"no bench matched "
                               f"DVDA_BENCH_ONLY={only!r}; known: {known}"}))
             return
+        frac = _device_ceiling_gate(results)
         if "mlp_51_96k" not in results:  # diagnostic subset run
             name, first = next(iter(results.items()))
             print(json.dumps({"metric": name,
                               "value": first.get("ours_x_realtime"),
                               "unit": "x-realtime",
                               "vs_baseline": first.get("vs_baseline"),
-                              "configs": results}))
+                              "configs": _slim(results)}))
             return
 
         # headline: the best of the three production modes (all bit-exact;
@@ -782,6 +783,11 @@ def main(argv=None):
             head, mode = hcr, "host_complete"
         med = head.get("median_x_realtime")
         ref = head.get("ref_x_realtime")
+        # full per-config detail to stderr; the stdout line stays compact
+        # so the driver's capture parses it (VERDICT r4 weak #2: the
+        # round-4 line outgrew the capture and BENCH_r04 recorded
+        # parsed=null)
+        log("full results: " + json.dumps(results))
         print(json.dumps({
             "metric": "MLP 5.1/96kHz end-to-end decode throughput per chip",
             "value": head["ours_x_realtime"],
@@ -799,8 +805,48 @@ def main(argv=None):
             "pipeline_efficiency": round(
                 best_dev["ours_x_realtime"] / ceiling, 2) if ceiling
             else None,
-            "configs": results,
+            # device-path fraction of each config's own tunnel ceiling —
+            # the regression gate (<0.5 also WARNs on stderr, VERDICT r4
+            # next #1: the TPU path must not rot behind a host headline)
+            "device_ceiling_frac": frac,
+            "configs": _slim(results),
         }))
+
+
+#: per-config keys kept on the compact stdout line (detail → stderr)
+_SLIM_KEYS = ("ours_x_realtime", "ref_x_realtime", "vs_baseline",
+              "median_x_realtime", "mode", "device_path_x_realtime",
+              "overhead_at_8")
+
+
+def _slim(results):
+    return {name: {k: v for k, v in entry.items() if k in _SLIM_KEYS}
+            for name, entry in results.items()}
+
+
+def _device_ceiling_gate(results):
+    """Device-path ×realtime as a fraction of each config's tunnel
+    ceiling; WARNs when a device row drops under 0.5 — the regression
+    gate the round-4 host-complete headline lacked (its device pipeline
+    fell to 0.10-0.41 of ceiling with nothing flagging it)."""
+    frac = {}
+    for name in ("mlp_51_96k", "mlp_51_devhuff", "mlp_stereo_96k",
+                 "mlp_nonuniform"):
+        entry = results.get(name)
+        if not entry:
+            continue
+        ceil = entry.get("tunnel_ceiling_x_realtime")
+        devx = (entry.get("device_path_x_realtime")
+                if entry.get("mode") == "host_complete"
+                else entry.get("ours_x_realtime"))
+        if not ceil or not devx:
+            continue
+        frac[name] = round(devx / ceil, 2)
+        if frac[name] < 0.5:
+            log(f"WARN: device path {name} at {frac[name]:.2f} of its "
+                f"tunnel ceiling (<0.5) — possible device-pipeline "
+                f"regression; profile with DVDA_TPU_HOST_COMPLETE=0")
+    return frac
 
 
 if __name__ == "__main__":

