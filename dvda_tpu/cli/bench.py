@@ -343,17 +343,21 @@ def bench_mlp_nonuniform(tmp, results):
 def _mds_child():
     """Child process of bench_multi_device_scaling: decode one fixed MLP
     5.1 stream through the production round-robin path on this process's
-    device set (a virtual CPU mesh sized by XLA_FLAGS) and print the best
-    wall time as one JSON line."""
+    device set (a virtual CPU mesh sized by XLA_FLAGS) and print one
+    JSON line with the best wall time AND the scheduler/merge layer's
+    own host seconds (dispatch + drain busy) for that run — the direct
+    measurement of what round-robin across devices costs."""
     import numpy as np
 
     import jax
 
+    from ..codecs.mlp import native_engine as ne
     from ..codecs.mlp.native_engine import decode_native
     from ..codecs.params import StreamParameters
     from ..config import DecodeConfig
     from ..testutil.mlp_synth import synth_mlp_stream
     from ..testutil.synth import BPS_CODE, RATE_CODE
+    from ..utils.profiling import global_timer
 
     cfg = _mlp_cfg(4, 17, 2, seed=7)
     stream = synth_mlp_stream(cfg)
@@ -371,18 +375,35 @@ def _mds_child():
     # 5 timed reps: on the 1-core host the 8-device child competes with
     # its own XLA thread pools, so single runs swing ±30% — best-of-5
     # keeps the overhead figure about the scheduler, not the weather
-    best, _ = _best(run, 5)
-    print(json.dumps({"best_s": best, "devices": len(jax.local_devices())}))
+    best = None
+    for _ in range(5):
+        global_timer.reset()
+        t0 = time.perf_counter()
+        run()
+        dt = time.perf_counter() - t0
+        if best is None or dt < best[0]:
+            # ONLY the dispatch side: the drain thread's read waits block
+            # on device compute (pure wall overlap, not scheduler work)
+            sched = global_timer.totals.get("mlp/stage+dispatch", 0.0)
+            best = (dt, sched)
+    print(json.dumps({"best_s": best[0], "sched_s": round(best[1], 4),
+                      "chunks": ne._LAST_PIPELINE_INFO.get("chunks"),
+                      "devices": len(jax.local_devices())}))
 
 
 def bench_multi_device_scaling(results):
     """Production round-robin decode at n_devices ∈ {1,2,4,8} on the
     virtual CPU mesh (VERDICT r3 #6).  All runs share one physical core,
-    so the normalized curve isolates the *scheduler/merge overhead* of
-    spreading chunks across devices — the claim being evidenced is that
-    per-chip throughput projections survive multi-chip dispatch, i.e.
-    overhead_at_8 stays small, not that a 1-core host gets faster."""
+    so the claim evidenced is that per-chip throughput projections
+    survive multi-chip dispatch: the *scheduler/merge layer's* host cost
+    per chunk stays flat as chunks spread over 8 devices.  VERDICT r4 #3
+    (single noisy samples prove nothing): each device count runs THREE
+    child processes (each reporting its best-of-5), the figure is the
+    median, and the spread (max-min)/median is reported alongside —
+    overhead_at_8 only means something if it exceeds the spread."""
     times = {}
+    scheds = {}
+    spreads = {}
     for n in (1, 2, 4, 8):
         env = dict(os.environ)
         env.update({
@@ -393,26 +414,171 @@ def bench_multi_device_scaling(results):
             "DVDA_TPU_MULTI_DEVICE": "1",
             "PALLAS_AXON_POOL_IPS": "",  # skip TPU-relay registration
         })
-        try:
-            proc = subprocess.run(
-                [sys.executable, "-m", "dvda_tpu.cli.bench"],
-                env=env, capture_output=True, timeout=600, check=True,
-                cwd=os.path.dirname(os.path.dirname(os.path.dirname(
-                    os.path.abspath(__file__)))))
-            got = json.loads(proc.stdout.strip().splitlines()[-1])
-            assert got["devices"] == n
-            times[str(n)] = round(got["best_s"], 3)
-            log(f"multi_device_scaling n={n}: {got['best_s']:.3f}s")
-        except Exception as exc:  # pragma: no cover - diagnostics only
-            log(f"multi_device_scaling n={n} failed: {exc}")
-            return
+        bests, schs = [], []
+        for rep in range(3):
+            try:
+                proc = subprocess.run(
+                    [sys.executable, "-m", "dvda_tpu.cli.bench"],
+                    env=env, capture_output=True, timeout=600, check=True,
+                    cwd=os.path.dirname(os.path.dirname(os.path.dirname(
+                        os.path.abspath(__file__)))))
+                got = json.loads(proc.stdout.strip().splitlines()[-1])
+                assert got["devices"] == n
+                bests.append(got["best_s"])
+                schs.append(got["sched_s"])
+            except Exception as exc:  # pragma: no cover - diagnostics
+                log(f"multi_device_scaling n={n} rep={rep} failed: {exc}")
+                return
+        med = sorted(bests)[1]
+        times[str(n)] = round(med, 3)
+        scheds[str(n)] = sorted(schs)[1]
+        spreads[str(n)] = round((max(bests) - min(bests)) / med, 3)
+        log(f"multi_device_scaling n={n}: med {med:.3f}s "
+            f"(spread {spreads[str(n)]:.1%}), sched {scheds[str(n)]:.3f}s")
     base = times["1"]
     results["multi_device_scaling"] = {
         "decode_s_by_devices": times,
+        "spread_by_devices": spreads,
+        "sched_s_by_devices": {k: round(v, 4) for k, v in scheds.items()},
         "overhead_at_8": round(times["8"] / base - 1, 3),
-        "note": "virtual CPU mesh, one physical core: normalized "
-                "scheduler/merge overhead of round-robin chunk dispatch",
+        "sched_overhead_at_8": round(
+            scheds["8"] / scheds["1"] - 1, 3) if scheds["1"] else None,
+        "note": "virtual CPU mesh, one physical core; medians of 3 "
+                "children (each best-of-5); sched_s = the dispatch "
+                "layer's host seconds in the best run (staging + "
+                "device_put + program enqueue)",
     }
+
+
+def bench_pipeline_composition(results):
+    """Measured evidence that the overlapped pipeline COMPOSES (VERDICT
+    r4 #2): with the round-5 background drain, end-to-end time should be
+    ~max(host-side parse+stage time, drain busy time) — the min()-of-
+    stage-rates throughput model — not their sum.  Two measurements:
+
+    * this process's device pipeline (drain = the tunnel: the dominant
+      stage; the host work must hide behind it), and
+    * an 8-virtual-device CPU-mesh child where the drain is a local
+      memcpy (~zero) — there e2e must approach the host-side stage sum
+      on this 1-core box (no serialization added by the machinery).
+
+    Reported: per-stage seconds, the overlapped model max(host, drain) +
+    assemble, the serial model host+drain, and e2e vs both.  The
+    composition 'holds' when e2e tracks the overlapped model within
+    ~15% (weather permitting; both models are in the output so the
+    comparison is reproducible)."""
+    import jax
+
+    from ..codecs.mlp.native_engine import decode_native
+    from ..codecs.params import StreamParameters
+    from ..config import DecodeConfig
+    from ..testutil.mlp_synth import synth_mlp_stream
+    from ..testutil.synth import BPS_CODE, RATE_CODE
+    from ..utils.profiling import global_timer
+    from dataclasses import replace
+
+    cfg = _mlp_cfg(30, 17, 2, seed=7)
+    stream = synth_mlp_stream(cfg)
+    params = StreamParameters(BPS_CODE[24], 0xF, RATE_CODE[RATE], 0xF, 17)
+    bnd = __import__("numpy").zeros(0, "int64")
+    audio = cfg.total_pcm_frames / RATE
+    dc = replace(DecodeConfig.from_env(), host_complete=False)
+
+    def run():
+        out = decode_native(stream, bnd, len(stream), params,
+                            want_packed=True, config=dc)
+        assert out is not None and len(out) == cfg.total_pcm_frames
+
+    run()  # warm (compile + tier settle)
+    best = None
+    for _ in range(3):
+        global_timer.reset()
+        t0 = time.perf_counter()
+        run()
+        e2e = time.perf_counter() - t0
+        if best is None or e2e < best[0]:
+            best = (e2e, dict(global_timer.totals))
+    e2e, st = best
+    parse = st.get("mlp/native-parse", 0.0)
+    stage = st.get("mlp/stage+dispatch", 0.0)
+    drain = st.get("mlp/drain-thread", 0.0)
+    host_side = parse + stage
+    overlapped = max(host_side, drain)
+    entry = {
+        "e2e_s": round(e2e, 3),
+        "parse_s": round(parse, 3),
+        "stage_dispatch_s": round(stage, 3),
+        "drain_busy_s": round(drain, 3),
+        "overlapped_model_s": round(overlapped, 3),
+        "serial_model_s": round(host_side + drain, 3),
+        "e2e_vs_overlapped": round(e2e / overlapped, 2) if overlapped
+        else None,
+        "x_realtime": round(audio / e2e, 1),
+    }
+    log(f"pipeline_composition (device): {entry}")
+    results["pipeline_composition"] = entry
+
+    # virtual-mesh child: drain is a memcpy; 1 core ⇒ e2e ≈ stage sum
+    env = dict(os.environ)
+    env.update({"DVDA_BENCH_COMPOSE_CHILD": "1", "JAX_PLATFORMS": "cpu",
+                "XLA_FLAGS": (env.get("XLA_FLAGS", "") +
+                              " --xla_force_host_platform_device_count=8"),
+                "DVDA_TPU_MULTI_DEVICE": "1", "PALLAS_AXON_POOL_IPS": ""})
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-m", "dvda_tpu.cli.bench"], env=env,
+            capture_output=True, timeout=600, check=True,
+            cwd=os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))))
+        child = json.loads(proc.stdout.strip().splitlines()[-1])
+        entry["virtual_mesh"] = child
+        log(f"pipeline_composition (8-dev CPU mesh): {child}")
+    except Exception as exc:  # pragma: no cover - diagnostics only
+        log(f"pipeline_composition child failed: {exc}")
+
+
+def _compose_child():
+    """Child of bench_pipeline_composition: one 8-virtual-device decode
+    with per-stage times, drain = local memcpy."""
+    from ..codecs.mlp.native_engine import decode_native
+    from ..codecs.params import StreamParameters
+    from ..config import DecodeConfig
+    from ..testutil.mlp_synth import synth_mlp_stream
+    from ..testutil.synth import BPS_CODE, RATE_CODE
+    from ..utils.profiling import global_timer
+
+    import numpy as np
+
+    cfg = _mlp_cfg(8, 17, 2, seed=7)
+    stream = synth_mlp_stream(cfg)
+    params = StreamParameters(BPS_CODE[24], 0xF, RATE_CODE[RATE], 0xF, 17)
+    bnd = np.zeros(0, np.int64)
+    dc = DecodeConfig.from_env()
+    audio = cfg.total_pcm_frames / RATE
+
+    def run():
+        out = decode_native(stream, bnd, len(stream), params,
+                            want_packed=True, config=dc)
+        assert out is not None and len(out) == cfg.total_pcm_frames
+
+    run()
+    best = None
+    for _ in range(3):
+        global_timer.reset()
+        t0 = time.perf_counter()
+        run()
+        e2e = time.perf_counter() - t0
+        if best is None or e2e < best[0]:
+            best = (e2e, dict(global_timer.totals))
+    e2e, st = best
+    parse = st.get("mlp/native-parse", 0.0)
+    stage = st.get("mlp/stage+dispatch", 0.0)
+    drain = st.get("mlp/drain-thread", 0.0)
+    print(json.dumps({
+        "e2e_s": round(e2e, 3), "parse_s": round(parse, 3),
+        "stage_dispatch_s": round(stage, 3),
+        "drain_busy_s": round(drain, 3),
+        "x_realtime": round(audio / e2e, 1)}))
 
 
 def bench_parse_scaling(results):
@@ -688,6 +854,9 @@ def main(argv=None):
     if os.environ.get("DVDA_BENCH_MDS_CHILD"):
         _mds_child()
         return
+    if os.environ.get("DVDA_BENCH_COMPOSE_CHILD"):
+        _compose_child()
+        return
     import jax
 
     log(f"devices: {jax.devices()}")
@@ -717,6 +886,8 @@ def main(argv=None):
             bench_disc_batch_cppm(tmp, results)
         if want("mlp_nonuniform"):
             bench_mlp_nonuniform(tmp, results)
+        if want("pipeline_composition"):
+            bench_pipeline_composition(results)
         if want("multi_device_scaling"):
             bench_multi_device_scaling(results)
         if selected and "parse_scaling" in selected:  # opt-in mode only
@@ -751,8 +922,8 @@ def main(argv=None):
 
         if not results:  # every DVDA_BENCH_ONLY name was unknown
             known = ("pcm_2ch_48k pcm_hires mlp_stereo_96k mlp_51_96k "
-                     "disc_batch_cppm mlp_nonuniform multi_device_scaling "
-                     "parse_scaling")
+                     "disc_batch_cppm mlp_nonuniform pipeline_composition "
+                     "multi_device_scaling parse_scaling")
             print(json.dumps({"error": f"no bench matched "
                               f"DVDA_BENCH_ONLY={only!r}; known: {known}"}))
             return
@@ -816,7 +987,7 @@ def main(argv=None):
 #: per-config keys kept on the compact stdout line (detail → stderr)
 _SLIM_KEYS = ("ours_x_realtime", "ref_x_realtime", "vs_baseline",
               "median_x_realtime", "mode", "device_path_x_realtime",
-              "overhead_at_8")
+              "overhead_at_8", "e2e_vs_overlapped")
 
 
 def _slim(results):
