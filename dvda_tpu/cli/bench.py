@@ -987,7 +987,9 @@ def main(argv=None):
 #: per-config keys kept on the compact stdout line (detail → stderr)
 _SLIM_KEYS = ("ours_x_realtime", "ref_x_realtime", "vs_baseline",
               "median_x_realtime", "mode", "device_path_x_realtime",
-              "overhead_at_8", "e2e_vs_overlapped")
+              "overhead_at_8", "e2e_vs_overlapped",
+              "decode_s_by_devices", "spread_by_devices",
+              "sched_overhead_at_8")
 
 
 def _slim(results):

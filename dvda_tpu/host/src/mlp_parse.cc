@@ -809,7 +809,116 @@ struct Parser {
     return true;
   }
 
+  // Sticky-parameter state snapshot for the paired-decode retry: on a
+  // ParseError inside a paired frame, the frame is re-run SEQUENTIALLY
+  // from this snapshot so dropped frames leave the parser state mutated
+  // in exactly the reference's order (mats[].bypassed is frame-local —
+  // cleared at frame start — so it needs no copy).
+  struct SubSnap {
+    int min_ch, max_ch, mmc, noise_shift;
+    uint32_t noise_seed;
+    int flags[8];
+    int block_size, matrix_len;
+    int mat_out[kMaxMatrices], mat_byp[kMaxMatrices];
+    int32_t mat_coeff[kMaxMatrices][kMaxChannels];
+    int32_t output_shift[kMaxChannels];
+    int32_t quant[kMaxChannels];
+    ChannelParams ch[kMaxChannels];
+    int info_checkdata, info_end;
+    bool restart_seen;
+  };
+  struct FrameSnap {
+    SubSnap sub[kMaxSubstreams];
+    bool have_sync;
+    int substream_count;
+    int sync_params[4];
+    int32_t out_substream_count, out_assignment;
+  };
+
+  void save_frame_state(FrameSnap& f) {
+    for (int s = 0; s < kMaxSubstreams; s++) {
+      Substream& u = ss[s];
+      SubSnap& d = f.sub[s];
+      d.min_ch = u.min_ch; d.max_ch = u.max_ch; d.mmc = u.mmc;
+      d.noise_shift = u.noise_shift; d.noise_seed = u.noise_seed;
+      std::memcpy(d.flags, u.flags, sizeof d.flags);
+      d.block_size = u.block_size; d.matrix_len = u.matrix_len;
+      for (int m = 0; m < kMaxMatrices; m++) {
+        d.mat_out[m] = u.mats[m].out_channel;
+        d.mat_byp[m] = u.mats[m].lsb_bypass;
+        std::memcpy(d.mat_coeff[m], u.mats[m].coeff, sizeof d.mat_coeff[m]);
+      }
+      std::memcpy(d.output_shift, u.output_shift, sizeof d.output_shift);
+      std::memcpy(d.quant, u.quant, sizeof d.quant);
+      std::memcpy(d.ch, u.ch, sizeof d.ch);
+      d.info_checkdata = u.info_checkdata; d.info_end = u.info_end;
+      d.restart_seen = u.restart_seen;
+    }
+    f.have_sync = have_sync;
+    f.substream_count = substream_count;
+    std::memcpy(f.sync_params, sync_params, sizeof f.sync_params);
+    f.out_substream_count = out.substream_count;
+    f.out_assignment = out.assignment;
+  }
+
+  void restore_frame_state(const FrameSnap& f) {
+    for (int s = 0; s < kMaxSubstreams; s++) {
+      Substream& u = ss[s];
+      const SubSnap& d = f.sub[s];
+      u.min_ch = d.min_ch; u.max_ch = d.max_ch; u.mmc = d.mmc;
+      u.noise_shift = d.noise_shift; u.noise_seed = d.noise_seed;
+      std::memcpy(u.flags, d.flags, sizeof u.flags);
+      u.block_size = d.block_size; u.matrix_len = d.matrix_len;
+      for (int m = 0; m < kMaxMatrices; m++) {
+        u.mats[m].out_channel = d.mat_out[m];
+        u.mats[m].lsb_bypass = d.mat_byp[m];
+        std::memcpy(u.mats[m].coeff, d.mat_coeff[m],
+                    sizeof u.mats[m].coeff);
+      }
+      std::memcpy(u.output_shift, d.output_shift, sizeof u.output_shift);
+      std::memcpy(u.quant, d.quant, sizeof u.quant);
+      std::memcpy(u.ch, d.ch, sizeof u.ch);
+      u.info_checkdata = d.info_checkdata; u.info_end = d.info_end;
+      u.restart_seen = d.restart_seen;
+    }
+    have_sync = f.have_sync;
+    substream_count = f.substream_count;
+    std::memcpy(sync_params, f.sync_params, sizeof sync_params);
+    out.substream_count = f.out_substream_count;
+    out.assignment = f.out_assignment;
+  }
+
+  static bool paired_enabled() {
+    static const bool v = [] {
+      const char* e = std::getenv("DVDA_HOST_PAIRED");
+      return !(e && e[0] == '0');
+    }();
+    return v;
+  }
+
   void decode_frame(const uint8_t* body, int64_t len, int64_t end_off) {
+    // paired fast path for two-substream frames; sequential authority on
+    // any ParseError (see decode_substreams_paired)
+    if (paired_enabled() && (!have_sync || substream_count == 2)) {
+      FrameSnap snap;
+      save_frame_state(snap);
+      try {
+        decode_frame_impl(body, len, end_off, true);
+        return;
+      } catch (ParseError&) {
+        rollback_frame();
+        for (int s = 0; s < kMaxSubstreams; s++) {
+          marks.samples[s] = 0;
+          marks.blocks[s] = 0;
+        }
+        restore_frame_state(snap);
+      }
+    }
+    decode_frame_impl(body, len, end_off, false);
+  }
+
+  void decode_frame_impl(const uint8_t* body, int64_t len, int64_t end_off,
+                         bool paired) {
     BitReader r(body, len);
     // major sync?
     if (len >= 28 && body[0] == 0xF8 && body[1] == 0x72 && body[2] == 0x6F &&
@@ -860,6 +969,19 @@ struct Parser {
     const uint8_t* base = body + (pos0 >> 3);
     int64_t avail = len - (pos0 >> 3);
 
+    if (paired && substream_count == 2) {
+      int32_t f0 = 0, f1 = 0;
+      decode_substreams_paired(base, avail, &f0, &f1);
+      if (f0 == 0 || f1 == 0) throw ParseError{};
+      if (marks.samples[1] != marks.samples[0]) {
+        out.status = 1;  // bail: mismatched substream frame lengths
+        out.bail = kBailSubstreamLengths;
+        return;
+      }
+      commit_frame(1, f0, end_off);
+      return;
+    }
+
     int32_t frames0 = decode_substream(0, base, ss[0].info_end, avail,
                                        ss[0].info_checkdata);
     if (frames0 == 0) throw ParseError{};
@@ -879,9 +1001,12 @@ struct Parser {
     commit_frame(final_s, frames0, end_off);
   }
 
-  int32_t decode_substream(int s, const uint8_t* data, int64_t nbytes,
-                           int64_t avail, int checkdata) {
-    if (nbytes < 0 || nbytes > avail) throw ParseError{};
+
+  // Substream checkdata verification (parity + CRC-8); returns the body
+  // length (bytes before the two check bytes).  Shared by the sequential
+  // and paired substream drivers.
+  int64_t verify_checkdata(const uint8_t* data, int64_t nbytes,
+                           int checkdata) {
     int64_t body_len = nbytes;
     if (checkdata) {
       if (nbytes < 2) throw ParseError{};
@@ -923,18 +1048,84 @@ struct Parser {
       if ((data[body_len] ^ parity) != 0xA9) throw ParseError{};
       if (final != data[body_len + 1]) throw ParseError{};
     }
+    return body_len;
+  }
+
+  static void substream_tail(BitReader& r) {
+    r.byte_align();
+    if (r.bytes_left() >= 4) r.read(32);  // end marker, value unchecked
+  }
+
+  int32_t decode_substream(int s, const uint8_t* data, int64_t nbytes,
+                           int64_t avail, int checkdata) {
+    if (nbytes < 0 || nbytes > avail) throw ParseError{};
+    int64_t body_len = verify_checkdata(data, nbytes, checkdata);
     BitReader r(data, body_len);
     int32_t total = 0;
     while (true) {
       total += decode_block(s, r);
       if (r.read(1)) break;
     }
-    r.byte_align();
-    if (r.bytes_left() >= 4) r.read(32);  // end marker, value unchecked
+    substream_tail(r);
     return total;
   }
 
-  int32_t decode_block(int s, BitReader& r) {
+  // Paired two-substream decode: both substreams are independent byte
+  // ranges, so their parameter prep and residual walks interleave block
+  // by block (see residuals_pair).  Output array contents and order are
+  // IDENTICAL to the sequential path (all out arrays are per-substream);
+  // only the interleaving of independent work differs.  Any ParseError
+  // makes decode_frame retry the frame sequentially from a state
+  // snapshot, so partially-mutated state on dropped frames keeps the
+  // reference's sequential mutation order exactly.
+  void decode_substreams_paired(const uint8_t* base, int64_t avail,
+                                int32_t* f0, int32_t* f1) {
+    const uint8_t* d0 = base;
+    int64_t n0 = ss[0].info_end;
+    const uint8_t* d1 = base + ss[0].info_end;
+    int64_t n1 = ss[1].info_end - ss[0].info_end;
+    int cd = ss[0].info_checkdata;  // reference quirk: sub0's flag governs
+    if (n0 < 0 || n0 > avail) throw ParseError{};
+    if (n1 < 0 || n1 > avail - n0) throw ParseError{};
+    int64_t len0 = verify_checkdata(d0, n0, cd);
+    int64_t len1 = verify_checkdata(d1, n1, cd);
+    BitReader r0(d0, len0), r1(d1, len1);
+    bool done0 = false, done1 = false;
+    int32_t t0 = 0, t1 = 0;
+    while (!done0 && !done1) {
+      BlockCtx c0 = prep_block(0, r0);
+      BlockCtx c1 = prep_block(1, r1);
+      residuals_pair(c0, r0, c1, r1);
+      t0 += c0.bs;
+      t1 += c1.bs;
+      if (r0.read(1)) done0 = true;
+      if (r1.read(1)) done1 = true;
+    }
+    while (!done0) {  // leftover blocks (unequal block counts): single
+      t0 += decode_block(0, r0);
+      if (r0.read(1)) done0 = true;
+    }
+    while (!done1) {
+      t1 += decode_block(1, r1);
+      if (r1.read(1)) done1 = true;
+    }
+    substream_tail(r0);
+    substream_tail(r1);
+    *f0 = t0;
+    *f1 = t1;
+  }
+
+
+  // One block's parameter prep (restart/decoding parameters + tensor
+  // stores), split from its residual read so the paired driver can prep
+  // BOTH substreams' blocks and then run their residual walks together.
+  struct BlockCtx {
+    int n_ch;
+    int32_t bs;
+    size_t res0;
+  };
+
+  BlockCtx prep_block(int s, BitReader& r) {
     Substream& u = ss[s];
     bool restart = false;
     bool has_params = false;
@@ -1004,16 +1195,65 @@ struct Parser {
       }
     }
     out.blk_fir_any[s].push_back(fir_any);
+    return BlockCtx{n_ch, u.block_size, res0};
+  }
+
+  void do_residuals(int s, const BlockCtx& c, BitReader& r) {
+    Substream& u = ss[s];
     if (skip_values) {
-      skip_residuals(s, u, r, n_ch);
+      skip_residuals(s, u, r, c.n_ch);
     } else {
-      read_residuals(u, r, out.residuals[s].data() + res0, n_ch,
+      read_residuals(u, r, out.residuals[s].data() + c.res0, c.n_ch,
                      &out.res_amax[s]);
     }
-    marks.samples[s] += u.block_size;
+    marks.samples[s] += c.bs;
     marks.blocks[s] += 1;
-    return u.block_size;
   }
+
+  int32_t decode_block(int s, BitReader& r) {
+    BlockCtx c = prep_block(s, r);
+    do_residuals(s, c, r);
+    return c.bs;
+  }
+
+  // Residual walks of one block from EACH substream, advanced from one
+  // loop: the two serial bit chains overlap in the out-of-order core
+  // (measured ~1.3-1.6x on the hot loops vs back-to-back substreams).
+  void residuals_pair(const BlockCtx& c0, BitReader& r0,
+                      const BlockCtx& c1, BitReader& r1) {
+    if (skip_values) {
+      SkipWalk a, b;
+      bool da = a.prep(this, 0, ss[0], r0, c0.n_ch);
+      bool db = b.prep(this, 1, ss[1], r1, c1.n_ch);
+      int na = da ? 0 : a.bs, nb = db ? 0 : b.bs;
+      int common = na < nb ? na : nb;
+      for (int i = 0; i < common; i++) { a.step(); b.step(); }
+      for (int i = common; i < na; i++) a.step();
+      for (int i = common; i < nb; i++) b.step();
+      if (!da) a.fin();
+      if (!db) b.fin();
+    } else {
+      ReadWalk a, b;
+      a.prep(this, ss[0], r0, out.residuals[0].data() + c0.res0, c0.n_ch,
+             &out.res_amax[0]);
+      b.prep(this, ss[1], r1, out.residuals[1].data() + c1.res0, c1.n_ch,
+             &out.res_amax[1]);
+      int common = a.bs < b.bs ? a.bs : b.bs;
+      ReadWalk::Hot ha = a.hot(), hb = b.hot();
+      for (int i = 0; i < common; i++) { ha = a.step(ha); hb = b.step(hb); }
+      for (int i = common; i < a.bs; i++) ha = a.step(ha);
+      for (int i = common; i < b.bs; i++) hb = b.step(hb);
+      a.put(ha);
+      b.put(hb);
+      a.fin();
+      b.fin();
+    }
+    marks.samples[0] += c0.bs;
+    marks.blocks[0] += 1;
+    marks.samples[1] += c1.bs;
+    marks.blocks[1] += 1;
+  }
+
 
   bool iir_reloaded[kMaxChannels];
 
@@ -1180,75 +1420,107 @@ struct Parser {
     }
   }
 
-  void read_residuals(Substream& u, BitReader& r, int32_t* dst, int n_ch,
-                      int32_t* amax) {
+  // Full residual decode (values + bypassed LSBs), as a WALK object for
+  // the same reason as SkipWalk: the per-symbol serial chain (window ->
+  // LUT length -> position) is latency-bound, and advancing both
+  // substreams' walks from one loop overlaps their chains.
+  struct ReadWalk {
+    Parser* P;
+    Substream* u;
+    BitReader* r;
+    const int32_t* lv;
+    const int32_t* ll;
+    int32_t* dst;
+    int32_t* amax;
+    int n_ch, bs, nbyp, i;
+    int32_t worst;
     int32_t lsb_bits[kMaxChannels];
     int32_t offsets[kMaxChannels];
     int32_t codebooks_[kMaxChannels];
-    for (int i = 0; i < n_ch; i++) {
-      ChannelParams& cp = u.ch[u.min_ch + i];
-      int lb = cp.huffman_lsbs - int(u.quant[u.min_ch + i]);
-      lsb_bits[i] = lb;
-      codebooks_[i] = cp.codebook;
-      if (lb < 0) throw ParseError{};  // reference would request a huge read
-      int64_t off;
-      if (cp.codebook) {
-        int sign_shift = lb + 2 - cp.codebook;
-        off = int64_t(cp.huffman_offset) - (int64_t(7) << lb);
-        if (sign_shift >= 0) off -= int64_t(1) << sign_shift;
-      } else {
-        int sign_shift = lb - 1;
-        off = cp.huffman_offset;
-        if (sign_shift >= 0) off -= int64_t(1) << sign_shift;
-      }
-      offsets[i] = int32_t(off);
-    }
-    // hot loop: one 64-bit window load covers a channel's whole symbol —
-    // the ≤9-bit Huffman code plus the ≤24-bit LSB field (≤33 bits total),
-    // so each (sample, channel) costs one load + one LUT line + shifts.
-    // Bounds are validated ONCE per sample against the sample's worst-case
-    // bit cost (fixed fields + ≤9 bits per Huffman code); a sample that
-    // could overrun re-runs with the exact per-channel check, so streams
-    // that end flush with the frame still parse.  Window loads stay
-    // in-bounds either way (the 8-byte zero pad covers pos ≤ nbits).
     int32_t quants[kMaxChannels];
-    int32_t worst = 0;
-    for (int i = 0; i < n_ch; i++) {
-      quants[i] = u.quant[u.min_ch + i];
-      worst += lsb_bits[i] + (codebooks_[i] ? 9 : 0);
-    }
-    worst += u.matrix_len;  // ≤1 bypass bit per slot
-    int bs = u.block_size;
-    // bypassed LSBs: pre-size once, write by index (frame-local buffers,
-    // cleared at frame start — see decode_frame)
-    size_t byp0[kMaxMatrices];
-    for (int m = 0; m < u.matrix_len; m++) {
-      byp0[m] = u.mats[m].bypassed.size();
-      u.mats[m].bypassed.resize(byp0[m] + size_t(bs), 0);
-    }
-    // bypass slots with data bits this block, in matrix order (slots
-    // without lsb_bypass stay 0 from the zeroing resize above)
     uint8_t* byp_dst[kMaxMatrices];
-    int nbyp = 0;
-    for (int m = 0; m < u.matrix_len; m++) {
-      if (u.mats[m].lsb_bypass)
-        byp_dst[nbyp++] = u.mats[m].bypassed.data() + byp0[m];
+    int64_t pos, nbits, wbase;
+    uint64_t w;
+
+    __attribute__((always_inline)) inline void prep(Parser* P_, Substream& u_, BitReader& r_, int32_t* dst_,
+              int n_ch_, int32_t* amax_) {
+      P = P_; u = &u_; r = &r_; dst = dst_; n_ch = n_ch_; amax = amax_;
+      lv = P->lut_val; ll = P->lut_len;
+      i = 0;
+      for (int c = 0; c < n_ch; c++) {
+        ChannelParams& cp = u->ch[u->min_ch + c];
+        int lb = cp.huffman_lsbs - int(u->quant[u->min_ch + c]);
+        lsb_bits[c] = lb;
+        codebooks_[c] = cp.codebook;
+        if (lb < 0) throw ParseError{};  // reference would request a huge read
+        int64_t off;
+        if (cp.codebook) {
+          int sign_shift = lb + 2 - cp.codebook;
+          off = int64_t(cp.huffman_offset) - (int64_t(7) << lb);
+          if (sign_shift >= 0) off -= int64_t(1) << sign_shift;
+        } else {
+          int sign_shift = lb - 1;
+          off = cp.huffman_offset;
+          if (sign_shift >= 0) off -= int64_t(1) << sign_shift;
+        }
+        offsets[c] = int32_t(off);
+      }
+      // hot loop: one 64-bit window load covers a channel's whole symbol —
+      // the <=9-bit Huffman code plus the <=24-bit LSB field (<=33 bits
+      // total), so each (sample, channel) costs one load + one LUT line +
+      // shifts.  Bounds are validated ONCE per sample against the sample's
+      // worst-case bit cost; a sample that could overrun walks with exact
+      // per-channel checks.  Window loads stay in-bounds either way (the
+      // 8-byte zero pad covers pos <= nbits).
+      worst = 0;
+      for (int c = 0; c < n_ch; c++) {
+        quants[c] = u->quant[u->min_ch + c];
+        worst += lsb_bits[c] + (codebooks_[c] ? 9 : 0);
+      }
+      worst += u->matrix_len;  // <=1 bypass bit per slot
+      bs = u->block_size;
+      // bypassed LSBs: pre-size once, write by index (frame-local buffers,
+      // cleared at frame start — see decode_frame)
+      size_t byp0[kMaxMatrices];
+      for (int m = 0; m < u->matrix_len; m++) {
+        byp0[m] = u->mats[m].bypassed.size();
+        u->mats[m].bypassed.resize(byp0[m] + size_t(bs), 0);
+      }
+      // bypass slots with data bits this block, in matrix order (slots
+      // without lsb_bypass stay 0 from the zeroing resize above)
+      nbyp = 0;
+      for (int m = 0; m < u->matrix_len; m++) {
+        if (u->mats[m].lsb_bypass)
+          byp_dst[nbyp++] = u->mats[m].bypassed.data() + byp0[m];
+      }
+      pos = r->pos;
+      nbits = r->nbits;
+      // rolling 64-bit window: window() pre-shifts by (wbase & 7), so 57
+      // bits are guaranteed valid; a channel consumes <=33 bits, so
+      // shift <= 24 keeps the whole symbol in the register, and the <=6
+      // fused bypass bits need shift <= 51
+      w = r->window(pos);
+      wbase = pos;
     }
-    int64_t pos = r.pos;
-    const int64_t nbits = r.nbits;
-    // rolling 64-bit window (same scheme as skip_residuals): window()
-    // pre-shifts by (wbase & 7), so 57 bits are guaranteed valid; a
-    // channel consumes <=33 bits (<=9-bit code + <=24-bit LSB field),
-    // so shift <= 24 keeps the whole symbol in the register, and the
-    // <=6 fused bypass bits need shift <= 51
-    uint64_t w = r.window(pos);
-    int64_t wbase = pos;
-    for (int i = 0; i < bs; i++) {
+
+    // hot cursor threaded BY VALUE through step(): the walk object's
+    // address escapes into prep's callees, so member-resident cursors
+    // would re-load/store through memory every sample; value threading
+    // keeps them in registers across the paired loop
+    struct Hot { int64_t pos; uint64_t w; int64_t wbase; int i; };
+    Hot hot() const { return Hot{pos, w, wbase, i}; }
+    void put(const Hot& h) { pos = h.pos; w = h.w; wbase = h.wbase; i = h.i; }
+
+    __attribute__((always_inline)) inline Hot step(Hot h) {
+      int64_t pos = h.pos;
+      uint64_t w = h.w;
+      int64_t wbase = h.wbase;
+      const int i = h.i;
       const bool careful = pos + worst > nbits;
       if (nbyp) {
         int64_t shift = pos - wbase;
         if (shift > 57 - nbyp) {
-          w = r.window(pos);
+          w = r->window(pos);
           wbase = pos;
           shift = 0;
         }
@@ -1262,7 +1534,7 @@ struct Parser {
         int cb = codebooks_[ci];
         int64_t shift = pos - wbase;
         if (shift > 24) {
-          w = r.window(pos);
+          w = r->window(pos);
           wbase = pos;
           shift = 0;
         }
@@ -1270,132 +1542,194 @@ struct Parser {
         int32_t msb = 0;
         if (cb) {
           uint32_t peek = uint32_t(ww >> 55);
-          int32_t n = lut_len[cb * 512 + peek];
-          if (n == 0) { r.pos = pos; throw ParseError{}; }
-          msb = lut_val[cb * 512 + peek];
+          int32_t n = ll[cb * 512 + peek];
+          if (n == 0) { r->pos = pos; throw ParseError{}; }
+          msb = lv[cb * 512 + peek];
           ww <<= n;
           pos += n;
         }
         uint32_t lsb = lb ? uint32_t(ww >> (64 - lb)) : 0;
         pos += lb;
-        if (careful && pos > nbits) { r.pos = pos; throw ParseError{}; }
+        if (careful && pos > nbits) { r->pos = pos; throw ParseError{}; }
         int32_t v = int32_t(
             uint32_t(uint32_t((msb << lb) + int32_t(lsb) + offsets[ci]))
             << quants[ci]);
         dst[size_t(ci) * bs + i] = v;
       }
+      return Hot{pos, w, wbase, i + 1};
     }
-    // amax (narrow-d2h tier selection) as a separate vectorizable sweep
-    // over the block's contiguous residuals instead of a serial-loop
-    // compare per symbol
-    int32_t am = *amax;
-    const int64_t nv = int64_t(n_ch) * bs;
-    for (int64_t j = 0; j < nv; j++) {
-      const int32_t v = dst[j];
-      const int32_t a = v < 0 ? ~v : v;  // |v| with INT32_MIN -> INT32_MAX
-      if (a > am) am = a;
+
+    __attribute__((always_inline)) inline void fin() {
+      // amax (narrow-d2h tier selection) as a separate vectorizable sweep
+      // over the block's contiguous residuals instead of a serial-loop
+      // compare per symbol
+      int32_t am = *amax;
+      const int64_t nv = int64_t(n_ch) * bs;
+      for (int64_t j = 0; j < nv; j++) {
+        const int32_t v = dst[j];
+        const int32_t a = v < 0 ? ~v : v;  // |v| with INT32_MIN -> INT32_MAX
+        if (a > am) am = a;
+      }
+      *amax = am;
+      r->pos = pos;
     }
-    *amax = am;
-    r.pos = pos;
+  };
+
+  void read_residuals(Substream& u, BitReader& r, int32_t* dst, int n_ch,
+                      int32_t* amax) {
+    ReadWalk w;
+    w.prep(this, u, r, dst, n_ch, amax);
+    ReadWalk::Hot h = w.hot();
+    for (int i = 0; i < w.bs; i++) h = w.step(h);
+    w.put(h);
+    w.fin();
   }
+
 
   // Length-only residual walk (skip-values mode): consume exactly the bits
   // read_residuals would, validating the same failure conditions, and emit
   // the per-block decode tables the device residual kernel needs.
-  void skip_residuals(int s, Substream& u, BitReader& r, int n_ch) {
-    *bump(out.blk_res_bitpos[s], 1) = (r.data - stream) * 8 + r.pos;
-    int nbyp = 0;
-    uint8_t mask = 0;
-    for (int m = 0; m < u.matrix_len; m++) {
-      if (u.mats[m].lsb_bypass) {
-        nbyp++;
-        mask |= uint8_t(1) << m;
-      }
-    }
-    *bump(out.blk_nbyp[s], 1) = uint8_t(nbyp);
-    *bump(out.blk_byp_mask[s], 1) = mask;
-
+  //
+  // Restructured (round 5) as a WALK object: prep() runs the per-block
+  // preamble, step() consumes one sample, fin() commits.  The plain
+  // wrapper keeps the sequential behavior; residuals_pair() advances TWO
+  // walks (one per substream) from one loop so their serial bit chains —
+  // the LUT-load latency per symbol is the single-thread parse floor —
+  // overlap in the out-of-order core.
+  struct SkipWalk {
+    Parser* P;
+    Substream* u;
+    BitReader* r;
+    const int32_t* ll;
+    int s, n_ch, bs, k, n_huf, nbyp;
+    int32_t worst;
     int32_t lsb_bits[kMaxChannels];
     int32_t codebooks[kMaxChannels];
-    // length-only walk: only Huffman-coded channels have data-dependent
-    // widths, so fold every fixed field (bypass bits + all LSB fields)
-    // into per-code constant gaps — gap[h] is the fixed bit count between
-    // code h-1's end and code h's start (gap[0] from the sample start,
-    // gap[n_huf] to the sample end).  Channels with codebook 0 then cost
-    // nothing per sample.
     int32_t gap[kMaxChannels + 1];
     int32_t hufcb[kMaxChannels];
-    int32_t* p_cb = bump(out.blk_codebook[s], size_t(n_ch));
-    int32_t* p_lb = bump(out.blk_lsb_bits[s], size_t(n_ch));
-    int32_t* p_off = bump(out.blk_res_offset[s], size_t(n_ch));
-    int n_huf = 0;
-    int32_t acc = nbyp;       // running fixed gap
-    int32_t worst = nbyp;     // worst-case bits per sample (codes ≤9)
-    for (int i = 0; i < n_ch; i++) {
-      ChannelParams& cp = u.ch[u.min_ch + i];
-      int lb = cp.huffman_lsbs - int(u.quant[u.min_ch + i]);
-      if (lb < 0) throw ParseError{};
-      lsb_bits[i] = lb;
-      codebooks[i] = cp.codebook;
-      worst += lb;
-      if (cp.codebook) {
-        gap[n_huf] = acc;
-        hufcb[n_huf++] = cp.codebook;
-        worst += 9;
-        acc = lb;             // the code's own LSB field follows it
-      } else {
-        acc += lb;
-      }
-      int64_t off;
-      if (cp.codebook) {
-        int sign_shift = lb + 2 - cp.codebook;
-        off = int64_t(cp.huffman_offset) - (int64_t(7) << lb);
-        if (sign_shift >= 0) off -= int64_t(1) << sign_shift;
-      } else {
-        int sign_shift = lb - 1;
-        off = cp.huffman_offset;
-        if (sign_shift >= 0) off -= int64_t(1) << sign_shift;
-      }
-      p_cb[i] = cp.codebook;
-      p_lb[i] = lb;
-      p_off[i] = int32_t(off);
-    }
-    gap[n_huf] = acc;
-    int bs = u.block_size;
-    int64_t pos = r.pos;
-    const int64_t pos0 = pos;
-    const int64_t nbits = r.nbits;
-    const int k = sub_every;
+    int32_t grp_n[kMaxChannels + 1];
+    int n_grp;
+    int64_t pos, pos0, nbits, mark;
+    int32_t* p_sub;
+    int sub_cnt;
 
-    if (n_huf == 0) {
-      // fixed-rate block: every sample costs exactly gap[0] bits —
-      // advance in O(1) and emit the (affine) sub-lane offsets directly
-      const int64_t cbits = gap[0];
-      const int64_t end = pos + cbits * bs;
-      if (end > nbits) { r.pos = end; throw ParseError{}; }
-      if (k > 0) {
-        int nsub = (bs + k - 1) / k;
-        int32_t* p_sub = bump(out.blk_sub_bitpos[s], size_t(nsub));
-        for (int i = 0, j = 0; i < bs; i += k, j++)
-          p_sub[j] = int32_t(cbits * i);
+    // full per-block preamble; true = block fully consumed already (the
+    // fixed-rate O(1) path: no Huffman-coded channel in the block)
+    __attribute__((always_inline)) inline bool prep(Parser* P_, int s_, Substream& u_, BitReader& r_, int n_ch_) {
+      P = P_; s = s_; u = &u_; r = &r_; n_ch = n_ch_;
+      ll = P->lut_len;
+      Result& out = P->out;
+      *bump(out.blk_res_bitpos[s], 1) = (r->data - P->stream) * 8 + r->pos;
+      nbyp = 0;
+      uint8_t mask = 0;
+      for (int m = 0; m < u->matrix_len; m++) {
+        if (u->mats[m].lsb_bypass) {
+          nbyp++;
+          mask |= uint8_t(1) << m;
+        }
       }
-      // max sub-lane span: k samples between split points, the whole
-      // block when not splitting (sizes the kernel's window rows)
-      int32_t span = int32_t(cbits * (k > 0 && k < bs ? k : bs));
-      if (span > out.sub_span_max[s]) out.sub_span_max[s] = span;
-      r.pos = end;
-      return;
+      *bump(out.blk_nbyp[s], 1) = uint8_t(nbyp);
+      *bump(out.blk_byp_mask[s], 1) = mask;
+
+      // length-only walk: only Huffman-coded channels have data-dependent
+      // widths, so fold every fixed field (bypass bits + all LSB fields)
+      // into per-code constant gaps — gap[h] is the fixed bit count between
+      // code h-1's end and code h's start (gap[0] from the sample start,
+      // gap[n_huf] to the sample end).  Channels with codebook 0 then cost
+      // nothing per sample.
+      int32_t* p_cb = bump(out.blk_codebook[s], size_t(n_ch));
+      int32_t* p_lb = bump(out.blk_lsb_bits[s], size_t(n_ch));
+      int32_t* p_off = bump(out.blk_res_offset[s], size_t(n_ch));
+      n_huf = 0;
+      int32_t acc = nbyp;       // running fixed gap
+      worst = nbyp;             // worst-case bits per sample (codes <=9)
+      for (int i = 0; i < n_ch; i++) {
+        ChannelParams& cp = u->ch[u->min_ch + i];
+        int lb = cp.huffman_lsbs - int(u->quant[u->min_ch + i]);
+        if (lb < 0) throw ParseError{};
+        lsb_bits[i] = lb;
+        codebooks[i] = cp.codebook;
+        worst += lb;
+        if (cp.codebook) {
+          gap[n_huf] = acc;
+          hufcb[n_huf++] = cp.codebook;
+          worst += 9;
+          acc = lb;             // the code's own LSB field follows it
+        } else {
+          acc += lb;
+        }
+        int64_t off;
+        if (cp.codebook) {
+          int sign_shift = lb + 2 - cp.codebook;
+          off = int64_t(cp.huffman_offset) - (int64_t(7) << lb);
+          if (sign_shift >= 0) off -= int64_t(1) << sign_shift;
+        } else {
+          int sign_shift = lb - 1;
+          off = cp.huffman_offset;
+          if (sign_shift >= 0) off -= int64_t(1) << sign_shift;
+        }
+        p_cb[i] = cp.codebook;
+        p_lb[i] = lb;
+        p_off[i] = int32_t(off);
+      }
+      gap[n_huf] = acc;
+      bs = u->block_size;
+      pos = r->pos;
+      pos0 = pos;
+      nbits = r->nbits;
+      k = P->sub_every;
+
+      if (n_huf == 0) {
+        // fixed-rate block: every sample costs exactly gap[0] bits —
+        // advance in O(1) and emit the (affine) sub-lane offsets directly
+        const int64_t cbits = gap[0];
+        const int64_t end = pos + cbits * bs;
+        if (end > nbits) { r->pos = end; throw ParseError{}; }
+        if (k > 0) {
+          int nsub = (bs + k - 1) / k;
+          int32_t* ps = bump(out.blk_sub_bitpos[s], size_t(nsub));
+          for (int i = 0, j = 0; i < bs; i += k, j++)
+            ps[j] = int32_t(cbits * i);
+        }
+        // max sub-lane span: k samples between split points, the whole
+        // block when not splitting (sizes the kernel's window rows)
+        int32_t span = int32_t(cbits * (k > 0 && k < bs ? k : bs));
+        if (span > out.sub_span_max[s]) out.sub_span_max[s] = span;
+        r->pos = end;
+        return true;
+      }
+
+      // GROUP PLAN: codes packed so every peek within a group provably
+      // stays inside one 57-bit window (worst-case shift before a peek
+      // <= 48 with all codes at their 9-bit maximum): each group costs
+      // ONE unconditional window load and register shifts — no
+      // data-dependent refresh branch in the serial pos chain.  bounds:
+      // non-careful samples satisfy pos + worst <= nbits, so every
+      // group load stays inside the 8-byte zero pad
+      n_grp = 0;
+      {
+        int cnt = 0;
+        int32_t acc_worst = 0;
+        for (int h = 0; h < n_huf; h++) {
+          if (cnt > 0 && acc_worst > 48) {
+            grp_n[n_grp++] = cnt;
+            cnt = 0;
+            acc_worst = 0;
+          }
+          cnt++;
+          acc_worst += 9 + gap[h + 1];
+        }
+        if (cnt) grp_n[n_grp++] = cnt;
+      }
+      mark = pos;
+      p_sub = k > 0
+          ? bump(out.blk_sub_bitpos[s], size_t((bs + k - 1) / k)) : nullptr;
+      sub_cnt = k > 0 ? 1 : bs + 1;  // fires at i == 0 when splitting
+      return false;
     }
 
-    // same single-window hot loop as read_residuals, length-only, with
-    // the same once-per-sample worst-case bounds check + careful rerun
-    uint64_t w = r.window(pos);  // rolling 64-bit window over [wbase, +64)
-    int64_t wbase = pos;
-    int64_t mark = pos;
-    int32_t* p_sub = k > 0
-        ? bump(out.blk_sub_bitpos[s], size_t((bs + k - 1) / k)) : nullptr;
-    int sub_cnt = k > 0 ? 1 : bs + 1;  // fires at i == 0 when splitting
-    for (int i = 0; i < bs; i++) {
+    __attribute__((always_inline)) inline void step() {
+      Result& out = P->out;
       if (--sub_cnt == 0) {
         sub_cnt = k;
         *p_sub++ = int32_t(pos - pos0);
@@ -1408,40 +1742,47 @@ struct Parser {
         for (int ci = 0; ci < n_ch; ci++) {
           int cb = codebooks[ci];
           if (cb) {
-            uint32_t peek = uint32_t(r.window(pos) >> 55);
-            int32_t n = lut_len[cb * 512 + peek];
-            if (n == 0) { r.pos = pos; throw ParseError{}; }
+            uint32_t peek = uint32_t(r->window(pos) >> 55);
+            int32_t n = ll[cb * 512 + peek];
+            if (n == 0) { r->pos = pos; throw ParseError{}; }
             pos += n;
           }
           pos += lsb_bits[ci];
-          if (pos > nbits) { r.pos = pos; throw ParseError{}; }
+          if (pos > nbits) { r->pos = pos; throw ParseError{}; }
         }
-        continue;
+        return;
       }
-      for (int h = 0; h < n_huf; h++) {
-        pos += gap[h];
-        // rolling window: reuse the last 64-bit load while the next code
-        // still fits (shifting a register beats re-walking addr->load->
-        // bswap in the serial pos chain).  window() pre-shifts by
-        // (wbase & 7), so only 64-7 = 57 bits are guaranteed valid; a
-        // <=9-bit code therefore needs shift <= 48
-        int64_t shift = pos - wbase;
-        if (shift > 48) {
-          w = r.window(pos);
-          wbase = pos;
-          shift = 0;
+      pos += gap[0];
+      int h = 0;
+      for (int g = 0; g < n_grp; g++) {
+        const uint64_t w = r->window(pos);
+        int64_t sh = 0;
+        const int cnt = grp_n[g];
+        for (int j = 0; j < cnt; j++, h++) {
+          uint32_t peek = uint32_t((w << sh) >> 55);
+          int32_t n = ll[hufcb[h] * 512 + peek];
+          if (n == 0) { r->pos = pos + sh; throw ParseError{}; }
+          sh += n + gap[h + 1];
         }
-        uint32_t peek = uint32_t((w << shift) >> 55);
-        int32_t n = lut_len[hufcb[h] * 512 + peek];
-        if (n == 0) { r.pos = pos; throw ParseError{}; }
-        pos += n;
+        pos += sh;
       }
-      pos += gap[n_huf];
     }
-    if (int32_t(pos - mark) > out.sub_span_max[s])
-      out.sub_span_max[s] = int32_t(pos - mark);  // tail sub-lane span
-    r.pos = pos;
+
+    __attribute__((always_inline)) inline void fin() {
+      Result& out = P->out;
+      if (int32_t(pos - mark) > out.sub_span_max[s])
+        out.sub_span_max[s] = int32_t(pos - mark);  // tail sub-lane span
+      r->pos = pos;
+    }
+  };
+
+  void skip_residuals(int s, Substream& u, BitReader& r, int n_ch) {
+    SkipWalk w;
+    if (w.prep(this, s, u, r, n_ch)) return;
+    for (int i = 0; i < w.bs; i++) w.step();
+    w.fin();
   }
+
 
   void commit_frame(int final_s, int32_t frames0, int64_t end_off) {
     Substream& fu = ss[final_s];

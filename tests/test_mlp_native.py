@@ -1023,3 +1023,47 @@ def test_mt_parse_multi_corrupt_local_repairs():
             assert inc.view().status == seq.status, fi
         seq.close()
         inc.close()
+
+
+def test_paired_parse_differential_subprocess():
+    """DVDA_HOST_PAIRED=0 (sequential two-substream decode) produces the
+    same parse as the round-5 paired walk — including on a corrupt
+    stream, where the paired path retries the damaged frame sequentially
+    from a state snapshot.  env is read once per process, so the
+    sequential side runs in a child."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    code = r"""
+import json, sys
+import numpy as np
+sys.path.insert(0, %r)
+from dvda_tpu import host
+from dvda_tpu.testutil.mlp_synth import MlpSynthConfig, synth_mlp_stream
+
+cfg = MlpSynthConfig(channel_assignment=17, substream_count=2,
+                     n_frames=48, seed=21, params_update_prob=0.2)
+base = bytearray(synth_mlp_stream(cfg))
+base[len(base) // 2] ^= 0x5A  # corrupt mid-stream: frame-drop + retry path
+p = host.parse_mlp_stream(bytes(base))
+digest = {
+    "F": int(p.F),
+    "frame_len": int(p.frame_len.sum()),
+    "noise": int(np.int64(p.noise0[:]).sum() + np.int64(p.noise1[:]).sum()),
+    "res": [int(np.int64(p.sub[s]["residuals"]).sum()) for s in (0, 1)],
+    "shift": [int(p.sub[s]["shift"].sum()) for s in (0, 1)],
+}
+p.close()
+print(json.dumps(digest))
+""" % ("/root/repo",)
+    outs = []
+    for paired in ("1", "0"):
+        env = dict(os.environ, DVDA_HOST_PAIRED=paired,
+                   PALLAS_AXON_POOL_IPS="")
+        proc = subprocess.run([sys.executable, "-c", code], env=env,
+                              capture_output=True, timeout=300, check=True)
+        outs.append(json.loads(proc.stdout.strip().splitlines()[-1]))
+    assert outs[0] == outs[1]
+    assert outs[0]["F"] > 0
