@@ -43,6 +43,19 @@ os.environ.setdefault(
 RATE = 96000
 AUDIO_BYTES_PER_SEC = 6 * 3 * RATE  # 5.1 × 24-bit × 96k = 1.728 MB/s
 
+#: WAV output rate (MB per second of audio) per config — each config's
+#: own tunnel-ceiling denominator (VERDICT r2 #4: relay weather is then
+#: separable from real regressions)
+OUT_MB_PER_SEC = {
+    "pcm_2ch_48k": 48000 * 2 * 2 / 1e6,
+    "pcm_hires": (10 * 192000 * 2 * 3 + 10 * 96000 * 6 * 3) / 20 / 1e6,
+    "mlp_stereo_96k": 96000 * 2 * 3 / 1e6,
+    "mlp_51_96k": AUDIO_BYTES_PER_SEC / 1e6,
+    "mlp_51_devhuff": AUDIO_BYTES_PER_SEC / 1e6,
+    "disc_batch_cppm": (1.728 + 0.576 + 1.728) / 3,
+    "mlp_nonuniform": 48000 * 6 * 3 / 1e6,
+}
+
 
 def log(msg):
     print(msg, file=sys.stderr, flush=True)
@@ -55,6 +68,50 @@ def _best(fn, reps):
         fn()
         times.append(time.perf_counter() - t0)
     return min(times), times
+
+
+def _probe_d2h_quick(mb=4):
+    """One small d2h readback — the link speed RIGHT NOW, in MB/s."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    f = jax.jit(lambda x: x + 1)
+    d = jax.block_until_ready(f(jnp.zeros(mb << 20, jnp.uint8)))
+    d.copy_to_host_async()
+    t0 = time.perf_counter()
+    np.asarray(d)
+    return mb / (time.perf_counter() - t0)
+
+
+def _best_probed(fn, reps):
+    """Like :func:`_best`, but with a d2h micro-probe AFTER each timed
+    run: through the shared relay the link swings ~20× within minutes
+    (one sitting recorded runs of 2.2 s and 15.5 s back to back), so a
+    device-path run is only interpretable against the link speed it
+    actually saw.  Returns (best, times, probes_MBps)."""
+    times, probes = [], []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        times.append(time.perf_counter() - t0)
+        probes.append(_probe_d2h_quick())
+    return min(times), times, probes
+
+
+def _per_run_frac(entry, audio, times, probes, rate_mb):
+    """Per-run device-path efficiency: each run's ×realtime over the
+    ceiling implied by ITS adjacent link probe.  The median is the
+    weather-robust regression-gate number (a global before/after probe
+    pair can be 4× off the link speed any given run saw)."""
+    fracs = [round((audio / t) / (p / rate_mb), 2)
+             for t, p in zip(times, probes) if p > 0]
+    if not fracs:
+        return
+    entry["device_frac_runs"] = fracs
+    entry["device_frac_median"] = sorted(fracs)[len(fracs) // 2]
+    entry["device_frac_best"] = max(fracs)
+    entry["run_probe_MBps"] = [round(p, 1) for p in probes]
 
 
 def _ref_binary():
@@ -181,9 +238,10 @@ def _bench_mlp_modes(layout, audio, ref, name, results, reps=3):
                 else "standard")
     dc = replace(DecodeConfig.from_env(), host_complete=False)
     _decode_track_packed(layout.path, True, dc)  # warm (compile)
-    best_d, times_d = _best(
+    best_d, times_d, probes_d = _best_probed(
         lambda: _decode_track_packed(layout.path, True, dc), reps)
-    log(f"{name} runs ({dev_mode}): {[f'{t:.2f}' for t in times_d]}")
+    log(f"{name} runs ({dev_mode}): {[f'{t:.2f}' for t in times_d]} "
+        f"link {[f'{p:.0f}' for p in probes_d]} MB/s")
 
     cc = replace(DecodeConfig.from_env(), use_device=False)
     _decode_track_packed(layout.path, None, cc)  # warm (native build)
@@ -200,6 +258,8 @@ def _bench_mlp_modes(layout, audio, ref, name, results, reps=3):
         _record(results, name, audio, best_d, ref, times_d)
         results[name]["mode"] = dev_mode
         results[name]["host_complete_x_realtime"] = round(audio / best_c, 1)
+    _per_run_frac(results[name], audio, times_d, probes_d,
+                  OUT_MB_PER_SEC[name])
 
 
 def bench_mlp_51(tmp, results):
@@ -227,21 +287,27 @@ def bench_mlp_51(tmp, results):
     assert frames == round(audio * RATE)
 
     global_timer.reset()
-    best, times = _best(
+    best, times, probes = _best_probed(
         lambda: _decode_track_packed(layout.path, True, sc), 5)
-    log(f"mlp_51 runs: {[f'{t:.2f}' for t in times]}")
+    log(f"mlp_51 runs: {[f'{t:.2f}' for t in times]} "
+        f"link {[f'{p:.0f}' for p in probes]} MB/s")
     log("mlp_51 stage breakdown (timed runs only):\n" + global_timer.summary())
     _record(results, "mlp_51_96k", audio, best, ref, times)
+    _per_run_frac(results["mlp_51_96k"], audio, times, probes,
+                  OUT_MB_PER_SEC["mlp_51_96k"])
 
     # same track with on-device Huffman residual decode (host parses
     # length-only; see ops/huffman_decode.py) for the measured comparison
     hc = replace(DecodeConfig.from_env(), device_huffman=True,
                  host_complete=False)
     _decode_track_packed(layout.path, True, hc)  # warm (compile)
-    best_h, times_h = _best(
+    best_h, times_h, probes_h = _best_probed(
         lambda: _decode_track_packed(layout.path, True, hc), 5)
-    log(f"mlp_51_devhuff runs: {[f'{t:.2f}' for t in times_h]}")
+    log(f"mlp_51_devhuff runs: {[f'{t:.2f}' for t in times_h]} "
+        f"link {[f'{p:.0f}' for p in probes_h]} MB/s")
     _record(results, "mlp_51_devhuff", audio, best_h, ref, times_h)
+    _per_run_frac(results["mlp_51_devhuff"], audio, times_h, probes_h,
+                  OUT_MB_PER_SEC["mlp_51_devhuff"])
 
     # third production mode: host-complete (native parse + mp_reconstruct,
     # no device round-trip) — the auto-selected executor when the only
@@ -896,22 +962,9 @@ def main(argv=None):
         d2h = (max(t_before["d2h_MBps"], t_after["d2h_MBps"])
                if run_headline else 0.0)
         ceiling = d2h / (AUDIO_BYTES_PER_SEC / 1e6)
-        # per-config d2h ceilings: each config's WAV output rate (MB per
-        # second of audio) sets its own tunnel wall — relay weather is
-        # then separable from real regressions (VERDICT r2 #4)
-        out_mb_per_sec = {
-            "pcm_2ch_48k": 48000 * 2 * 2 / 1e6,
-            "pcm_hires": (10 * 192000 * 2 * 3 + 10 * 96000 * 6 * 3)
-                         / 20 / 1e6,
-            "mlp_stereo_96k": 96000 * 2 * 3 / 1e6,
-            "mlp_51_96k": AUDIO_BYTES_PER_SEC / 1e6,
-            "mlp_51_devhuff": AUDIO_BYTES_PER_SEC / 1e6,
-            "disc_batch_cppm": (1.728 + 0.576 + 1.728) / 3,
-            "mlp_nonuniform": 48000 * 6 * 3 / 1e6,
-        }
         if d2h:
             for name, entry in results.items():
-                rate = out_mb_per_sec.get(name)
+                rate = OUT_MB_PER_SEC.get(name)
                 if rate:
                     entry["tunnel_ceiling_x_realtime"] = round(d2h / rate, 1)
         devx = bench_device_compute(results) if "mlp_51_96k" in results \
@@ -972,10 +1025,12 @@ def main(argv=None):
             "tunnel_ceiling_x_realtime": round(ceiling, 1),
             # tunnel-overlap quality of the best DEVICE-pipeline mode (the
             # host-complete executor never touches the tunnel, so the
-            # ceiling doesn't apply to it)
-            "pipeline_efficiency": round(
-                best_dev["ours_x_realtime"] / ceiling, 2) if ceiling
-            else None,
+            # ceiling doesn't apply to it); per-run-probed median when
+            # available — see _device_ceiling_gate
+            "pipeline_efficiency": best_dev.get(
+                "device_frac_median",
+                round(best_dev["ours_x_realtime"] / ceiling, 2)
+                if ceiling else None),
             # device-path fraction of each config's own tunnel ceiling —
             # the regression gate (<0.5 also WARNs on stderr, VERDICT r4
             # next #1: the TPU path must not rot behind a host headline)
@@ -987,7 +1042,7 @@ def main(argv=None):
 #: per-config keys kept on the compact stdout line (detail → stderr)
 _SLIM_KEYS = ("ours_x_realtime", "ref_x_realtime", "vs_baseline",
               "median_x_realtime", "mode", "device_path_x_realtime",
-              "overhead_at_8", "e2e_vs_overlapped",
+              "device_frac_median", "overhead_at_8", "e2e_vs_overlapped",
               "decode_s_by_devices", "spread_by_devices",
               "sched_overhead_at_8")
 
@@ -1001,22 +1056,32 @@ def _device_ceiling_gate(results):
     """Device-path ×realtime as a fraction of each config's tunnel
     ceiling; WARNs when a device row drops under 0.5 — the regression
     gate the round-4 host-complete headline lacked (its device pipeline
-    fell to 0.10-0.41 of ceiling with nothing flagging it)."""
+    fell to 0.10-0.41 of ceiling with nothing flagging it).
+
+    Each run's fraction uses the link speed a d2h micro-probe measured
+    right AFTER that run (``device_frac_median``, round 5): the relay
+    swings ~20× within one config's five reps, so a suite-level
+    before/after probe pair routinely misattributes weather to the
+    pipeline.  Falls back to the suite-level ceiling when per-run probes
+    are absent (diagnostic subsets)."""
     frac = {}
     for name in ("mlp_51_96k", "mlp_51_devhuff", "mlp_stereo_96k",
                  "mlp_nonuniform"):
         entry = results.get(name)
         if not entry:
             continue
-        ceil = entry.get("tunnel_ceiling_x_realtime")
-        devx = (entry.get("device_path_x_realtime")
-                if entry.get("mode") == "host_complete"
-                else entry.get("ours_x_realtime"))
-        if not ceil or not devx:
-            continue
-        frac[name] = round(devx / ceil, 2)
-        if frac[name] < 0.5:
-            log(f"WARN: device path {name} at {frac[name]:.2f} of its "
+        f = entry.get("device_frac_median")
+        if f is None:
+            ceil = entry.get("tunnel_ceiling_x_realtime")
+            devx = (entry.get("device_path_x_realtime")
+                    if entry.get("mode") == "host_complete"
+                    else entry.get("ours_x_realtime"))
+            if not ceil or not devx:
+                continue
+            f = round(devx / ceil, 2)
+        frac[name] = f
+        if f < 0.5:
+            log(f"WARN: device path {name} at {f:.2f} of its "
                 f"tunnel ceiling (<0.5) — possible device-pipeline "
                 f"regression; profile with DVDA_TPU_HOST_COMPLETE=0")
     return frac

@@ -20,6 +20,7 @@
 #include <atomic>
 #include <condition_variable>
 #include <cstdint>
+#include <cstdio>
 #include <cstdlib>
 #include <cstring>
 #if defined(__AVX512F__) && defined(__AVX512VL__) && defined(__AVX512DQ__)
@@ -29,12 +30,27 @@
 #include <mutex>
 #include <thread>
 #include <vector>
+#if defined(__x86_64__)
+#include <x86intrin.h>
+#endif
 
 namespace {
 
 constexpr int kMaxChannels = 8;
 constexpr int kMaxMatrices = 6;
 constexpr int kMaxSubstreams = 2;
+
+// DVDA_PARSE_STATS=1: per-parser stage cycle counters (diagnosis only —
+// printed to stderr on parser destruction; zero-cost branches when off)
+#if defined(__x86_64__)
+static inline uint64_t pstat_now() { return __rdtsc(); }
+#else
+static inline uint64_t pstat_now() { return 0; }
+#endif
+static bool pstat_on() {
+  static const bool v = std::getenv("DVDA_PARSE_STATS") != nullptr;
+  return v;
+}
 
 // CRC-8 step table for the MLP substream checkdata (same polynomial table
 // as bitstream.py CRC8_TABLE / mlp.c:1363-1395).
@@ -164,6 +180,21 @@ struct Substream {
   int info_checkdata = 0;
   int info_end = 0;
   bool restart_seen = false;
+  // prep_block emit cache (round 5): a no-params block's per-channel
+  // tensor rows (shift/quant/fir/iir/fir_any) are IDENTICAL to the
+  // previous block's — most blocks in real streams carry no parameter
+  // update, so the per-channel derive loop is replaced by memcpys of
+  // these rows.  Refilled on every has-params block; invalidated by
+  // frame-state restore (dropped-frame rollback can rewind ch[]).
+  struct EmitCache {
+    bool valid = false;
+    int n_ch = 0;
+    int32_t shift[kMaxChannels];
+    int32_t quant_[kMaxChannels];
+    int32_t fir[kMaxChannels * 8];
+    int32_t iir[kMaxChannels * 8];
+    uint8_t fir_any = 0;
+  } ecache;
 };
 
 // The parser appends tens of millions of elements that are written
@@ -456,7 +487,20 @@ struct Parser {
       for (auto& t : mt->pool)
         if (t.joinable()) t.join();
     }
+    if (pstat_on() && st_total) {
+      std::fprintf(stderr,
+                   "[pstat] total=%llu check=%llu(%.0f%%) prep=%llu(%.0f%%) "
+                   "walk=%llu(%.0f%%) other=%.0f%%\n",
+                   (unsigned long long)st_total, (unsigned long long)st_check,
+                   100.0 * st_check / st_total, (unsigned long long)st_prep,
+                   100.0 * st_prep / st_total, (unsigned long long)st_walk,
+                   100.0 * st_walk / st_total,
+                   100.0 * (st_total - st_check - st_prep - st_walk) /
+                       double(st_total));
+    }
   }
+
+  uint64_t st_total = 0, st_check = 0, st_prep = 0, st_walk = 0;
 
   int64_t off_ = 0;   // resume offset for incremental parsing
   bool done_ = false;
@@ -528,6 +572,7 @@ struct Parser {
   // worker section instead (all remaining sections when max_frames <= 0).
   int32_t run_some(int64_t max_frames) {
     if (mt) return mt_step(max_frames);
+    const uint64_t sp0 = pstat_on() ? pstat_now() : 0;
     int64_t parsed = 0;
     while (!done_ && (max_frames <= 0 || parsed < max_frames)) {
       if (size - off_ < 4) { done_ = true; break; }
@@ -553,6 +598,7 @@ struct Parser {
         reserve_after_first_frame(total);
       }
     }
+    if (sp0) st_total += pstat_now() - sp0;
     return done_ ? 0 : 1;
   }
 
@@ -880,6 +926,7 @@ struct Parser {
       std::memcpy(u.ch, d.ch, sizeof u.ch);
       u.info_checkdata = d.info_checkdata; u.info_end = d.info_end;
       u.restart_seen = d.restart_seen;
+      u.ecache.valid = false;  // ch[]/quant rewound: cached rows stale
     }
     have_sync = f.have_sync;
     substream_count = f.substream_count;
@@ -1007,47 +1054,45 @@ struct Parser {
   // and paired substream drivers.
   int64_t verify_checkdata(const uint8_t* data, int64_t nbytes,
                            int checkdata) {
+    const uint64_t t0 = pstat_on() ? pstat_now() : 0;
     int64_t body_len = nbytes;
     if (checkdata) {
       if (nbytes < 2) throw ParseError{};
       body_len = nbytes - 2;
-      // parity: whole-buffer XOR, word-at-a-time (independent of the CRC)
-      uint8_t parity = 0;
-      {
-        uint64_t acc = 0;
-        int64_t i = 0;
-        for (; i + 8 <= body_len; i += 8) {
-          uint64_t w;
-          std::memcpy(&w, data + i, 8);
-          acc ^= w;
-        }
-        acc ^= acc >> 32;
-        acc ^= acc >> 16;
-        acc ^= acc >> 8;
-        parity = uint8_t(acc);
-        for (; i < body_len; i++) parity ^= data[i];
-      }
-      // CRC-8: slice-by-8.  kCrc8 is GF(2)-linear (T[a^b] = T[a]^T[b]),
-      // so 8 bytes fold with 8 INDEPENDENT table loads instead of an
-      // 8-deep serial load chain — the byte-serial walk was a full pass
-      // over the stream and a top parse cost.  The scalar tail (>=8
-      // bytes) also recovers `final`, the pre-table value of the last
-      // step that the stream's trailing CRC byte must match.
+      // ONE pass computes both checks (round 5 — the separate parity
+      // pass re-loaded every stream byte):
+      // * parity: whole-buffer XOR, word-at-a-time;
+      // * CRC-8: slice-by-8.  kCrc8 is GF(2)-linear (T[a^b] = T[a]^T[b]),
+      //   so 8 bytes fold with 8 INDEPENDENT table loads instead of an
+      //   8-deep serial load chain — the byte-serial walk was a full
+      //   pass over the stream and a top parse cost.  The scalar tail
+      //   (>=8 bytes) also recovers `final`, the pre-table value of the
+      //   last step that the stream's trailing CRC byte must match.
       uint8_t crc = 0x3C, final = 0;
       const uint8_t(*T)[256] = crc8_powers();
+      uint64_t acc = 0;
       int64_t i = 0;
       for (; i + 16 <= body_len; i += 8) {
+        uint64_t w;
+        std::memcpy(&w, data + i, 8);
+        acc ^= w;
         crc = T[7][crc ^ data[i]] ^ T[6][data[i + 1]] ^ T[5][data[i + 2]] ^
               T[4][data[i + 3]] ^ T[3][data[i + 4]] ^ T[2][data[i + 5]] ^
               T[1][data[i + 6]] ^ T[0][data[i + 7]];
       }
+      acc ^= acc >> 32;
+      acc ^= acc >> 16;
+      acc ^= acc >> 8;
+      uint8_t parity = uint8_t(acc);
       for (; i < body_len; i++) {
+        parity ^= data[i];
         final = crc ^ data[i];
         crc = kCrc8[final];
       }
       if ((data[body_len] ^ parity) != 0xA9) throw ParseError{};
       if (final != data[body_len + 1]) throw ParseError{};
     }
+    if (t0) st_check += pstat_now() - t0;
     return body_len;
   }
 
@@ -1093,9 +1138,16 @@ struct Parser {
     bool done0 = false, done1 = false;
     int32_t t0 = 0, t1 = 0;
     while (!done0 && !done1) {
+      const uint64_t ps0 = pstat_on() ? pstat_now() : 0;
       BlockCtx c0 = prep_block(0, r0);
       BlockCtx c1 = prep_block(1, r1);
+      const uint64_t ps1 = ps0 ? pstat_now() : 0;
       residuals_pair(c0, r0, c1, r1);
+      if (ps0) {
+        const uint64_t ps2 = pstat_now();
+        st_prep += ps1 - ps0;
+        st_walk += ps2 - ps1;
+      }
       t0 += c0.bs;
       t1 += c1.bs;
       if (r0.read(1)) done0 = true;
@@ -1159,13 +1211,24 @@ struct Parser {
     int32_t* p_iir = bump(out.blk_rc_iir[s], size_t(n_ch) * 8);
     int32_t* p_init = bump(out.blk_iir_init[s], size_t(n_ch) * 8);
     std::memset(p_irst, 0, size_t(n_ch));
-    std::memset(p_fir, 0, size_t(n_ch) * 8 * sizeof(int32_t));
-    std::memset(p_iir, 0, size_t(n_ch) * 8 * sizeof(int32_t));
     std::memset(p_init, 0, size_t(n_ch) * 8 * sizeof(int32_t));
     size_t res0 = out.residuals[s].size();
     if (!skip_values)
       out.residuals[s].resize(res0 + size_t(n_ch) * u.block_size);
 
+    if (!has_params && u.ecache.valid && u.ecache.n_ch == n_ch) {
+      // no parameter update: rows identical to the previous block's
+      // (iir_reloaded is only ever set inside a params block)
+      std::memcpy(p_shift, u.ecache.shift, size_t(n_ch) * sizeof(int32_t));
+      std::memcpy(p_quant, u.ecache.quant_, size_t(n_ch) * sizeof(int32_t));
+      std::memcpy(p_fir, u.ecache.fir, size_t(n_ch) * 8 * sizeof(int32_t));
+      std::memcpy(p_iir, u.ecache.iir, size_t(n_ch) * 8 * sizeof(int32_t));
+      out.blk_fir_any[s].push_back(u.ecache.fir_any);
+      return BlockCtx{n_ch, u.block_size, res0};
+    }
+
+    std::memset(p_fir, 0, size_t(n_ch) * 8 * sizeof(int32_t));
+    std::memset(p_iir, 0, size_t(n_ch) * 8 * sizeof(int32_t));
     uint8_t fir_any = 0;
     for (int i = 0; i < n_ch; i++) {
       ChannelParams& cp = u.ch[u.min_ch + i];
@@ -1195,6 +1258,13 @@ struct Parser {
       }
     }
     out.blk_fir_any[s].push_back(fir_any);
+    u.ecache.valid = true;
+    u.ecache.n_ch = n_ch;
+    u.ecache.fir_any = fir_any;
+    std::memcpy(u.ecache.shift, p_shift, size_t(n_ch) * sizeof(int32_t));
+    std::memcpy(u.ecache.quant_, p_quant, size_t(n_ch) * sizeof(int32_t));
+    std::memcpy(u.ecache.fir, p_fir, size_t(n_ch) * 8 * sizeof(int32_t));
+    std::memcpy(u.ecache.iir, p_iir, size_t(n_ch) * 8 * sizeof(int32_t));
     return BlockCtx{n_ch, u.block_size, res0};
   }
 
@@ -1211,8 +1281,15 @@ struct Parser {
   }
 
   int32_t decode_block(int s, BitReader& r) {
+    const uint64_t t0 = pstat_on() ? pstat_now() : 0;
     BlockCtx c = prep_block(s, r);
+    const uint64_t t1 = t0 ? pstat_now() : 0;
     do_residuals(s, c, r);
+    if (t0) {
+      const uint64_t t2 = pstat_now();
+      st_prep += t1 - t0;
+      st_walk += t2 - t1;
+    }
     return c.bs;
   }
 
@@ -1784,6 +1861,45 @@ struct Parser {
   }
 
 
+  // L-step advance of the MLP noise LFSR (mlp.c:1327-1335 analog).  The
+  // step is GF(2)-linear on the 32-bit state, and L (samples per frame)
+  // is constant along a stream, so the L-step transform is applied with
+  // four byte->uint32 table lookups instead of an L-deep serial loop
+  // (~80 dependent iterations per frame, a measured ~4% of the parse).
+  // The tables are rebuilt only when L changes (last frame, odd streams).
+  struct LfsrJump {
+    int32_t L = -1;
+    uint32_t tab[4][256];
+  } lfsr_;
+
+  static inline uint32_t lfsr_step1(uint32_t seed) {
+    uint32_t shifted = (seed >> 7) & 0xFFFF;
+    return ((seed << 16) ^ shifted ^ (shifted << 5)) & 0xFFFFFFFFu;
+  }
+
+  uint32_t lfsr_jump(uint32_t seed, int32_t L) {
+    if (L != lfsr_.L) {
+      // columns of T^L: image of each basis bit under L serial steps
+      uint32_t col[32];
+      for (int b = 0; b < 32; b++) {
+        uint32_t v = uint32_t(1) << b;
+        for (int32_t i = 0; i < L; i++) v = lfsr_step1(v);
+        col[b] = v;
+      }
+      for (int by = 0; by < 4; by++) {
+        for (int x = 0; x < 256; x++) {
+          uint32_t acc = 0;
+          for (int b = 0; b < 8; b++)
+            if (x & (1 << b)) acc ^= col[by * 8 + b];
+          lfsr_.tab[by][x] = acc;
+        }
+      }
+      lfsr_.L = L;
+    }
+    return lfsr_.tab[0][seed & 0xFF] ^ lfsr_.tab[1][(seed >> 8) & 0xFF] ^
+           lfsr_.tab[2][(seed >> 16) & 0xFF] ^ lfsr_.tab[3][seed >> 24];
+  }
+
   void commit_frame(int final_s, int32_t frames0, int64_t end_off) {
     Substream& fu = ss[final_s];
     if (out.mmc < 0) {
@@ -1853,12 +1969,7 @@ struct Parser {
     // seed still advances L steps so the next frame starts correctly.
     *bump(out.frame_seed, 1) = fu.noise_seed;
     *bump(out.frame_nshift, 1) = fu.noise_shift;
-    uint32_t seed = fu.noise_seed;
-    for (int32_t i = 0; i < L; i++) {
-      uint32_t shifted = (seed >> 7) & 0xFFFF;
-      seed = ((seed << 16) ^ shifted ^ (shifted << 5)) & 0xFFFFFFFFu;
-    }
-    fu.noise_seed = seed;
+    fu.noise_seed = lfsr_jump(fu.noise_seed, L);
 
     for (int s = 0; s < substream_count; s++) {
       *bump(out.fr_nblocks[s], 1) = marks.blocks[s];
