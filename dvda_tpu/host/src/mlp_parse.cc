@@ -94,6 +94,7 @@ const uint8_t (*crc8_powers())[256] {
 }
 
 struct ParseError {};  // frame-local error -> frame dropped
+struct PairAbort {};   // frame-pair infeasible -> redo both serially
 
 // MSB-first big-endian bit reader over a byte span.
 //
@@ -579,6 +580,46 @@ struct Parser {
       int32_t total =
           ((int32_t(stream[off_] & 0x0F) << 8) | stream[off_ + 1]) * 2;
       if (total < 4 || off_ + total > size) { done_ = true; break; }
+
+      // frame-pair fast path (skip mode): overlap this frame's and the
+      // next frame's substream walks in one loop — see pair_impl
+      if (skip_values && have_sync && paired_enabled() &&
+          pair_frames_enabled() &&
+          (max_frames <= 0 || parsed + 2 <= max_frames)) {
+        int64_t off2 = off_ + total;
+        int32_t total2 = 0;
+        if (size - off2 >= 4) {
+          total2 = ((int32_t(stream[off2] & 0x0F) << 8) |
+                    stream[off2 + 1]) * 2;
+          if (total2 < 4 || off2 + total2 > size) total2 = 0;
+        }
+        if (total2) {
+          mark_frame();
+          int rc = decode_two_frames_skip(
+              stream + off_ + 4, total - 4, off_ + total,
+              stream + off2 + 4, total2 - 4, off2 + total2);
+          if (rc == kPairBailF0) { done_ = true; break; }
+          if (rc == kPairBailF1) {
+            off_ += total;
+            parsed += 1;
+            attempted_ += 1;
+            done_ = true;
+            break;
+          }
+          if (rc == kPairOk) {
+            off_ = off2 + total2;
+            parsed += 2;
+            attempted_ += 2;
+            if (!reserved_ && !out.frame_len.empty()) {
+              reserved_ = true;
+              reserve_after_first_frame(total);
+            }
+            continue;
+          }
+          // kPairFallback: state rolled back — take the serial path
+        }
+      }
+
       mark_frame();
       try {
         decode_frame(stream + off_ + 4, total - 4, off_ + total);
@@ -1178,11 +1219,19 @@ struct Parser {
   };
 
   BlockCtx prep_block(int s, BitReader& r) {
-    Substream& u = ss[s];
+    return prep_block_in(out, ss[s], s, r, false);
+  }
+
+  BlockCtx prep_block_in(Result& R, Substream& u, int s, BitReader& r,
+                         bool abort_on_params) {
     bool restart = false;
     bool has_params = false;
     for (int c = 0; c < kMaxChannels; c++) iir_reloaded[c] = false;
     if (r.read(1)) {
+      // frame-pair driver: a parameter update in a non-first block of the
+      // LEADING frame invalidates the trailing frame's starting state —
+      // abandon the pair and let the serial path redo both frames
+      if (abort_on_params) throw PairAbort{};
       has_params = true;
       bool has_restart = r.read(1);
       if (has_restart) {
@@ -1200,21 +1249,21 @@ struct Parser {
     // bumped element is stored below: the tap rows are zeroed explicitly
     // in-cache, so no value-initializing resize pass is needed)
     int n_ch = u.max_ch - u.min_ch + 1;
-    *bump(out.blk_restart[s], 1) = restart ? 1 : 0;
-    *bump(out.blk_param_update[s], 1) = has_params ? 1 : 0;
-    *bump(out.blk_len[s], 1) = u.block_size;
+    *bump(R.blk_restart[s], 1) = restart ? 1 : 0;
+    *bump(R.blk_param_update[s], 1) = has_params ? 1 : 0;
+    *bump(R.blk_len[s], 1) = u.block_size;
 
-    int32_t* p_shift = bump(out.blk_shift[s], size_t(n_ch));
-    int32_t* p_quant = bump(out.blk_quant[s], size_t(n_ch));
-    uint8_t* p_irst = bump(out.blk_iir_reset[s], size_t(n_ch));
-    int32_t* p_fir = bump(out.blk_rc_fir[s], size_t(n_ch) * 8);
-    int32_t* p_iir = bump(out.blk_rc_iir[s], size_t(n_ch) * 8);
-    int32_t* p_init = bump(out.blk_iir_init[s], size_t(n_ch) * 8);
+    int32_t* p_shift = bump(R.blk_shift[s], size_t(n_ch));
+    int32_t* p_quant = bump(R.blk_quant[s], size_t(n_ch));
+    uint8_t* p_irst = bump(R.blk_iir_reset[s], size_t(n_ch));
+    int32_t* p_fir = bump(R.blk_rc_fir[s], size_t(n_ch) * 8);
+    int32_t* p_iir = bump(R.blk_rc_iir[s], size_t(n_ch) * 8);
+    int32_t* p_init = bump(R.blk_iir_init[s], size_t(n_ch) * 8);
     std::memset(p_irst, 0, size_t(n_ch));
     std::memset(p_init, 0, size_t(n_ch) * 8 * sizeof(int32_t));
-    size_t res0 = out.residuals[s].size();
+    size_t res0 = R.residuals[s].size();
     if (!skip_values)
-      out.residuals[s].resize(res0 + size_t(n_ch) * u.block_size);
+      R.residuals[s].resize(res0 + size_t(n_ch) * u.block_size);
 
     if (!has_params && u.ecache.valid && u.ecache.n_ch == n_ch) {
       // no parameter update: rows identical to the previous block's
@@ -1223,7 +1272,7 @@ struct Parser {
       std::memcpy(p_quant, u.ecache.quant_, size_t(n_ch) * sizeof(int32_t));
       std::memcpy(p_fir, u.ecache.fir, size_t(n_ch) * 8 * sizeof(int32_t));
       std::memcpy(p_iir, u.ecache.iir, size_t(n_ch) * 8 * sizeof(int32_t));
-      out.blk_fir_any[s].push_back(u.ecache.fir_any);
+      R.blk_fir_any[s].push_back(u.ecache.fir_any);
       return BlockCtx{n_ch, u.block_size, res0};
     }
 
@@ -1257,7 +1306,7 @@ struct Parser {
               cp.iir.state[j];
       }
     }
-    out.blk_fir_any[s].push_back(fir_any);
+    R.blk_fir_any[s].push_back(fir_any);
     u.ecache.valid = true;
     u.ecache.n_ch = n_ch;
     u.ecache.fir_any = fir_any;
@@ -1300,13 +1349,16 @@ struct Parser {
                       const BlockCtx& c1, BitReader& r1) {
     if (skip_values) {
       SkipWalk a, b;
-      bool da = a.prep(this, 0, ss[0], r0, c0.n_ch);
-      bool db = b.prep(this, 1, ss[1], r1, c1.n_ch);
+      bool da = a.prep(this, &out, 0, ss[0], r0, c0.n_ch);
+      bool db = b.prep(this, &out, 1, ss[1], r1, c1.n_ch);
       int na = da ? 0 : a.bs, nb = db ? 0 : b.bs;
       int common = na < nb ? na : nb;
-      for (int i = 0; i < common; i++) { a.step(); b.step(); }
-      for (int i = common; i < na; i++) a.step();
-      for (int i = common; i < nb; i++) b.step();
+      SkipWalk::Hot ha = a.hot(), hb = b.hot();
+      for (int i = 0; i < common; i++) { ha = a.step(ha); hb = b.step(hb); }
+      for (int i = common; i < na; i++) ha = a.step(ha);
+      for (int i = common; i < nb; i++) hb = b.step(hb);
+      a.put(ha);
+      b.put(hb);
       if (!da) a.fin();
       if (!db) b.fin();
     } else {
@@ -1675,6 +1727,7 @@ struct Parser {
   // overlap in the out-of-order core.
   struct SkipWalk {
     Parser* P;
+    Result* O;  // emit target: P->out, or the frame-pair stage
     Substream* u;
     BitReader* r;
     const int32_t* ll;
@@ -1692,10 +1745,10 @@ struct Parser {
 
     // full per-block preamble; true = block fully consumed already (the
     // fixed-rate O(1) path: no Huffman-coded channel in the block)
-    __attribute__((always_inline)) inline bool prep(Parser* P_, int s_, Substream& u_, BitReader& r_, int n_ch_) {
-      P = P_; s = s_; u = &u_; r = &r_; n_ch = n_ch_;
+    __attribute__((always_inline)) inline bool prep(Parser* P_, Result* O_, int s_, Substream& u_, BitReader& r_, int n_ch_) {
+      P = P_; O = O_; s = s_; u = &u_; r = &r_; n_ch = n_ch_;
       ll = P->lut_len;
-      Result& out = P->out;
+      Result& out = *O;
       *bump(out.blk_res_bitpos[s], 1) = (r->data - P->stream) * 8 + r->pos;
       nbyp = 0;
       uint8_t mask = 0;
@@ -1805,14 +1858,25 @@ struct Parser {
       return false;
     }
 
-    __attribute__((always_inline)) inline void step() {
-      Result& out = P->out;
-      if (--sub_cnt == 0) {
-        sub_cnt = k;
-        *p_sub++ = int32_t(pos - pos0);
-        if (int32_t(pos - mark) > out.sub_span_max[s])
-          out.sub_span_max[s] = int32_t(pos - mark);
-        mark = pos;
+    // hot cursor threaded BY VALUE (round 5, same trick as ReadWalk):
+    // the walk object's address escapes, so member-resident cursors
+    // re-load/store through memory every sample — value threading keeps
+    // pos/mark/sub_cnt in registers across the paired/quadded loops
+    struct Hot { int64_t pos; int64_t mark; int32_t* p_sub; int sub_cnt; };
+    Hot hot() const { return Hot{pos, mark, p_sub, sub_cnt}; }
+    void put(const Hot& h) {
+      pos = h.pos; mark = h.mark; p_sub = h.p_sub; sub_cnt = h.sub_cnt;
+    }
+
+    __attribute__((always_inline)) inline Hot step(Hot h) {
+      int64_t pos = h.pos;
+      if (--h.sub_cnt == 0) {
+        h.sub_cnt = k;
+        *h.p_sub++ = int32_t(pos - pos0);
+        Result& out = *O;
+        if (int32_t(pos - h.mark) > out.sub_span_max[s])
+          out.sub_span_max[s] = int32_t(pos - h.mark);
+        h.mark = pos;
       }
       if (pos + worst > nbits) {  // rare: the stream may end flush — walk
         pos += nbyp;              // this sample with exact checks
@@ -1827,26 +1891,29 @@ struct Parser {
           pos += lsb_bits[ci];
           if (pos > nbits) { r->pos = pos; throw ParseError{}; }
         }
-        return;
+        h.pos = pos;
+        return h;
       }
       pos += gap[0];
-      int h = 0;
+      int hh = 0;
       for (int g = 0; g < n_grp; g++) {
         const uint64_t w = r->window(pos);
         int64_t sh = 0;
         const int cnt = grp_n[g];
-        for (int j = 0; j < cnt; j++, h++) {
+        for (int j = 0; j < cnt; j++, hh++) {
           uint32_t peek = uint32_t((w << sh) >> 55);
-          int32_t n = ll[hufcb[h] * 512 + peek];
+          int32_t n = ll[hufcb[hh] * 512 + peek];
           if (n == 0) { r->pos = pos + sh; throw ParseError{}; }
-          sh += n + gap[h + 1];
+          sh += n + gap[hh + 1];
         }
         pos += sh;
       }
+      h.pos = pos;
+      return h;
     }
 
     __attribute__((always_inline)) inline void fin() {
-      Result& out = P->out;
+      Result& out = *O;
       if (int32_t(pos - mark) > out.sub_span_max[s])
         out.sub_span_max[s] = int32_t(pos - mark);  // tail sub-lane span
       r->pos = pos;
@@ -1855,9 +1922,379 @@ struct Parser {
 
   void skip_residuals(int s, Substream& u, BitReader& r, int n_ch) {
     SkipWalk w;
-    if (w.prep(this, s, u, r, n_ch)) return;
-    for (int i = 0; i < w.bs; i++) w.step();
+    if (w.prep(this, &out, s, u, r, n_ch)) return;
+    SkipWalk::Hot h = w.hot();
+    for (int i = 0; i < w.bs; i++) h = w.step(h);
+    w.put(h);
     w.fin();
+  }
+
+  // ---- frame-pair skip parse (round 5) ---------------------------------
+  //
+  // The skip walk's cost floor is the per-symbol serial chain; pairing
+  // the two substreams of ONE frame (residuals_pair) overlaps two such
+  // chains.  This driver overlaps FOUR: the substream walks of frames k
+  // and k+1 advance from one loop.  It is sound because a frame's
+  // residual walk depends only on (a) the sticky parameter state at the
+  // frame's start and (b) its own byte range (known from the frame
+  // headers) — and between frames the sticky state changes ONLY through
+  // parameter blocks.  Protocol:
+  //   * frame k's first blocks prep against the live state ss (a restart
+  //     or params there is fine — the common placement);
+  //   * ss is then copied to the scratch ssB, and frame k+1 parses
+  //     entirely against ssB (its own params blocks are applied there);
+  //   * a params block in any LATER block of frame k aborts the pair
+  //     (PairAbort) and both frames are redone serially — params outside
+  //     a frame's first block are rare in practice;
+  //   * frame k+1's per-block tables are emitted into `stage` (a
+  //     capacity-reusing Result) and appended to `out` after frame k
+  //     commits, so every output array keeps exact stream order;
+  //   * ANY ParseError also falls back to the serial path, which redoes
+  //     both frames with the reference's exact drop semantics.
+  // Skip-values mode only: its staged output is a few hundred bytes per
+  // block (full mode would stage megabytes of residuals).
+
+  static bool pair_frames_enabled() {
+    static const bool v = [] {
+      const char* e = std::getenv("DVDA_HOST_PAIR_FRAMES");
+      return !(e && e[0] == '0');
+    }();
+    return v;
+  }
+
+  Result stage;               // frame k+1 staging (skip-mode arrays only)
+  Substream ssB[kMaxSubstreams];
+  Marks marksB;
+
+  void stage_clear() {
+    for (int s = 0; s < kMaxSubstreams; s++) {
+      stage.blk_restart[s].clear();
+      stage.blk_param_update[s].clear();
+      stage.blk_fir_any[s].clear();
+      stage.blk_len[s].clear();
+      stage.blk_shift[s].clear();
+      stage.blk_quant[s].clear();
+      stage.blk_iir_reset[s].clear();
+      stage.blk_rc_fir[s].clear();
+      stage.blk_rc_iir[s].clear();
+      stage.blk_iir_init[s].clear();
+      stage.blk_res_bitpos[s].clear();
+      stage.blk_codebook[s].clear();
+      stage.blk_lsb_bits[s].clear();
+      stage.blk_res_offset[s].clear();
+      stage.blk_nbyp[s].clear();
+      stage.blk_byp_mask[s].clear();
+      stage.blk_sub_bitpos[s].clear();
+      stage.sub_span_max[s] = 0;
+    }
+  }
+
+  template <class T>
+  static void append_vec(rawvec<T>& dst, const rawvec<T>& src) {
+    if (!src.empty())
+      std::memcpy(bump(dst, src.size()), src.data(),
+                  src.size() * sizeof(T));
+  }
+
+  void merge_stage() {
+    for (int s = 0; s < kMaxSubstreams; s++) {
+      append_vec(out.blk_restart[s], stage.blk_restart[s]);
+      append_vec(out.blk_param_update[s], stage.blk_param_update[s]);
+      append_vec(out.blk_fir_any[s], stage.blk_fir_any[s]);
+      append_vec(out.blk_len[s], stage.blk_len[s]);
+      append_vec(out.blk_shift[s], stage.blk_shift[s]);
+      append_vec(out.blk_quant[s], stage.blk_quant[s]);
+      append_vec(out.blk_iir_reset[s], stage.blk_iir_reset[s]);
+      append_vec(out.blk_rc_fir[s], stage.blk_rc_fir[s]);
+      append_vec(out.blk_rc_iir[s], stage.blk_rc_iir[s]);
+      append_vec(out.blk_iir_init[s], stage.blk_iir_init[s]);
+      append_vec(out.blk_res_bitpos[s], stage.blk_res_bitpos[s]);
+      append_vec(out.blk_codebook[s], stage.blk_codebook[s]);
+      append_vec(out.blk_lsb_bits[s], stage.blk_lsb_bits[s]);
+      append_vec(out.blk_res_offset[s], stage.blk_res_offset[s]);
+      append_vec(out.blk_nbyp[s], stage.blk_nbyp[s]);
+      append_vec(out.blk_byp_mask[s], stage.blk_byp_mask[s]);
+      append_vec(out.blk_sub_bitpos[s], stage.blk_sub_bitpos[s]);
+      if (stage.sub_span_max[s] > out.sub_span_max[s])
+        out.sub_span_max[s] = stage.sub_span_max[s];
+    }
+  }
+
+  struct PairCursor {
+    BitReader r;
+    Substream* u = nullptr;
+    Result* O = nullptr;
+    Marks* mk = nullptr;
+    int s = 0;
+    bool is_f0 = false;
+    bool done = false;
+    bool walking = false;
+    int blocks_done = 0;
+    int remaining = 0;
+    int32_t total = 0;
+    SkipWalk w;
+    PairCursor() : r(nullptr, 0) {}
+  };
+
+  // prep blocks until a multi-step walk is pending or the substream ends
+  void pair_advance(PairCursor& c) {
+    while (!c.done && !c.walking) {
+      if (c.blocks_done > 0 && c.r.read(1)) {
+        c.done = true;
+        break;
+      }
+      BlockCtx bc = prep_block_in(*c.O, *c.u, c.s, c.r,
+                                  c.is_f0 && c.blocks_done > 0);
+      c.blocks_done++;
+      if (c.w.prep(this, c.O, c.s, *c.u, c.r, bc.n_ch)) {
+        c.mk->samples[c.s] += bc.bs;
+        c.mk->blocks[c.s] += 1;
+        c.total += bc.bs;
+      } else {
+        c.walking = true;
+        c.remaining = c.w.bs;
+      }
+    }
+  }
+
+  void pair_finish_walk(PairCursor& c) {
+    c.w.fin();
+    c.mk->samples[c.s] += c.w.bs;
+    c.mk->blocks[c.s] += 1;
+    c.total += c.w.bs;
+    c.walking = false;
+    pair_advance(c);
+  }
+
+  // frame header prefix shared by both frames of a pair: major-sync
+  // check (any parameter mismatch aborts the pair — the serial path owns
+  // that rare case), substream info into sss[].info_*, alignment.
+  // Returns the substream base pointer; sets *avail.
+  const uint8_t* pair_frame_header(BitReader& r, const uint8_t* body,
+                                   int64_t len, Substream* sss,
+                                   int64_t* avail) {
+    if (len >= 28 && body[0] == 0xF8 && body[1] == 0x72 &&
+        body[2] == 0x6F && body[3] == 0xBB) {
+      int g0b = body[4] >> 4;
+      int g1b = body[4] & 0xF;
+      int g0r = body[5] >> 4;
+      int g1r = body[5] & 0xF;
+      int assign = body[7] & 0x1F;
+      int nsub = body[16] >> 4;
+      if (nsub == 1 || nsub == 2) {
+        if (assign != out.assignment || g0b != sync_params[0] ||
+            g1b != sync_params[1] || g0r != sync_params[2] ||
+            g1r != sync_params[3] || nsub != substream_count)
+          throw PairAbort{};  // "contributes nothing" / param change
+        r.skip(28 * 8);
+      }
+    }
+    for (int s = 0; s < substream_count; s++) {
+      uint32_t extraword = r.read(1);
+      r.read(1);  // nonrestart
+      sss[s].info_checkdata = int(r.read(1));
+      r.read(1);
+      sss[s].info_end = int(r.read(12)) * 2;
+      if (extraword) r.skip(16);
+    }
+    int64_t pos0 = r.pos;
+    if (pos0 & 7) throw PairAbort{};  // serial path raises the real error
+    *avail = len - (pos0 >> 3);
+    return body + (pos0 >> 3);
+  }
+
+  enum PairRc { kPairFallback = 0, kPairBailF0, kPairBailF1, kPairOk };
+
+  int pair_impl(const uint8_t* b0, int64_t l0, int64_t e0,
+                const uint8_t* b1, int64_t l1, int64_t e1) {
+    stage_clear();
+    const int nsub = substream_count;
+
+    // ---- frame k header + first preps (live state ss) ----
+    BitReader rh0(b0, l0);
+    for (int s = 0; s < kMaxSubstreams; s++)
+      for (int m = 0; m < kMaxMatrices; m++) ss[s].mats[m].bypassed.clear();
+    int64_t avail0 = 0;
+    const uint8_t* base0 = pair_frame_header(rh0, b0, l0, ss, &avail0);
+
+    PairCursor cur[4];
+    int n_act = 0;
+    {
+      int64_t off = 0;
+      int cd = ss[0].info_checkdata;  // reference quirk: sub0 governs
+      for (int s = 0; s < nsub; s++) {
+        int64_t end = ss[s].info_end;
+        int64_t nbytes = end - off;
+        if (nbytes < 0 || nbytes > avail0 - off) throw PairAbort{};
+        int64_t blen = verify_checkdata(base0 + off, nbytes, cd);
+        PairCursor& c = cur[n_act++];
+        c.r = BitReader(base0 + off, blen);
+        c.u = &ss[s];
+        c.O = &out;
+        c.mk = &marks;
+        c.s = s;
+        c.is_f0 = true;
+        off = end;
+      }
+    }
+    for (int i = 0; i < n_act; i++) pair_advance(cur[i]);
+
+    // frame k's parameter state is now final for the pair (any later
+    // params block aborts) — frame k+1 parses against a copy of it
+    for (int s = 0; s < nsub; s++) ssB[s] = ss[s];
+    marksB.samples[0] = marksB.samples[1] = 0;
+    marksB.blocks[0] = marksB.blocks[1] = 0;
+
+    // ---- frame k+1 header + first preps (scratch state ssB) ----
+    BitReader rh1(b1, l1);
+    for (int s = 0; s < kMaxSubstreams; s++)
+      for (int m = 0; m < kMaxMatrices; m++)
+        ssB[s].mats[m].bypassed.clear();
+    int64_t avail1 = 0;
+    const uint8_t* base1 = pair_frame_header(rh1, b1, l1, ssB, &avail1);
+    {
+      int64_t off = 0;
+      int cd = ssB[0].info_checkdata;
+      for (int s = 0; s < nsub; s++) {
+        int64_t end = ssB[s].info_end;
+        int64_t nbytes = end - off;
+        if (nbytes < 0 || nbytes > avail1 - off) throw PairAbort{};
+        int64_t blen = verify_checkdata(base1 + off, nbytes, cd);
+        PairCursor& c = cur[n_act++];
+        c.r = BitReader(base1 + off, blen);
+        c.u = &ssB[s];
+        c.O = &stage;
+        c.mk = &marksB;
+        c.s = s;
+        c.is_f0 = false;
+        off = end;
+      }
+    }
+    for (int i = nsub; i < n_act; i++) pair_advance(cur[i]);
+
+    // ---- interleaved stepping: up to four serial bit chains in flight.
+    // Each round batches the minimum remaining step count across the
+    // active walks with their hot cursors in registers (the common case
+    // is all four walks sharing one block size, so one quad batch per
+    // block row), then re-preps whichever walks finished their block.
+    while (true) {
+      PairCursor* act[4];
+      int na = 0;
+      for (int i = 0; i < n_act; i++)
+        if (cur[i].walking) act[na++] = &cur[i];
+      if (na == 0) break;
+      int n = act[0]->remaining;
+      for (int i = 1; i < na; i++)
+        if (act[i]->remaining < n) n = act[i]->remaining;
+      switch (na) {
+        case 4: {
+          SkipWalk::Hot h0 = act[0]->w.hot(), h1 = act[1]->w.hot(),
+                        h2 = act[2]->w.hot(), h3 = act[3]->w.hot();
+          for (int i = 0; i < n; i++) {
+            h0 = act[0]->w.step(h0);
+            h1 = act[1]->w.step(h1);
+            h2 = act[2]->w.step(h2);
+            h3 = act[3]->w.step(h3);
+          }
+          act[0]->w.put(h0);
+          act[1]->w.put(h1);
+          act[2]->w.put(h2);
+          act[3]->w.put(h3);
+          break;
+        }
+        case 3: {
+          SkipWalk::Hot h0 = act[0]->w.hot(), h1 = act[1]->w.hot(),
+                        h2 = act[2]->w.hot();
+          for (int i = 0; i < n; i++) {
+            h0 = act[0]->w.step(h0);
+            h1 = act[1]->w.step(h1);
+            h2 = act[2]->w.step(h2);
+          }
+          act[0]->w.put(h0);
+          act[1]->w.put(h1);
+          act[2]->w.put(h2);
+          break;
+        }
+        case 2: {
+          SkipWalk::Hot h0 = act[0]->w.hot(), h1 = act[1]->w.hot();
+          for (int i = 0; i < n; i++) {
+            h0 = act[0]->w.step(h0);
+            h1 = act[1]->w.step(h1);
+          }
+          act[0]->w.put(h0);
+          act[1]->w.put(h1);
+          break;
+        }
+        default: {
+          SkipWalk::Hot h0 = act[0]->w.hot();
+          for (int i = 0; i < n; i++) h0 = act[0]->w.step(h0);
+          act[0]->w.put(h0);
+        }
+      }
+      for (int i = 0; i < na; i++) {
+        act[i]->remaining -= n;
+        if (act[i]->remaining == 0) pair_finish_walk(*act[i]);
+      }
+    }
+    for (int i = 0; i < n_act; i++) substream_tail(cur[i].r);
+
+    // ---- finish frame k (exactly the sequential checks, in order) ----
+    for (int i = 0; i < nsub; i++)
+      if (cur[i].total == 0) throw PairAbort{};  // serial path drops it
+    for (int i = nsub; i < n_act; i++)
+      if (cur[i].total == 0) throw PairAbort{};
+    if (nsub == 2 && marks.samples[1] != marks.samples[0]) {
+      out.status = 1;
+      out.bail = kBailSubstreamLengths;
+      return kPairBailF0;
+    }
+    commit_frame_in(ss, marks, nsub - 1, cur[0].total, e0);
+    if (out.status) return kPairBailF0;
+
+    // the commit above advanced the final substream's LFSR seed past
+    // frame k; frame k+1 starts from that value UNLESS one of its own
+    // restart headers re-read the seed (the restart wrote ssB already)
+    {
+      bool f1_restart = false;
+      const rawvec<uint8_t>& rs = stage.blk_restart[nsub - 1];
+      for (size_t i = 0; i < rs.size(); i++) f1_restart |= rs[i] != 0;
+      if (!f1_restart)
+        ssB[nsub - 1].noise_seed = ss[nsub - 1].noise_seed;
+    }
+
+    // ---- frame k+1: stage into stream order, then commit ----
+    merge_stage();
+    if (nsub == 2 && marksB.samples[1] != marksB.samples[0]) {
+      out.status = 1;
+      out.bail = kBailSubstreamLengths;
+      return kPairBailF1;
+    }
+    commit_frame_in(ssB, marksB, nsub - 1, cur[nsub].total, e1);
+    if (out.status) return kPairBailF1;
+
+    for (int s = 0; s < nsub; s++) ss[s] = ssB[s];  // sticky state advance
+    return kPairOk;
+  }
+
+  int decode_two_frames_skip(const uint8_t* b0, int64_t l0, int64_t e0,
+                             const uint8_t* b1, int64_t l1, int64_t e1) {
+    FrameSnap snap;
+    save_frame_state(snap);
+    try {
+      return pair_impl(b0, l0, e0, b1, l1, e1);
+    } catch (ParseError&) {
+    } catch (PairAbort&) {
+    }
+    rollback_frame();
+    for (int s = 0; s < kMaxSubstreams; s++) {
+      marks.samples[s] = 0;
+      marks.blocks[s] = 0;
+    }
+    restore_frame_state(snap);
+    stage_clear();
+    out.status = 0;  // a bail decision belongs to the serial redo
+    out.bail = kBailNone;
+    return kPairFallback;
   }
 
 
@@ -1901,7 +2338,12 @@ struct Parser {
   }
 
   void commit_frame(int final_s, int32_t frames0, int64_t end_off) {
-    Substream& fu = ss[final_s];
+    commit_frame_in(ss, marks, final_s, frames0, end_off);
+  }
+
+  void commit_frame_in(Substream* sss, Marks& mk, int final_s,
+                       int32_t frames0, int64_t end_off) {
+    Substream& fu = sss[final_s];
     if (out.mmc < 0) {
       out.mmc = fu.mmc;
     } else if (fu.mmc != out.mmc) {
@@ -1911,8 +2353,8 @@ struct Parser {
     }
     for (int s = 0; s < substream_count; s++) {
       if (out.max_ch[s] < 0) {
-        out.min_ch[s] = ss[s].min_ch;
-        out.max_ch[s] = ss[s].max_ch;
+        out.min_ch[s] = sss[s].min_ch;
+        out.max_ch[s] = sss[s].max_ch;
       }
     }
     if (substream_count == 2 && out.max_ch[0] >= out.min_ch[1]) {
@@ -1972,7 +2414,7 @@ struct Parser {
     fu.noise_seed = lfsr_jump(fu.noise_seed, L);
 
     for (int s = 0; s < substream_count; s++) {
-      *bump(out.fr_nblocks[s], 1) = marks.blocks[s];
+      *bump(out.fr_nblocks[s], 1) = mk.blocks[s];
     }
   }
 };
