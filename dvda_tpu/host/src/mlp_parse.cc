@@ -595,7 +595,7 @@ struct Parser {
         }
         if (total2) {
           mark_frame();
-          int rc = decode_two_frames_skip(
+          int rc = decode_two_frames(
               stream + off_ + 4, total - 4, off_ + total,
               stream + off2 + 4, total2 - 4, off2 + total2);
           if (rc == kPairBailF0) { done_ = true; break; }
@@ -1571,6 +1571,13 @@ struct Parser {
     int64_t pos, nbits, wbase;
     uint64_t w;
 
+    // frame-pair entry: route residuals + amax into O (out or stage)
+    inline void prep_in(Parser* P_, Result* O_, int s_, Substream& u_,
+                        BitReader& r_, int n_ch_, size_t res0) {
+      prep(P_, u_, r_, O_->residuals[s_].data() + res0, n_ch_,
+           &O_->res_amax[s_]);
+    }
+
     __attribute__((always_inline)) inline void prep(Parser* P_, Substream& u_, BitReader& r_, int32_t* dst_,
               int n_ch_, int32_t* amax_) {
       P = P_; u = &u_; r = &r_; dst = dst_; n_ch = n_ch_; amax = amax_;
@@ -1985,7 +1992,9 @@ struct Parser {
       stage.blk_nbyp[s].clear();
       stage.blk_byp_mask[s].clear();
       stage.blk_sub_bitpos[s].clear();
+      stage.residuals[s].clear();
       stage.sub_span_max[s] = 0;
+      stage.res_amax[s] = 0;
     }
   }
 
@@ -2015,12 +2024,16 @@ struct Parser {
       append_vec(out.blk_nbyp[s], stage.blk_nbyp[s]);
       append_vec(out.blk_byp_mask[s], stage.blk_byp_mask[s]);
       append_vec(out.blk_sub_bitpos[s], stage.blk_sub_bitpos[s]);
+      append_vec(out.residuals[s], stage.residuals[s]);
       if (stage.sub_span_max[s] > out.sub_span_max[s])
         out.sub_span_max[s] = stage.sub_span_max[s];
+      if (stage.res_amax[s] > out.res_amax[s])
+        out.res_amax[s] = stage.res_amax[s];
     }
   }
 
-  struct PairCursor {
+  template <class W>
+  struct PairCursorT {
     BitReader r;
     Substream* u = nullptr;
     Result* O = nullptr;
@@ -2032,12 +2045,25 @@ struct Parser {
     int blocks_done = 0;
     int remaining = 0;
     int32_t total = 0;
-    SkipWalk w;
-    PairCursor() : r(nullptr, 0) {}
+    W w;
+    PairCursorT() : r(nullptr, 0) {}
   };
 
+  // walk entry per mode: skip walks may consume fixed-rate blocks in
+  // O(1) (return true); value walks always step
+  bool walk_begin(SkipWalk& w, Result* O, int s, Substream& u,
+                  BitReader& r, const BlockCtx& bc) {
+    return w.prep(this, O, s, u, r, bc.n_ch);
+  }
+  bool walk_begin(ReadWalk& w, Result* O, int s, Substream& u,
+                  BitReader& r, const BlockCtx& bc) {
+    w.prep_in(this, O, s, u, r, bc.n_ch, bc.res0);
+    return false;
+  }
+
   // prep blocks until a multi-step walk is pending or the substream ends
-  void pair_advance(PairCursor& c) {
+  template <class W>
+  void pair_advance(PairCursorT<W>& c) {
     while (!c.done && !c.walking) {
       if (c.blocks_done > 0 && c.r.read(1)) {
         c.done = true;
@@ -2046,7 +2072,7 @@ struct Parser {
       BlockCtx bc = prep_block_in(*c.O, *c.u, c.s, c.r,
                                   c.is_f0 && c.blocks_done > 0);
       c.blocks_done++;
-      if (c.w.prep(this, c.O, c.s, *c.u, c.r, bc.n_ch)) {
+      if (walk_begin(c.w, c.O, c.s, *c.u, c.r, bc)) {
         c.mk->samples[c.s] += bc.bs;
         c.mk->blocks[c.s] += 1;
         c.total += bc.bs;
@@ -2057,7 +2083,8 @@ struct Parser {
     }
   }
 
-  void pair_finish_walk(PairCursor& c) {
+  template <class W>
+  void pair_finish_walk(PairCursorT<W>& c) {
     c.w.fin();
     c.mk->samples[c.s] += c.w.bs;
     c.mk->blocks[c.s] += 1;
@@ -2105,6 +2132,7 @@ struct Parser {
 
   enum PairRc { kPairFallback = 0, kPairBailF0, kPairBailF1, kPairOk };
 
+  template <class W>
   int pair_impl(const uint8_t* b0, int64_t l0, int64_t e0,
                 const uint8_t* b1, int64_t l1, int64_t e1) {
     stage_clear();
@@ -2117,7 +2145,7 @@ struct Parser {
     int64_t avail0 = 0;
     const uint8_t* base0 = pair_frame_header(rh0, b0, l0, ss, &avail0);
 
-    PairCursor cur[4];
+    PairCursorT<W> cur[4];
     int n_act = 0;
     {
       int64_t off = 0;
@@ -2127,7 +2155,7 @@ struct Parser {
         int64_t nbytes = end - off;
         if (nbytes < 0 || nbytes > avail0 - off) throw PairAbort{};
         int64_t blen = verify_checkdata(base0 + off, nbytes, cd);
-        PairCursor& c = cur[n_act++];
+        PairCursorT<W>& c = cur[n_act++];
         c.r = BitReader(base0 + off, blen);
         c.u = &ss[s];
         c.O = &out;
@@ -2160,7 +2188,7 @@ struct Parser {
         int64_t nbytes = end - off;
         if (nbytes < 0 || nbytes > avail1 - off) throw PairAbort{};
         int64_t blen = verify_checkdata(base1 + off, nbytes, cd);
-        PairCursor& c = cur[n_act++];
+        PairCursorT<W>& c = cur[n_act++];
         c.r = BitReader(base1 + off, blen);
         c.u = &ssB[s];
         c.O = &stage;
@@ -2178,7 +2206,7 @@ struct Parser {
     // is all four walks sharing one block size, so one quad batch per
     // block row), then re-preps whichever walks finished their block.
     while (true) {
-      PairCursor* act[4];
+      PairCursorT<W>* act[4];
       int na = 0;
       for (int i = 0; i < n_act; i++)
         if (cur[i].walking) act[na++] = &cur[i];
@@ -2188,8 +2216,8 @@ struct Parser {
         if (act[i]->remaining < n) n = act[i]->remaining;
       switch (na) {
         case 4: {
-          SkipWalk::Hot h0 = act[0]->w.hot(), h1 = act[1]->w.hot(),
-                        h2 = act[2]->w.hot(), h3 = act[3]->w.hot();
+          typename W::Hot h0 = act[0]->w.hot(), h1 = act[1]->w.hot(),
+                          h2 = act[2]->w.hot(), h3 = act[3]->w.hot();
           for (int i = 0; i < n; i++) {
             h0 = act[0]->w.step(h0);
             h1 = act[1]->w.step(h1);
@@ -2203,8 +2231,8 @@ struct Parser {
           break;
         }
         case 3: {
-          SkipWalk::Hot h0 = act[0]->w.hot(), h1 = act[1]->w.hot(),
-                        h2 = act[2]->w.hot();
+          typename W::Hot h0 = act[0]->w.hot(), h1 = act[1]->w.hot(),
+                          h2 = act[2]->w.hot();
           for (int i = 0; i < n; i++) {
             h0 = act[0]->w.step(h0);
             h1 = act[1]->w.step(h1);
@@ -2216,7 +2244,7 @@ struct Parser {
           break;
         }
         case 2: {
-          SkipWalk::Hot h0 = act[0]->w.hot(), h1 = act[1]->w.hot();
+          typename W::Hot h0 = act[0]->w.hot(), h1 = act[1]->w.hot();
           for (int i = 0; i < n; i++) {
             h0 = act[0]->w.step(h0);
             h1 = act[1]->w.step(h1);
@@ -2226,7 +2254,7 @@ struct Parser {
           break;
         }
         default: {
-          SkipWalk::Hot h0 = act[0]->w.hot();
+          typename W::Hot h0 = act[0]->w.hot();
           for (int i = 0; i < n; i++) h0 = act[0]->w.step(h0);
           act[0]->w.put(h0);
         }
@@ -2276,12 +2304,15 @@ struct Parser {
     return kPairOk;
   }
 
-  int decode_two_frames_skip(const uint8_t* b0, int64_t l0, int64_t e0,
-                             const uint8_t* b1, int64_t l1, int64_t e1) {
+  int decode_two_frames(const uint8_t* b0, int64_t l0, int64_t e0,
+                        const uint8_t* b1, int64_t l1, int64_t e1) {
     FrameSnap snap;
     save_frame_state(snap);
     try {
-      return pair_impl(b0, l0, e0, b1, l1, e1);
+      // measured: four value-walks in flight spill (ReadWalk's per-step
+      // state is ~3x SkipWalk's), costing ~10% vs the per-frame pair —
+      // the cross-frame overlap pays only for the lean skip walk
+      return pair_impl<SkipWalk>(b0, l0, e0, b1, l1, e1);
     } catch (ParseError&) {
     } catch (PairAbort&) {
     }
