@@ -126,7 +126,8 @@ def _load():
     lib.mp_blk_sub_bitpos_size.argtypes = [c.c_void_p, c.c_int32]
     lib.mp_sub_span_max.restype = c.c_int32
     lib.mp_sub_span_max.argtypes = [c.c_void_p, c.c_int32]
-    for name in ("mp_mt_repairs", "mp_mt_full_redo"):
+    for name in ("mp_mt_repairs", "mp_mt_full_redo", "mp_frame_pairs",
+                 "mp_pair_falls"):
         fn = getattr(lib, name)
         fn.restype = c.c_int64
         fn.argtypes = [c.c_void_p]
@@ -520,6 +521,16 @@ class IncrementalParse:
         the multi-threaded parse — diagnostics for corrupt-frame fuzz."""
         return (int(self._lib.mp_mt_repairs(self._h)),
                 int(self._lib.mp_mt_full_redo(self._h)))
+
+    @property
+    def pair_stats(self) -> tuple[int, int]:
+        """(frame pairs decoded, pair attempts fallen back to serial) of
+        the skip-mode frame-pair walk — single-thread parser only (MT
+        section workers keep their own counters); tests pin pairs > 0 on
+        pairable streams so the four-chain path cannot silently
+        de-activate."""
+        return (int(self._lib.mp_frame_pairs(self._h)),
+                int(self._lib.mp_pair_falls(self._h)))
 
     def view(self) -> "NativeParse":
         return NativeParse(self._lib, self._h, owns=False)

@@ -562,6 +562,8 @@ struct Parser {
     }
   }
   int64_t dropped = 0;  // frames rolled back (ParseError)
+  int64_t frame_pairs = 0;  // frame pairs decoded by pair_impl (stats)
+  int64_t pair_falls = 0;   // pair attempts that fell back serial (stats)
   int64_t mt_repairs = 0;   // local ≤2-section sequential repairs (stats)
   int64_t mt_full_redo = 0; // whole-stream sequential redos (stats)
 
@@ -607,6 +609,7 @@ struct Parser {
             break;
           }
           if (rc == kPairOk) {
+            frame_pairs++;
             off_ = off2 + total2;
             parsed += 2;
             attempted_ += 2;
@@ -616,6 +619,7 @@ struct Parser {
             }
             continue;
           }
+          if (rc == kPairFallback) pair_falls++;
           // kPairFallback: state rolled back — take the serial path
         }
       }
@@ -2650,6 +2654,15 @@ int32_t mp_bail_reason(void* h) { return R(h).bail; }
 // MT-parse repair statistics (tests/diagnostics): local ≤2-section
 // sequential repairs vs whole-stream sequential redos.
 int64_t mp_mt_repairs(void* h) { return static_cast<Parser*>(h)->mt_repairs; }
+// frame-pair skip-parse statistics: (pairs decoded, serial fallbacks) —
+// tests pin pairs > 0 on pairable streams so the four-chain path cannot
+// silently de-activate
+int64_t mp_frame_pairs(void* h) {
+  return static_cast<Parser*>(h)->frame_pairs;
+}
+int64_t mp_pair_falls(void* h) {
+  return static_cast<Parser*>(h)->pair_falls;
+}
 int64_t mp_mt_full_redo(void* h) {
   return static_cast<Parser*>(h)->mt_full_redo;
 }

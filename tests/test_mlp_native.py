@@ -1067,3 +1067,44 @@ print(json.dumps(digest))
         outs.append(json.loads(proc.stdout.strip().splitlines()[-1]))
     assert outs[0] == outs[1]
     assert outs[0]["F"] > 0
+
+
+def test_frame_pair_skip_parse_engages_and_aborts():
+    """The four-chain frame-pair skip walk (round 5) must actually ENGAGE
+    on pairable streams (pairs > 0 — guards the gate condition silently
+    turning every parse serial) and must fall back to the serial path on
+    mid-frame parameter updates, still finishing clean.  Output equality
+    with the pair-disabled driver is pinned separately by the native-vs-
+    spec and devhuff tests, which run with the pair enabled by default."""
+    from dvda_tpu.config import DecodeConfig
+
+    split = DecodeConfig().resolved_huffman_split()
+
+    # params only at restart frame-starts: nearly every frame pairs
+    cfg = MlpSynthConfig(channel_assignment=17, substream_count=2,
+                         n_frames=200, restart_every=8, major_sync_every=8,
+                         seed=21, fir_across_restart=False,
+                         params_update_prob=0.0)
+    inc = host.parse_mlp_stream_begin(synth_mlp_stream(cfg),
+                                      skip_values=True, threads=1,
+                                      sub_every=split)
+    inc.step(0)
+    assert inc.view().status == 0
+    pairs, falls = inc.pair_stats
+    inc.close()
+    assert pairs >= 80, (pairs, falls)  # ~100 pairs for 200 frames
+
+    # heavy mid-frame parameter updates: pair aborts happen, parse stays
+    # clean, and whatever still pairs is counted
+    cfg2 = MlpSynthConfig(channel_assignment=17, substream_count=2,
+                          n_frames=200, restart_every=4, major_sync_every=4,
+                          seed=22, fir_across_restart=False,
+                          params_update_prob=0.5)
+    inc2 = host.parse_mlp_stream_begin(synth_mlp_stream(cfg2),
+                                       skip_values=True, threads=1,
+                                       sub_every=split)
+    inc2.step(0)
+    assert inc2.view().status == 0
+    pairs2, falls2 = inc2.pair_stats
+    inc2.close()
+    assert falls2 >= 5, (pairs2, falls2)  # abort path exercised
