@@ -555,6 +555,11 @@ def bench_multi_device_scaling(results):
         })
         bests, schs = [], []
         for rep in range(3):
+            # heartbeat: the child is silent for up to its 600s timeout,
+            # and three of them back-to-back would outlast the 900s
+            # relay-wedge watchdog on a slow core (review r5) — a log
+            # line per child keeps healthy-but-slow runs alive
+            log(f"multi_device_scaling n={n}: child {rep + 1}/3 ...")
             try:
                 proc = subprocess.run(
                     [sys.executable, "-m", "dvda_tpu.cli.bench"],
@@ -658,6 +663,7 @@ def bench_pipeline_composition(results):
     results["pipeline_composition"] = entry
 
     # virtual-mesh child: drain is a memcpy; 1 core ⇒ e2e ≈ stage sum
+    log("pipeline_composition: launching the 8-virtual-device child ...")
     env = dict(os.environ)
     env.update({"DVDA_BENCH_COMPOSE_CHILD": "1", "JAX_PLATFORMS": "cpu",
                 "XLA_FLAGS": (env.get("XLA_FLAGS", "") +

@@ -341,9 +341,14 @@ def measured_link_MBps() -> float | None:
             best = dt if best is None else min(best, dt)
             dev = jax.block_until_ready(dev + 1)
         value = mb / best
+        _link_probe_cache["value"] = value
     except Exception:
+        # do NOT cache the failure (review r5): a transient backend
+        # hiccup at first use would otherwise pin a fast-linked host to
+        # host-complete for the whole process lifetime — retry the probe
+        # on the next call instead (persistent no-device setups pay one
+        # cheap failed import per decode, and still resolve host-side)
         value = None
-    _link_probe_cache["value"] = value
     return value
 
 

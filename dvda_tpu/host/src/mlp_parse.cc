@@ -444,6 +444,13 @@ struct Parser {
 
   void rollback_frame() {
     for (int s = 0; s < 2; s++) {
+      // a frame can drop MID-parameter-read (read_decoding_parameters
+      // throws after partially mutating ch[]/quant, and the reference's
+      // drop semantics KEEP that partial mutation) — the emit cache then
+      // holds rows derived from the pre-mutation state, so it must not
+      // survive any dropped frame (review r5: a corrupt-stream
+      // differential fuzz caught the stale-cache divergence)
+      ss[s].ecache.valid = false;
       out.blk_restart[s].resize(marks.nblk[s]);
       out.blk_param_update[s].resize(marks.nblk[s]);
       out.blk_fir_any[s].resize(marks.nblk[s]);
@@ -1012,6 +1019,11 @@ struct Parser {
   void decode_frame_impl(const uint8_t* body, int64_t len, int64_t end_off,
                          bool paired) {
     BitReader r(body, len);
+    // NOTE: the major-sync field extraction and substream-info layout
+    // below are mirrored in pair_frame_header (frame-pair driver) —
+    // any change here must be applied there too, or the paired and
+    // serial parses can disagree on which frames commit (the pair
+    // design relies on "abort means the serial path owns it")
     // major sync?
     if (len >= 28 && body[0] == 0xF8 && body[1] == 0x72 && body[2] == 0x6F &&
         body[3] == 0xBB) {
@@ -2100,6 +2112,8 @@ struct Parser {
   // frame header prefix shared by both frames of a pair: major-sync
   // check (any parameter mismatch aborts the pair — the serial path owns
   // that rare case), substream info into sss[].info_*, alignment.
+  // KEEP IN SYNC with decode_frame_impl's header block (same fields,
+  // same bit layout); the pair copy adds only abort-on-any-difference.
   // Returns the substream base pointer; sets *avail.
   const uint8_t* pair_frame_header(BitReader& r, const uint8_t* body,
                                    int64_t len, Substream* sss,

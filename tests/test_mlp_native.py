@@ -1057,7 +1057,7 @@ digest = {
 }
 p.close()
 print(json.dumps(digest))
-""" % ("/root/repo",)
+""" % (os.path.dirname(os.path.dirname(os.path.abspath(__file__))),)
     outs = []
     for paired in ("1", "0"):
         env = dict(os.environ, DVDA_HOST_PAIRED=paired,
@@ -1108,3 +1108,38 @@ def test_frame_pair_skip_parse_engages_and_aborts():
     pairs2, falls2 = inc2.pair_stats
     inc2.close()
     assert falls2 >= 5, (pairs2, falls2)  # abort path exercised
+
+
+def test_corrupt_frame_invalidates_emit_cache():
+    """Review r5 (CONFIRMED): a frame can drop MID-parameter-read —
+    read_decoding_parameters throws after partially mutating ch[]/quant,
+    and the reference's drop semantics KEEP the partial mutation.  The
+    prep-row emit cache must not survive such a drop, or the next
+    no-params block memcpys rows derived from the pre-mutation state
+    (observed as shape/value divergence from the spec decoder at corrupt
+    bytes 61/466 of this exact stream before the rollback_frame
+    invalidation)."""
+    from dvda_tpu.testutil.synth import BPS_CODE, RATE_CODE
+
+    cfg = MlpSynthConfig(channel_assignment=1, substream_count=1,
+                         n_frames=16, seed=5, major_sync_every=8,
+                         restart_every=8, blocks_per_frame=4,
+                         params_update_prob=0.5)
+    stream = bytes(synth_mlp_stream(cfg))
+    params = StreamParameters(BPS_CODE[24], 0xF, RATE_CODE[96000], 0xF, 1)
+    checked = 0
+    for pos in (61, 466, 100, 200, 300, 700, 900, 1200, 1500, 2000):
+        s = bytearray(stream)
+        s[pos] ^= 0x5A
+        try:
+            spec = MlpDecoder(params)
+            spec.decode_bytes(bytes(s))
+            a = spec.take_frames()
+        except Exception:
+            continue  # the spec decoder itself rejects this corruption
+        b = decode_native(bytes(s), np.zeros(0, np.int64), len(s), params)
+        if b is None:
+            continue  # native bailed to the spec fallback — also exact
+        checked += 1
+        assert a.shape == b.shape and np.array_equal(a, b), pos
+    assert checked >= 5  # the sweep must actually exercise the cache
